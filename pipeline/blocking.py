@@ -1,0 +1,168 @@
+"""Stage 3 — blocking: key families -> salted/capped self-joins -> pairs.
+
+Replaces the reference's ES retrieval (``optimized.py:541-615``,
+``ultimate_address_matcher.py:1354-1459``) with equi-self-joins on the
+blocking key columns from ``pipeline.features``.
+
+Skew strategy (SURVEY.md §4.2 — the dominant 10^12-scale risk):
+
+1. **Hot-key cap, fully parallel.** A degenerate key (boilerplate
+   conversations) can hold millions of members -> quadratic pair blowup.
+   We pre-aggregate key frequencies (map-side partial agg, tiny result),
+   broadcast-join them back, and for keys over ``cfg.block_key_cap``
+   keep each member with probability cap/count via a DETERMINISTIC hash
+   coin (xxhash64(conv_id, key)) — no single-partition window, no sort, no
+   skewed shuffle. Expected kept ≈ cap. The reference silently truncates at
+   ES ``size`` (optimized.py:603); we cap visibly: ``hot_key_audit``
+   returns what was dropped.
+
+2. **Per-key pair cap** (per-level top-k analogue,
+   ultimate_address_matcher.py:276-364): after the join, keep the first
+   ``cfg.pairs_per_key_cap`` pairs per (family,key) ordered by
+   (conv_id_a, conv_id_b). Ordering makes the cap deterministic AND
+   connectivity-preserving: the first members form a star around the
+   smallest conv_id, so transitive clustering still unites the group.
+
+3. **AQE skew-join** stays on for residual imbalance (session config).
+
+The join itself is a plain equi-join — Catalyst picks shuffled-hash/SMJ and
+AQE re-splits skewed partitions at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipeline.config import DEFAULT_CONFIG, MatchConfig
+from pipeline.features import key_columns
+
+
+ANCHOR_FAMILY = 4
+
+
+def anchor_key_table(feats: DataFrame, cfg: MatchConfig) -> DataFrame:
+    """Rare-token anchor keys (family 4) — keyword-tier analogue
+    (UAM:740-758 extracts rare keywords; desperate/keyword cascade levels
+    probe them, UAM:894-905).
+
+    A token with document frequency df in [2, anchor_max_df] is an anchor
+    candidate; each doc keeps its ``anchor_tokens`` rarest (ties broken by
+    token). Guarantees: every key has <= anchor_max_df members (cold by
+    construction — no skew), and a heavily-edited duplicate still shares
+    its surviving rare tokens with its source (df >= 2 precisely because
+    both docs contain them).
+
+    Cost at scale: one explode + word-count aggregation (classic map-side
+    partial agg) + one shuffle join back on token — the same shape as a
+    TF-IDF document-frequency pass.
+    """
+    doc_tokens = feats.select(
+        "conv_id", F.explode(F.array_distinct("tokens")).alias("token")
+    )
+    df_table = doc_tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    ).where((F.col("df") >= 2) & (F.col("df") <= cfg.anchor_max_df))
+
+    ranked = (
+        doc_tokens.join(df_table, "token")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("conv_id").orderBy("df", "token")
+            ),
+        )
+        .where(F.col("_rn") <= cfg.anchor_tokens)
+    )
+    return ranked.select(
+        F.lit(ANCHOR_FAMILY).alias("family"),
+        F.xxhash64("token").alias("key"),
+        "conv_id",
+    )
+
+
+def _key_table(feats: DataFrame, cfg: MatchConfig) -> DataFrame:
+    """Long table (family, key, conv_id) over all key families."""
+    pairs_expr = F.array(
+        *[
+            F.struct(F.lit(fam).alias("family"), F.col(col).alias("key"))
+            for fam, col in key_columns(cfg)
+        ]
+    )
+    per_row = feats.select(
+        "conv_id", F.explode(pairs_expr).alias("fk")
+    ).select(
+        F.col("fk.family").alias("family"), F.col("fk.key").alias("key"), "conv_id"
+    )
+    return per_row.unionByName(anchor_key_table(feats, cfg))
+
+
+def capped_key_table(
+    feats: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (kept_keys, hot_key_audit).
+
+    kept_keys: (family, key, conv_id) with hot keys down-sampled.
+    hot_key_audit: (family, key, members, est_kept) for keys over the cap.
+    """
+    keys = _key_table(feats, cfg)
+    counts = keys.groupBy("family", "key").agg(
+        F.count(F.lit(1)).alias("members")
+    )
+    hot = counts.filter(F.col("members") > cfg.block_key_cap)
+    audit = hot.withColumn(
+        "est_kept", F.lit(cfg.block_key_cap).cast("long")
+    )
+
+    # Broadcast the (tiny) hot-key list; non-hot keys pass untouched.
+    joined = keys.join(
+        F.broadcast(hot.select("family", "key", "members")),
+        ["family", "key"],
+        "left",
+    )
+    # deterministic hash coin in [0, 1): keep with prob cap/members
+    coin = (
+        F.pmod(F.xxhash64("conv_id", "key", F.lit(777)), F.lit(1_000_000))
+        / 1_000_000.0
+    )
+    kept = joined.filter(
+        F.col("members").isNull()
+        | (coin < F.lit(float(cfg.block_key_cap)) / F.col("members"))
+    ).select("family", "key", "conv_id")
+    return kept, audit
+
+
+def candidate_pairs(
+    feats: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG
+) -> tuple[DataFrame, DataFrame]:
+    """feats -> (pairs, hot_key_audit).
+
+    pairs: (conv_id_a, conv_id_b, block_key, families ARRAY<INT>) with
+    conv_id_a < conv_id_b, deduplicated across families.
+    """
+    kept, audit = capped_key_table(feats, cfg)
+
+    a = kept.alias("a")
+    b = kept.alias("b")
+    raw = (
+        a.join(b, ["family", "key"])
+        .where(F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(
+            "family",
+            "key",
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+        )
+    )
+
+    # per-(family,key) pair cap — deterministic, star-preserving
+    w = Window.partitionBy("family", "key").orderBy("conv_id_a", "conv_id_b")
+    capped = raw.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= cfg.pairs_per_key_cap
+    )
+
+    pairs = capped.groupBy("conv_id_a", "conv_id_b").agg(
+        F.min("key").alias("block_key"),
+        F.array_sort(F.collect_set("family")).alias("families"),
+    )
+    return pairs, audit

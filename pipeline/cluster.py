@@ -1,0 +1,126 @@
+"""Stage 5 — transitive clustering: connected components on matched pairs.
+
+The reference emits a best single match per query
+(``optimized.py:798-801``); the north rule additionally requires entity
+CLUSTERS — the transitive closure of the match relation. We use the
+alternating large-star / small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — pure DataFrame
+groupBy+join rounds, converges in O(log n) iterations:
+
+  large-star: for each node u, attach every neighbor v > u to
+              m = min(N(u) ∪ {u})
+  small-star: orient edges to (u, v<u); attach v and u to m = min(N(u) ∪ {u})
+
+Each iteration is ``localCheckpoint``-ed (eager) to cut lineage — without
+it the iterated plan grows exponentially (SURVEY.md §4.2). Convergence =
+edge multiset stable (count + xor-hash checksum, both computed in the same
+action). Works directly on string conv_ids (min = lexicographic).
+
+Output: clusters(conv_id, entity_id) where entity_id = min conv_id of the
+component — matching FIXTURES.md §3. Singletons keep themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edges as (u > v) orientation, self-loops out."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """edges oriented (u>v) -> large-star step, returns (u>v) edges."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """edges oriented (u>v) -> small-star step, returns (u>v) edges."""
+    m = edges.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_edges = (
+        edges.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = m.select("u", F.col("m").alias("v"))
+    return (
+        nbr_edges.union(self_edges)
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # order-insensitive content hash; pmod keeps the ANSI-mode sum far from
+    # long overflow (< 2^63 even at ~9e9 edges per checksum)
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    all_nodes: DataFrame | None = None,
+    max_iterations: int = 25,
+) -> tuple[DataFrame, list[dict]]:
+    """edges(src, dst) -> (clusters(conv_id, entity_id), iteration metrics).
+
+    ``all_nodes`` (single column ``conv_id``) adds singleton nodes that
+    appear in no edge.
+    """
+    cur = _canonical_edges(edges).localCheckpoint(eager=True)
+    metrics: list[dict] = []
+    prev_sig = _checksum(cur)
+    for it in range(max_iterations):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _checksum(nxt)
+        metrics.append(
+            {"iteration": it, "edges": sig[0], "checksum": sig[1]}
+        )
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # At the fixpoint every component is a star centered at its min node:
+    # membership = the edge list itself (u -> root v) plus the roots.
+    members = cur.select(
+        F.col("u").alias("conv_id"), F.col("v").alias("entity_id")
+    )
+    roots = cur.select(F.col("v").alias("conv_id")).distinct().withColumn(
+        "entity_id", F.col("conv_id")
+    )
+    clusters = members.union(roots)
+
+    if all_nodes is not None:
+        singletons = (
+            all_nodes.select("conv_id")
+            .join(clusters.select("conv_id"), "conv_id", "left_anti")
+            .withColumn("entity_id", F.col("conv_id"))
+        )
+        clusters = clusters.union(singletons)
+    return clusters, metrics

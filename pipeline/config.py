@@ -1,0 +1,143 @@
+"""Pipeline configuration — the analogue of the reference's ``MatchConfig``.
+
+Reference: ``optimized.py:112-157`` (component weights summing to 1,
+similarity thresholds, ``max_results`` caps) and the 10-level cascade
+factories ``ultimate_address_matcher.py:276-364`` (thresholds
+95/85/75/65/55/45/35/25/15/5 with per-level top-k 1/3/5/10/15/20/25/30/35/50).
+
+We keep the numerology — the tier thresholds, the weight shape (six
+components summing to 1), the per-tier candidate caps — but re-key the
+components to the transcript domain per SURVEY.md §1.2: the six address
+components (street/house/city/zip/state/unit) become six conversation-level
+similarity channels with the same default weights.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# The 10 cascade tiers, highest-precision first, exactly the reference's
+# level names + thresholds (ultimate_address_matcher.py:276-364) and the
+# per-level candidate top-k caps.
+TIERS: list[tuple[str, float, int]] = [
+    ("exact", 95.0, 1),
+    ("relaxed", 85.0, 3),
+    ("partial", 75.0, 5),
+    ("geographic", 65.0, 10),
+    ("fuzzy", 55.0, 15),
+    ("ultra_fuzzy", 45.0, 20),
+    ("semantic", 35.0, 25),
+    ("phonetic", 25.0, 30),
+    ("keyword", 15.0, 35),
+    ("desperate", 5.0, 50),
+]
+
+TIER_NAMES: list[str] = [t[0] for t in TIERS]
+TIER_THRESHOLDS: dict[str, float] = {t[0]: t[1] for t in TIERS}
+TIER_TOPK: dict[str, int] = {t[0]: t[2] for t in TIERS}
+
+# Per-level confidence/quality adjustment (ultimate_address_matcher.py:820-827,
+# applied at :923-929): 0/-5/-10/-15/-25/-35/-45/-55/-65/-75.
+TIER_ADJUSTMENT: dict[str, float] = {
+    "exact": 0.0,
+    "relaxed": -5.0,
+    "partial": -10.0,
+    "geographic": -15.0,
+    "fuzzy": -25.0,
+    "ultra_fuzzy": -35.0,
+    "semantic": -45.0,
+    "phonetic": -55.0,
+    "keyword": -65.0,
+    "desperate": -75.0,
+}
+
+# Reliability bands over quality (ultimate_address_matcher.py:845-854).
+RELIABILITY_BANDS: list[tuple[float, str]] = [
+    (80.0, "high"),
+    (60.0, "medium"),
+    (40.0, "low"),
+    (20.0, "very_low"),
+]
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    """Weights + thresholds. Defaults mirror ``optimized.py:115-124``.
+
+    Component channels (transcript domain <- address domain analogue):
+      text       <- street  (.40): InDel ratio on normalized canonical text
+      token_sort <- house   (.25): InDel ratio on sorted-token form
+      partial    <- city    (.15): best-window partial ratio (truncation)
+      jaccard    <- zip     (.10): token-set Jaccard x100
+      jaro       <- state   (.05): Jaro-Winkler x100
+      struct     <- unit    (.05): role-sequence similarity
+    """
+
+    w_text: float = 0.40
+    w_token_sort: float = 0.25
+    w_partial: float = 0.15
+    w_jaccard: float = 0.10
+    w_jaro: float = 0.05
+    w_struct: float = 0.05
+
+    # optimized.py:123-124
+    min_similarity_threshold: float = 70.0
+    exact_threshold: float = 98.0
+
+    # Tier at/above which a pair counts as a match decision. fuzzy=55:
+    # under a realistic Zipf vocabulary, shared high-frequency tokens lift
+    # unrelated (distractor) pairs into the ultra_fuzzy band, so the match
+    # cutoff sits one tier higher; every FIXTURES.md duplicate class still
+    # scores >= 55 (see tests/test_synth_oracle.py).
+    match_tier_threshold: float = 55.0
+
+    # Blocking knobs.
+    prefix_key_len: int = 32
+    # MinHash-LSH over char-4-gram shingles: 5 bands x 3 rows — tuned so
+    # P(candidate) ~= 0.98 at shingle-Jaccard 0.8 (typo class) while the
+    # background rate at J~0.03 stays ~1e-4 (measured on the synthetic
+    # corpus; see tests/test_pipeline_e2e.py).
+    minhash_hashes: int = 15
+    minhash_bands: int = 5
+    shingle_size: int = 4
+    # Rare-token anchor keys (keyword-tier analogue, UAM:740-758): tokens
+    # with document frequency in [2, anchor_max_df] are blocking anchors;
+    # each doc contributes its anchor_tokens rarest. Cold keys by
+    # construction (<= anchor_max_df members per key), so scale-safe.
+    anchor_max_df: int = 30
+    anchor_tokens: int = 16
+    # Hot-key protection: keys with more members than this are capped
+    # (deterministically, keeping lowest conv_ids) and audited. The reference
+    # silently caps at ES `size` (optimized.py:603); we cap *visibly*.
+    block_key_cap: int = 64
+    # Max candidate pairs retained per blocking key after the self-join
+    # (per-level top-k analogue, ultimate_address_matcher.py:276-364).
+    pairs_per_key_cap: int = 50
+
+    # Scoring knobs.
+    score_text_max_chars: int = 2048  # kernel cost guard; documented truncation
+
+    def weights(self) -> dict[str, float]:
+        return {
+            "text": self.w_text,
+            "token_sort": self.w_token_sort,
+            "partial": self.w_partial,
+            "jaccard": self.w_jaccard,
+            "jaro": self.w_jaro,
+            "struct": self.w_struct,
+        }
+
+    def __post_init__(self) -> None:
+        total = sum(self.weights().values())
+        # optimized.py:140-146 validates weights sum to 1.
+        if abs(total - 1.0) > 1e-9:
+            raise ValueError(f"component weights must sum to 1.0, got {total}")
+
+
+DEFAULT_CONFIG = MatchConfig()
+
+# Stop words for keyword extraction (ultimate_address_matcher.py:745).
+STOPWORDS = frozenset(
+    {"the", "and", "or", "of", "in", "at", "to", "for", "with", "by"}
+)

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark-side machinery — schemas, partition-sized Arrow batches,
+``mapInPandas`` signatures, deterministic synthesis — is real and tested.
+The actual media decode (PIL/ffmpeg/torchaudio) is NOT available in this
+container, so the decode kernel is stubbed behind ``_decode_image``: it
+either raises ``NotImplementedError`` (strict mode) or produces a
+deterministic fake feature vector derived from the bytes (test mode).
+Swapping in a real decoder changes ONE function; the distributed plan is
+unchanged.
+
+Schema convention:
+
+  media(doc_id STRING, kind STRING, payload BINARY,
+        meta STRUCT<width INT, height INT, format STRING, duration_ms INT>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("format", T.StringType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded pseudo-bytes)."""
+    rows = []
+    for i in range(n):
+        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        kind = ["image", "audio", "video"][i % 3]
+        payload = (h * 64)[: 1024 + (i % 7) * 128]
+        rows.append(
+            (
+                f"doc{i:05d}",
+                kind,
+                bytearray(payload),
+                (64 + i % 512, 64 + (i * 7) % 512, "fake", 1000 + i),
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def _decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
+    """STUB decode. Real implementation would be e.g. PIL.Image.open +
+    resize + to-array; this container has no image libs (documented stub,
+    see module docstring). Deterministic fake: FEATURE_DIM floats derived
+    from a sha256 of the payload — stable across runs/executors."""
+    if strict:
+        raise NotImplementedError(
+            "media decode requires PIL/ffmpeg — not installed in this "
+            "environment; wire a real decoder here for production"
+        )
+    h = hashlib.sha256(payload).digest()
+    arr = np.frombuffer((h * ((4 * FEATURE_DIM) // len(h) + 1))[: 4 * FEATURE_DIM],
+                        dtype=np.uint32)
+    return (arr % 1000).astype(np.float32) / 1000.0
+
+
+FEATURES_SCHEMA = (
+    "doc_id string, kind string, n_bytes long, features array<float>"
+)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """mapInPandas feature extraction: one Arrow batch of binary payloads
+    in, one batch of float vectors out. The UDF body is the only place
+    that touches bytes; everything else is columnar."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats = [
+                _decode_image(bytes(p)).tolist() for p in b["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "kind": b["kind"],
+                    "n_bytes": [len(bytes(p)) for p in b["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Video frame-sampling PLAN: expands each video row into frame
+    timestamps (JVM sequence — no decode); a downstream mapInPandas decode
+    (stubbed, as above) would fetch pixels per (doc_id, frame_ts)."""
+    vids = media.where(F.col("kind") == "video")
+    return vids.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms)
+            )
+        ).alias("frame_ts_ms"),
+    )

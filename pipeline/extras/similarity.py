@@ -1,0 +1,194 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* ``brute_force_topk`` — exact cosine top-k: cross join of a (small,
+  broadcast) query set against the corpus; dot product via ``F.zip_with``
+  + ``F.aggregate`` (pure JVM, no Python). The correctness baseline.
+* ``lsh_topk`` — random-hyperplane (signed random projection) LSH: each
+  vector gets ``n_tables`` bucket keys from ``n_bits`` deterministic
+  pseudo-random hyperplanes; candidates = bucket collisions in any table;
+  exact cosine re-rank on candidates. The 100-TB path: the self-join is
+  an equi-join on bucket keys, never a cross join.
+
+Hyperplanes are generated deterministically from a seed via xxhash64 of
+(dimension index, bit, table) — no driver-side randomness, identical on
+every executor, resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_col(a, b):
+    """Cosine similarity of two float-array columns, JVM-only."""
+    a_d = F.transform(a, lambda v: v.cast("double"))
+    b_d = F.transform(b, lambda v: v.cast("double"))
+    return _dot(a_d, b_d) / (_norm(a_d) * _norm(b_d))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, neighbor_id, cosine, rank).
+
+    ``queries`` is broadcast (top-k search with a bounded query set); the
+    corpus side streams — one pass, no shuffle until the per-query top-k
+    window, which AQE handles per query_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_sign(vec, n_dims: int, bit: int, table: int):
+    """Sign of <vec, h> for a deterministic pseudo-random hyperplane whose
+    components are xxhash64(dim, bit, table) scaled to [-1, 1]."""
+    weighted = F.zip_with(
+        vec,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_dims - 1)),
+            lambda d: (
+                F.pmod(
+                    F.xxhash64(d, F.lit(bit), F.lit(table)), F.lit(2_000_001)
+                )
+                - 1_000_000
+            )
+            / 1_000_000.0,
+        ),
+        lambda x, h: x.cast("double") * h,
+    )
+    s = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def with_lsh_buckets(
+    vectors: DataFrame,
+    n_dims: int,
+    n_bits: int = 8,
+    n_tables: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``bucket_0..n_tables-1`` columns (random-hyperplane LSH)."""
+    out = vectors
+    for t in range(n_tables):
+        bits = [
+            _hyperplane_sign(F.col(vec_col), n_dims, b, t) for b in range(n_bits)
+        ]
+        key = F.lit(0)
+        for b, bit in enumerate(bits):
+            key = key + bit * F.lit(2 ** b)
+        out = out.withColumn(f"bucket_{t}", key)
+    return out
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_dims: int,
+    k: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket-join candidates, exact cosine re-rank."""
+    v = with_lsh_buckets(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")),
+        n_dims, n_bits, n_tables, "_nv",
+    )
+    q = with_lsh_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        n_dims, n_bits, n_tables, "_qv",
+    )
+    v_keyed = v.select(
+        "neighbor_id", "_nv",
+        F.explode(F.array(*[F.col(f"bucket_{t}") * F.lit(10) + t for t in range(n_tables)])).alias("bkey"),
+    )
+    q_keyed = q.select(
+        "query_id", "_qv",
+        F.explode(F.array(*[F.col(f"bucket_{t}") * F.lit(10) + t for t in range(n_tables)])).alias("bkey"),
+    )
+    cand = (
+        v_keyed.join(q_keyed, "bkey")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    n_dims: int,
+    cosine_threshold: float = 0.95,
+    n_bits: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join +
+    exact cosine verification (the embedding leg of the dedup suite)."""
+    v = with_lsh_buckets(
+        vectors.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v")),
+        n_dims, n_bits, n_tables, "_v",
+    )
+    keyed = v.select(
+        "doc_id", "_v",
+        F.explode(
+            F.array(*[F.col(f"bucket_{t}") * F.lit(10) + t for t in range(n_tables)])
+        ).alias("bkey"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, "bkey")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            cosine_col(F.col("a._v"), F.col("b._v")).alias("cosine"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .where(F.col("cosine") >= cosine_threshold)
+    )

@@ -1,0 +1,101 @@
+"""Stage 2b — feature columns + blocking keys, all JVM expressions.
+
+The reference's candidate generation is an ES bool query mixing exact term
+clauses and fuzzy matches (``optimized.py:541-615``). Set-oriented rebuild
+(SURVEY.md §2.3 J1-J3): every document gets a small set of deterministic
+BLOCKING KEYS; candidate pairs are equi-self-joins per key family:
+
+  family 0  exact     xxhash64(norm_text)                — direct-match fast
+                      path (UAM:1301-1352 analogue)
+  family 1  token_set xxhash64(sorted distinct tokens)   — reorder-invariant
+                      (token_sort tier analogue, optimized.py:639)
+  family 2  prefix    xxhash64(first K chars of norm)    — sorted-neighborhood
+                      stand-in; catches truncation (partial tier analogue)
+  family 3  minhash   5 band keys (3 rows each) from a 15-hash MinHash
+                      signature over CHAR-4-GRAM shingles — catches
+                      char-level edits by Jaccard proximity (fuzzy tiers)
+  family 4  anchor    rare-token anchors, built in ``pipeline.blocking``
+                      (needs a global document-frequency pass) — keyword /
+                      desperate tier analogue (UAM:740-758)
+
+MinHash is computed entirely JVM-side: hash_i(doc) = min over shingles of
+xxhash64(shingle, i); band key = xxhash64(h_{3j},..,h_{3j+2}, seed). No
+Python, no pyspark.ml pipeline objects, fully codegen'd.
+
+64-bit key collisions are harmless: keys only PROPOSE candidates; the
+scoring stage decides on the actual texts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pipeline.config import DEFAULT_CONFIG, MatchConfig
+from pipeline.normalize import norm_text_col
+
+FAMILY_NAMES = ["exact", "token_set", "prefix", "minhash", "anchor"]
+
+
+def _shingles(col: str, n: int) -> Column:
+    """Distinct character n-gram shingles of a string column (JVM)."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(length({col}) - {n - 1}, 1)),"
+        f"  i -> substring({col}, i, {n})))"
+    )
+
+
+def _minhash_cols(shingles: Column, n_hashes: int) -> list[Column]:
+    """h_i = min over shingles of xxhash64(shingle, i)."""
+    return [
+        F.coalesce(
+            F.array_min(F.transform(shingles, lambda t: F.xxhash64(t, F.lit(i)))),
+            F.lit(0).cast("long"),
+        )
+        for i in range(n_hashes)
+    ]
+
+
+def featurize(docs: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG) -> DataFrame:
+    """docs -> docs + norm_text + tokens + blocking key columns.
+
+    Output: conv_id, norm_text, tokens, roles_sig, n_turns, first_ts,
+    key_exact, key_token_set, key_prefix, key_band_0..b-1 (keys are LONG).
+    """
+    out = docs.withColumn("norm_text", norm_text_col("canonical_text"))
+    out = out.withColumn(
+        "tokens",
+        F.array_remove(F.split(F.col("norm_text"), " "), ""),
+    )
+
+    out = out.withColumn("key_exact", F.xxhash64(F.col("norm_text")))
+    out = out.withColumn(
+        "key_token_set",
+        F.xxhash64(
+            F.array_join(F.array_sort(F.array_distinct(F.col("tokens"))), " ")
+        ),
+    )
+    out = out.withColumn(
+        "key_prefix",
+        F.xxhash64(F.substring(F.col("norm_text"), 1, cfg.prefix_key_len)),
+    )
+
+    out = out.withColumn("_shingles", _shingles("norm_text", cfg.shingle_size))
+    mh = _minhash_cols(F.col("_shingles"), cfg.minhash_hashes)
+    rows_per_band = cfg.minhash_hashes // cfg.minhash_bands
+    for b in range(cfg.minhash_bands):
+        band = mh[b * rows_per_band : (b + 1) * rows_per_band]
+        out = out.withColumn(
+            f"key_band_{b}", F.xxhash64(*band, F.lit(10_000 + b))
+        )
+
+    return out.drop("_shingles", "canonical_text", "tools_sig")
+
+
+def key_columns(cfg: MatchConfig = DEFAULT_CONFIG) -> list[tuple[int, str]]:
+    """(family_id, column_name) for every per-row blocking key column.
+    (Family 4 anchor keys are row-exploded in ``pipeline.blocking``.)"""
+    cols = [(0, "key_exact"), (1, "key_token_set"), (2, "key_prefix")]
+    cols += [(3, f"key_band_{b}") for b in range(cfg.minhash_bands)]
+    return cols

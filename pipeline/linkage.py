@@ -1,0 +1,102 @@
+"""End-to-end linkage composition (lazy) + staged resumable runner.
+
+``build_plan`` composes the whole pipeline lazily — a single Catalyst plan
+per output, suitable for tests and the driver contract. ``run_staged``
+materializes each stage with commit manifests (resume semantics, SURVEY.md
+§3.4):
+
+  turns -> docs -> features -> candidate pairs (+hot-key audit)
+        -> scored pairs -> clusters -> audit
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline import audit as audit_mod
+from pipeline.blocking import candidate_pairs
+from pipeline.canonicalize import canonicalize
+from pipeline.cluster import connected_components
+from pipeline.config import DEFAULT_CONFIG, MatchConfig
+from pipeline.features import featurize
+from pipeline.io import StageRunner
+from pipeline.scoring import score_pairs
+
+
+def build_plan(
+    turns: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG
+) -> dict[str, DataFrame]:
+    """Lazy end-to-end plan. Clustering needs actions (iterative), so the
+    returned ``edges`` is the match edge list; call
+    ``cluster_edges`` to materialize clusters."""
+    docs = canonicalize(turns)
+    feats = featurize(docs, cfg)
+    pairs, hot_audit = candidate_pairs(feats, cfg)
+    scored = score_pairs(feats, pairs, cfg)
+    edges = scored.where("is_match").select(
+        F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
+    )
+    return {
+        "docs": docs,
+        "features": feats,
+        "pairs": pairs,
+        "hot_key_audit": hot_audit,
+        "scored": scored,
+        "edges": edges,
+    }
+
+
+def cluster_edges(
+    edges: DataFrame, feats: DataFrame
+) -> tuple[DataFrame, list[dict]]:
+    return connected_components(edges, all_nodes=feats.select("conv_id"))
+
+
+def run_staged(
+    spark: SparkSession,
+    turns: DataFrame,
+    out_dir: str,
+    cfg: MatchConfig = DEFAULT_CONFIG,
+) -> dict[str, DataFrame]:
+    """Materialize every stage with commit manifests (resumable)."""
+    fingerprint = f"cfg:{hash(cfg)}"
+    runner = StageRunner(spark, out_dir, fingerprint=fingerprint)
+
+    docs = runner.run("docs", lambda: canonicalize(turns))
+    feats = runner.run("features", lambda: featurize(docs, cfg))
+
+    def _pairs() -> DataFrame:
+        p, hot = candidate_pairs(feats, cfg)
+        runner.run("hot_key_audit", lambda: hot)
+        return p
+
+    pairs = runner.run("pairs", _pairs)
+    scored = runner.run("scored", lambda: score_pairs(feats, pairs, cfg))
+
+    def _clusters() -> DataFrame:
+        edges = scored.where("is_match").select(
+            F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
+        )
+        clusters, cc_metrics = connected_components(
+            edges, all_nodes=feats.select("conv_id")
+        )
+        runner.metrics.extend(
+            {"stage": "cc", **m} for m in cc_metrics
+        )
+        return clusters
+
+    clusters = runner.run("clusters", _clusters)
+    tiers = runner.run("tier_histogram", lambda: audit_mod.tier_histogram(scored))
+    summary = runner.run("match_summary", lambda: audit_mod.match_summary(scored))
+
+    return {
+        "docs": docs,
+        "features": feats,
+        "pairs": pairs,
+        "scored": scored,
+        "clusters": clusters,
+        "tier_histogram": tiers,
+        "match_summary": summary,
+        "_runner": runner,
+    }

@@ -1,0 +1,114 @@
+"""Connected-components property tests (SURVEY.md §5.2 item 4):
+valid partition, transitivity, permutation invariance, agreement with a
+single-node union-find."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline.cluster import connected_components
+
+
+def _union_find(edges: list[tuple[str, str]], nodes: set[str]) -> dict[str, str]:
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min member id per component
+    comp: dict[str, list[str]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        root = min(members)
+        for m in members:
+            out[m] = root
+    return out
+
+
+CASES = [
+    # chains, triangles, stars, singletons
+    ([("a", "b"), ("b", "c"), ("c", "d")], {"a", "b", "c", "d", "z"}),
+    ([("a", "b"), ("c", "d"), ("b", "c")], {"a", "b", "c", "d"}),
+    ([("n1", "n2"), ("n3", "n4"), ("n5", "n6"), ("n2", "n5")],
+     {f"n{i}" for i in range(1, 8)}),
+    ([], {"x", "y"}),
+    ([("p", "q"), ("q", "p"), ("p", "p")], {"p", "q", "r"}),
+]
+
+
+@pytest.mark.parametrize("edges,nodes", CASES)
+def test_cc_matches_union_find(spark, edges, nodes):
+    e = spark.createDataFrame(
+        pd.DataFrame(edges or [("_", "_")], columns=["src", "dst"])
+    )
+    if not edges:
+        e = e.where(F.lit(False))
+    n = spark.createDataFrame(pd.DataFrame({"conv_id": sorted(nodes)}))
+    clusters, _ = connected_components(e, all_nodes=n)
+    got = {
+        r["conv_id"]: r["entity_id"] for r in clusters.collect()
+    }
+    assert got == _union_find(edges, nodes)
+
+
+def test_cc_long_chain(spark):
+    """Chain of 40 nodes — exercises O(log n) convergence + checkpoints."""
+    names = [f"c{i:03d}" for i in range(40)]
+    edges = list(zip(names, names[1:]))
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    clusters, metrics = connected_components(e)
+    got = clusters.toPandas()
+    assert set(got["entity_id"]) == {"c000"}
+    assert len(got) == 40
+    assert len(metrics) <= 10  # log-ish, not linear
+
+
+def test_cc_permutation_invariance(spark):
+    import random
+
+    rng = random.Random(5)
+    names = [f"v{i:02d}" for i in range(30)]
+    edges = [(rng.choice(names), rng.choice(names)) for _ in range(25)]
+    base = None
+    for seed in [1, 2]:
+        shuffled = edges[:]
+        random.Random(seed).shuffle(shuffled)
+        shuffled = [(b, a) if seed == 2 else (a, b) for a, b in shuffled]
+        e = spark.createDataFrame(pd.DataFrame(shuffled, columns=["src", "dst"]))
+        n = spark.createDataFrame(pd.DataFrame({"conv_id": names}))
+        clusters, _ = connected_components(e, all_nodes=n)
+        got = sorted(map(tuple, clusters.collect()))
+        if base is None:
+            base = got
+        else:
+            assert got == base
+
+
+def test_cluster_partition_validity(spark, turns_df, corpus):
+    """Full-pipeline clusters: every conv exactly once; transitivity via
+    union-find agreement on the matched edges."""
+    from pipeline.linkage import build_plan, cluster_edges
+
+    plan = build_plan(turns_df)
+    clusters, _ = cluster_edges(plan["edges"], plan["features"])
+    got = clusters.toPandas()
+    n_docs = corpus.turns["conv_id"].nunique()
+    assert len(got) == n_docs
+    assert got["conv_id"].is_unique
+
+    edges = [
+        (r["src"], r["dst"]) for r in plan["edges"].collect()
+    ]
+    want = _union_find(edges, set(corpus.conv_meta["conv_id"]))
+    assert dict(zip(got["conv_id"], got["entity_id"])) == want

@@ -1,0 +1,174 @@
+"""Tests for the training-data extras: dedup, similarity search, text
+stats, multimodal plumbing — on the driver-provided documents/embeddings
+tables (sf0.001) plus synthetic media."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dedup(documents):
+    from pipeline.extras.dedup import exact_dedup
+
+    out = exact_dedup(documents).toPandas()
+    assert len(out) == documents.count()
+    assert (out["canonical_id"] <= out["doc_id"]).all()
+    # groups are consistent: every canonical id is its own canonical
+    canon = set(out["canonical_id"])
+    self_rows = out[out["doc_id"].isin(canon)]
+    assert (self_rows["doc_id"] == self_rows["canonical_id"]).all()
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    from pipeline.extras.dedup import minhash_lsh_pairs
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different content about spark dataframes and shuffles",
+        "a third unrelated document mentioning entity resolution pipelines",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t.replace("the", "teh", 1)))  # near-dup
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = minhash_lsh_pairs(df, jaccard_threshold=0.5).toPandas()
+    found = set(map(tuple, got[["doc_id_a", "doc_id_b"]].values))
+    for i in range(len(base)):
+        assert (i * 10, i * 10 + 1) in found
+    # no cross-content pairs
+    assert all(a // 10 == b // 10 for a, b in found)
+
+
+def test_simhash_dedup(spark):
+    from pipeline.extras.dedup import simhash_dedup_pairs
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+    t1 = " ".join(words * 3)
+    t2 = " ".join(words * 3) + " mike"  # one extra token
+    t3 = " ".join(reversed([w.upper() + "x" for w in words]))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [t1, t2, t3]})
+    )
+    got = simhash_dedup_pairs(df, max_hamming=8).toPandas()
+    found = set(map(tuple, got[["doc_id_a", "doc_id_b"]].values))
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_brute_force_topk(spark, embeddings):
+    from pipeline.extras.similarity import brute_force_topk
+
+    q = embeddings.limit(3)
+    out = brute_force_topk(embeddings, q, k=5).toPandas()
+    assert set(out["query_id"].unique()) == set(
+        r["vec_id"] for r in q.collect()
+    )
+    assert out.groupby("query_id")["rank"].max().eq(5).all()
+    # ranks ordered by cosine desc within query
+    for _, g in out.groupby("query_id"):
+        cos = g.sort_values("rank")["cosine"].values
+        assert (np.diff(cos) <= 1e-12).all()
+
+
+def test_lsh_finds_planted_near_neighbors(spark):
+    """Plant near-duplicate vectors (cosine ~0.97) in a random corpus:
+    hyperplane LSH must retrieve them as the top neighbor. (The driver's
+    synthetic embeddings are near-uniform — top-3 cosine ~0.34 — where no
+    LSH can have high recall, so the planted set is the honest test.)"""
+    from pipeline.extras.similarity import lsh_topk
+
+    rng = np.random.default_rng(42)
+    dims = 32
+    base = rng.normal(size=(40, dims))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i < 10:  # planted near-dup: tiny perturbation
+            rows.append(
+                (1000 + i, [float(x) for x in v + rng.normal(scale=0.05, size=dims)])
+            )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    q = df.where("vec_id >= 1000")
+    out = lsh_topk(df, q, n_dims=dims, k=1, n_bits=6, n_tables=6).toPandas()
+    got = dict(zip(out["query_id"], out["neighbor_id"]))
+    hits = sum(got.get(1000 + i) == i for i in range(10))
+    assert hits >= 9, got
+
+
+def test_embedding_near_dup_pairs(spark):
+    from pipeline.extras.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    dims = 32
+    base = rng.normal(size=(30, dims))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    for i in range(8):  # near-dups of the first 8
+        rows.append(
+            (100 + i, [float(x) for x in base[i] + rng.normal(scale=0.04, size=dims)])
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = embedding_near_dup_pairs(
+        df, n_dims=dims, cosine_threshold=0.9, n_bits=6, n_tables=6
+    ).toPandas()
+    found = set(map(tuple, out[["doc_id_a", "doc_id_b"]].values))
+    hits = sum((i, 100 + i) in found for i in range(8))
+    assert hits >= 7, found
+
+
+def test_document_stats(documents):
+    from pipeline.extras.textstats import document_stats
+
+    out = document_stats(documents).toPandas()
+    assert len(out) == documents.count()
+    assert (out["n_tokens"] > 0).all()
+    assert out["quality"].between(0, 100).all()
+    assert (out["n_subwords"] >= out["n_tokens"]).all()
+    assert out["fp_md5"].str.len().eq(32).all()
+
+
+def test_multimodal_plumbing(spark):
+    from pipeline.extras.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 30
+    assert feats["features"].map(len).eq(FEATURE_DIM).all()
+    # deterministic across runs
+    feats2 = extract_features(media).toPandas()
+    f1 = feats.sort_values("doc_id")["features"].map(tuple).tolist()
+    f2 = feats2.sort_values("doc_id")["features"].map(tuple).tolist()
+    assert f1 == f2
+
+    frames = frame_sample_plan(media, every_ms=250).toPandas()
+    assert (frames["frame_ts_ms"] % 250 == 0).all()
+    assert len(frames) > 0
+
+
+def test_multimodal_strict_stub():
+    from pipeline.extras.multimodal import _decode_image
+
+    with pytest.raises(NotImplementedError):
+        _decode_image(b"xx", strict=True)

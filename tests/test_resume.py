@@ -1,0 +1,92 @@
+"""Checkpoint-resume semantics (north_rule: resumable from the last
+committed checkpoint; SURVEY.md §5.2 item 4: idempotent resume)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from pipeline.io import StageRunner, is_committed
+from pipeline.linkage import run_staged
+
+
+def _content_hash(df) -> list[tuple]:
+    pdf = df.toPandas()
+    return sorted(map(tuple, pdf.astype(str).values))
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "stages")
+
+
+def test_stage_runner_skips_committed(spark, tmp_path):
+    calls = {"n": 0}
+    runner = StageRunner(spark, str(tmp_path), fingerprint="v1")
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10)
+
+    a = runner.run("s1", build)
+    assert calls["n"] == 1 and a.count() == 10
+
+    runner2 = StageRunner(spark, str(tmp_path), fingerprint="v1")
+    b = runner2.run("s1", build)
+    assert calls["n"] == 1, "committed stage must not rebuild"
+    assert b.count() == 10
+    assert runner2.metrics[0]["resumed"] is True
+
+
+def test_fingerprint_mismatch_rebuilds(spark, tmp_path):
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5)
+
+    StageRunner(spark, str(tmp_path), fingerprint="v1").run("s", build)
+    StageRunner(spark, str(tmp_path), fingerprint="v2").run("s", build)
+    assert calls["n"] == 2
+
+
+def test_kill_and_resume_identical_output(spark, turns_df, out_dir):
+    """Run stages 1-2, simulate a crash (wipe later stages), rerun: final
+    clusters content-identical to an uninterrupted run."""
+    full_dir = out_dir + "_full"
+    out_full = run_staged(spark, turns_df, full_dir)
+    want = _content_hash(out_full["clusters"])
+
+    # partial run: copy the first two committed stages only ("crash" after
+    # features), then resume
+    os.makedirs(out_dir)
+    for stage in ["docs", "features"]:
+        shutil.copytree(
+            os.path.join(full_dir, stage), os.path.join(out_dir, stage)
+        )
+    assert is_committed(os.path.join(out_dir, "docs"))
+
+    out_resumed = run_staged(spark, turns_df, out_dir)
+    got = _content_hash(out_resumed["clusters"])
+    assert got == want
+
+    resumed_stages = [
+        m["stage"] for m in out_resumed["_runner"].metrics if m.get("resumed")
+    ]
+    assert "docs" in resumed_stages and "features" in resumed_stages
+
+
+def test_half_written_stage_is_invisible(spark, tmp_path):
+    """A stage directory without a manifest (killed mid-write) is rebuilt."""
+    d = str(tmp_path / "s1")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-00000.parquet"), "w") as f:
+        f.write("garbage")
+    assert not is_committed(d)
+    runner = StageRunner(spark, str(tmp_path), fingerprint="v1")
+    out = runner.run("s1", lambda: spark.range(3))
+    assert out.count() == 3
