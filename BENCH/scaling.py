@@ -1,0 +1,135 @@
+"""Two-parallelism scaling benchmark (north_rule evidence).
+
+No real multi-executor cluster exists in this sandbox, so — per the
+driver's instruction — the N vs 4N executor comparison is evidenced by
+running the SAME job on the SAME input at local[8] and local[32] and
+reporting throughput at both plus scaling efficiency:
+
+    efficiency = throughput(32) / (4 * throughput(8))
+
+Each level runs in a fresh subprocess (fresh JVM — no warm-cache bleed)
+via bench.py. Results land in BENCH/BASELINE.md and BENCH/scaling.json.
+
+Usage:  python BENCH/scaling.py [sf_dir] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, sf_dir: str) -> dict:
+    """One fresh-JVM bench run at `cpus` parallelism, CPU-pinned.
+
+    taskset confines the WHOLE process tree (JVM + python workers) to
+    exactly `cpus` CPUs — without it the local[8] run cheats: its 8
+    workers enjoy the full box's turbo headroom and the JVM's shuffle/GC
+    threads run on the 24 idle cores, inflating the N-level throughput
+    and understating scaling efficiency. Pinning simulates an N-core
+    cluster slice faithfully.
+    """
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> dict:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+
+    levels = {}
+    for cpus in (8, 32):
+        best = None
+        for _ in range(repeats):
+            r = run_level(cpus, sf_dir)
+            if best is None or r["saturated_pairs_per_sec"] > best["saturated_pairs_per_sec"]:
+                best = r
+        levels[cpus] = best
+
+    t8 = levels[8]["saturated_pairs_per_sec"]
+    t32 = levels[32]["saturated_pairs_per_sec"]
+    efficiency = t32 / (4 * t8) if t8 else 0.0
+
+    # end-to-end wall efficiency as secondary evidence
+    w8 = levels[8]["value"]
+    w32 = levels[32]["value"]
+    wall_speedup = w8 / w32 if w32 else 0.0
+
+    report = {
+        "sf": sf_dir,
+        "saturated_pairs": levels[32]["saturated_pairs"],
+        "e2e_pairs_scored": levels[32]["pairs_scored"],
+        "throughput_pairs_per_sec": {"local[8]": t8, "local[32]": t32},
+        "scaling_efficiency_pairs": round(efficiency, 3),
+        "e2e_throughput_pairs_per_sec": {
+            "local[8]": levels[8]["pairs_per_sec"],
+            "local[32]": levels[32]["pairs_per_sec"],
+        },
+        "total_wall_s": {"local[8]": w8, "local[32]": w32},
+        "wall_speedup_8_to_32": round(wall_speedup, 2),
+        "queries": {
+            "local[8]": levels[8]["queries"],
+            "local[32]": levels[32]["queries"],
+        },
+        "generated": datetime.now(timezone.utc).isoformat(),
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+    md = f"""# BENCH/BASELINE — scaling evidence (N vs 4N parallelism)
+
+North rule: throughput scaling efficiency >= 0.8 between N and 4N
+executors. Sandbox stand-in (per the driver instruction): identical job +
+identical input at `local[8]` vs `local[32]`, fresh JVM per level, Python
+workers warmed before timing (interpreter startup excluded — it is
+per-executor fixed cost, not engine throughput).
+
+Throughput metric: the production pair-scoring stage
+(`pipeline.scoring.score_pairs` — Arrow-batched kernels + JVM cascade) on
+a deterministic {report["saturated_pairs"]}-pair ring pairing of
+`{sf_dir}/documents.parquet` — identical input at both levels, large
+enough to saturate 32 cores (the events-derived e2e corpus yields only
+{report["e2e_pairs_scored"]} pairs, which is overhead-bound at this SF).
+
+| level | saturated scoring throughput (pairs/sec) | total suite wall (s) |
+|---|---|---|
+| local[8]  (N)  | {t8} | {w8} |
+| local[32] (4N) | {t32} | {w32} |
+
+**Scaling efficiency** = {t32} / (4 x {t8}) =
+**{report["scaling_efficiency_pairs"]}**
+
+End-to-end suite speedup 8->32: {report["wall_speedup_8_to_32"]}x.
+Per-query timings at both levels: `BENCH/scaling.json`.
+
+Reference single-node baseline (BASELINE.md): ~1.7-17 addresses/sec
+(~100-1,000/min, README.md:284) against a remote OpenSearch; this
+pipeline scores {t32} candidate pairs/sec at local[32].
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timings force FULL materialization via the noop sink (count() alone lets
+Catalyst prune the pandas-UDF scoring columns — it would time a skeleton
+plan, not the work). Extra context (pairs/sec scoring throughput, cluster
+count) rides along in the JSON.
+
+Scaling evidence (north_rule: throughput at two parallelism levels) is
+produced by ``BENCH/scaling.py``, which shells out to this file at
+CPUS=8 and CPUS=32 and records BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from pipeline.linkage import build_plan, cluster_edges
+    from pipeline.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # Warm up: spawn every Python worker + import pandas/pipeline once so
+    # timings measure the engine, not per-worker interpreter startup
+    # (~1.5s/worker — at 13k rows it dominated and flattened the scaling
+    # curve). Standard JVM/worker warmup exclusion.
+    import pandas as pd
+
+    def _warm_fn(s):
+        from pipeline.oracle import component_scores  # noqa: F401
+
+        return s
+
+    _warm = F.pandas_udf(_warm_fn, returnType="long")
+
+    spark.range(cpus * 6).repartition(cpus * 3).select(
+        _warm("id")
+    ).write.format("noop").mode("overwrite").save()
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    def noop_write(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # ---- linkage pipeline, stage by stage (the flagship) -----------------
+    turns = em._turns_from_events(spark, sf_dir)
+    plan = build_plan(turns)
+
+    feats = plan["features"].localCheckpoint(eager=False)
+    timed("q1_canonicalize_featurize", lambda: noop_write(feats))
+    pairs = plan["pairs"].localCheckpoint(eager=False)
+    timed("q2_blocking_pairs", lambda: noop_write(pairs))
+    n_pairs = pairs.count()
+
+    from pipeline.scoring import score_pairs
+
+    scored = score_pairs(feats, pairs).localCheckpoint(eager=False)
+    timed("q3_pair_scoring", lambda: noop_write(scored))
+    extras["pairs_scored"] = n_pairs
+    extras["pairs_per_sec"] = round(
+        n_pairs / max(timings["q3_pair_scoring"], 1e-9), 1
+    )
+
+    def _cluster():
+        edges = scored.where("is_match").select(
+            F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
+        )
+        clusters, _ = cluster_edges(edges, feats)
+        extras["n_clusters"] = clusters.select("entity_id").distinct().count()
+
+    timed("q4_connected_components", _cluster)
+
+    # ---- saturated pair-scoring throughput (the north-rule metric) -------
+    # The events-derived corpus yields only ~13k pairs — too few to
+    # saturate 32 cores. Throughput is measured on a deterministic ring
+    # pairing of the documents table (doc i vs docs i+1..i+K mod N):
+    # identical input at every parallelism level, enough work to be
+    # compute-bound, scored by the exact production scoring stage.
+    from pipeline.normalize import norm_text_col
+    from pipeline.scoring import score_pairs as _score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    # sized so the 32-core run is ~20s — long enough that per-stage
+    # scheduling overhead (~2s) stops distorting the scaling ratio
+    ring_k = max(1, 600_000 // max(n_docs, 1))
+    dfeats = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        norm_text_col("text").alias("norm_text"),
+        F.lit("ua").alias("roles_sig"),
+    ).localCheckpoint(eager=True)
+    ring = (
+        dfeats.select(F.col("conv_id").cast("long").alias("i"))
+        .select("i", F.explode(F.sequence(F.lit(1), F.lit(ring_k))).alias("k"))
+        .select(
+            F.col("i").cast("string").alias("conv_id_a"),
+            F.pmod(F.col("i") + F.col("k"), F.lit(n_docs)).cast("string").alias("conv_id_b"),
+            F.lit(0).cast("long").alias("block_key"),
+            F.array(F.lit(0)).alias("families"),
+        )
+    )
+    sat_scored = _score(dfeats, ring)
+    timed("q10_scoring_saturated", lambda: noop_write(sat_scored))
+    sat_pairs = n_docs * ring_k
+    extras["saturated_pairs"] = sat_pairs
+    extras["saturated_pairs_per_sec"] = round(
+        sat_pairs / max(timings["q10_scoring_saturated"], 1e-9), 1
+    )
+
+    # ---- headline operator queries over the driver tables ----------------
+    timed("q5_lev_tier_pairs", lambda: noop_write(em.q_lev_tier_pairs(spark, sf_dir)))
+    timed("q6_minhash_dedup", lambda: noop_write(em.q_minhash_dedup(spark, sf_dir)))
+    timed("q7_doc_stats", lambda: noop_write(em.q_doc_stats(spark, sf_dir)))
+    timed("q8_knn_cosine", lambda: noop_write(em.q_knn_cosine(spark, sf_dir)))
+    timed("q9_anchor_keys", lambda: noop_write(em.q_anchor_keys(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    report = {
+        "metric": "linkage_e2e_plus_operator_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()

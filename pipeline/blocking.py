@@ -141,6 +141,9 @@ def candidate_pairs(
     conv_id_a < conv_id_b, deduplicated across families.
     """
     kept, audit = capped_key_table(feats, cfg)
+    # both self-join sides + (upstream) the frequency pass read this —
+    # persist so the explode/cap work happens once
+    kept = kept.persist()
 
     a = kept.alias("a")
     b = kept.alias("b")

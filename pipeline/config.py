@@ -137,6 +137,24 @@ class MatchConfig:
 
 DEFAULT_CONFIG = MatchConfig()
 
+
+def build_exact_match_config() -> MatchConfig:
+    """Strict-mode config — the reference's ``build_exact_match_config``
+    (optimized.py:905-924): heavier weights on the critical channels
+    (.45/.30/.10/.10/.03/.02), min similarity raised to 75. Used when the
+    corpus is boilerplate-heavy (e.g. machine-generated event streams)
+    and only partial-or-better tiers should link."""
+    return MatchConfig(
+        w_text=0.45,
+        w_token_sort=0.30,
+        w_partial=0.10,
+        w_jaccard=0.10,
+        w_jaro=0.03,
+        w_struct=0.02,
+        min_similarity_threshold=75.0,
+        match_tier_threshold=75.0,
+    )
+
 # Stop words for keyword extraction (ultimate_address_matcher.py:745).
 STOPWORDS = frozenset(
     {"the", "and", "or", "of", "in", "at", "to", "for", "with", "by"}

@@ -86,8 +86,11 @@ def minhash_lsh_pairs(
         F.xxhash64(*[F.col(f"_mh{b * rows + r}") for r in range(rows)], F.lit(b))
         for b in range(bands)
     ]
+    # band join proposes on (doc_id, band_key) only — shingle arrays are
+    # NOT dragged through the shuffle; the verify step joins them back
+    # from a persisted per-doc table (each doc's shingles computed once)
     keyed = mh.select(
-        "doc_id", "_norm", F.explode(F.array(*band_keys)).alias("band_key")
+        "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
@@ -96,22 +99,19 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a._norm").alias("_na"),
-            F.col("b._norm").alias("_nb"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
-    sh_a = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length(_na)-{n-1},1)),"
-        f" i -> substring(_na, i, {n})))"
+    sh = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(_norm)-{n-1},1)),"
+        f" i -> substring(_norm, i, {n})))"
     )
-    sh_b = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length(_nb)-{n-1},1)),"
-        f" i -> substring(_nb, i, {n})))"
-    )
+    grams = normed.select("doc_id", sh.alias("grams")).persist()
+    ga = grams.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("_sa"))
+    gb = grams.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("_sb"))
     verified = (
-        cand.withColumn("_sa", sh_a)
-        .withColumn("_sb", sh_b)
+        cand.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("_sa", "_sb"))

@@ -65,6 +65,35 @@ def is_committed(table_dir: str, fingerprint: str | None = None) -> bool:
         return False
 
 
+def export_results_csv(df: DataFrame, out_dir: str) -> None:
+    """CSV result sink — reference ``export_results_to_csv``
+    (optimized.py:947-994) exports a flat result table; here any stage
+    DataFrame (scored pairs, clusters, audit) writes as headered CSV.
+    Arrays/maps are JSON-encoded first (CSV source requires flat types).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    flat = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            flat = flat.withColumn(field.name, F.to_json(field.name))
+    flat.write.mode("overwrite").option("header", "true").csv(out_dir)
+
+
+def list_tables(spark: SparkSession, out_dir: str | None = None) -> list[str]:
+    """Catalog listing — reference ``list_available_indices``
+    (ultimate_address_matcher.py:1232-1258, GET _cat/indices). With a
+    catalog configured it's ``spark.catalog.listTables()``; for the
+    parquet seam it lists committed stage tables under ``out_dir``."""
+    names = [t.name for t in spark.catalog.listTables()]
+    if out_dir and os.path.isdir(out_dir):
+        names += sorted(
+            d for d in os.listdir(out_dir) if is_committed(os.path.join(out_dir, d))
+        )
+    return names
+
+
 @dataclass
 class StageRunner:
     """Staged materialization with skip-on-manifest resume."""

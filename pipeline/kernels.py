@@ -28,7 +28,21 @@ bit-for-bit (SURVEY.md §7.5 risk 2).
 
 from __future__ import annotations
 
-from difflib import SequenceMatcher
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)  # ~18MB/worker at 2k-char texts; 1 worker/core
+def _match_masks(a: str) -> tuple[dict[str, int], int]:
+    """Per-string char->bitmask table for the bit-parallel LCS. Cached:
+    in blocked pair scoring the same document text recurs across many
+    candidate pairs, and partial_ratio slides many windows against one
+    fixed shorter string."""
+    masks: dict[str, int] = {}
+    bit = 1
+    for ch in a:
+        masks[ch] = masks.get(ch, 0) | bit
+        bit <<= 1
+    return masks, (1 << len(a)) - 1
 
 
 def lcs_length(a: str, b: str) -> int:
@@ -41,13 +55,7 @@ def lcs_length(a: str, b: str) -> int:
     la = len(a)
     if la == 0 or len(b) == 0:
         return 0
-    # Match masks: bit i set in masks[c] iff a[i] == c.
-    masks: dict[str, int] = {}
-    bit = 1
-    for ch in a:
-        masks[ch] = masks.get(ch, 0) | bit
-        bit <<= 1
-    full = (1 << la) - 1
+    masks, full = _match_masks(a)
     v = full
     for ch in b:
         m = masks.get(ch)
@@ -83,28 +91,38 @@ def token_sort_ratio(a: str, b: str) -> float:
 
 
 def partial_ratio(a: str, b: str) -> float:
-    """Best-window ratio of the shorter string inside the longer.
+    """Best-window ratio of the shorter string inside the longer
+    (fuzzywuzzy/rapidfuzz partial_ratio semantics with a BOUNDED,
+    deterministic candidate-window set).
 
-    Classic fuzzywuzzy algorithm (which rapidfuzz's partial_ratio refines):
-    candidate window starts come from SequenceMatcher matching blocks;
-    score = max indel_ratio(shorter, window).
+    difflib-based block discovery costs O(n*m) on long similar strings
+    (measured 44 ms/pair at ~1.3k chars — the scoring hot-path killer);
+    instead, candidate window starts come from:
+      * the two extremes (prefix-aligned, suffix-aligned), and
+      * anchor 8-grams sampled at 5 fixed offsets of the shorter string,
+        located in the longer via str.find (C-speed).
+    Each candidate window is scored with the exact bit-parallel InDel
+    ratio; worst case ~7 windows. Deterministic; shared verbatim by the
+    Spark UDF and the pandas oracle.
     """
     if a == b:
         return 100.0
     if not a or not b:
         return 0.0
     shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
-    if len(shorter) == len(longer):
+    ls, ll = len(shorter), len(longer)
+    if ls == ll:
         return indel_ratio(shorter, longer)
-    sm = SequenceMatcher(None, shorter, longer, autojunk=False)
+
+    starts = {0, ll - ls}
+    for off in (0, ls // 4, ls // 2, (3 * ls) // 4, max(ls - 8, 0)):
+        gram = shorter[off : off + 8]
+        pos = longer.find(gram)
+        if pos >= 0:
+            starts.add(min(max(pos - off, 0), ll - ls))
     best = 0.0
-    seen: set[int] = set()
-    for i, j, _size in sm.get_matching_blocks():
-        start = max(j - i, 0)
-        if start in seen:
-            continue
-        seen.add(start)
-        window = longer[start : start + len(shorter)]
+    for start in sorted(starts):
+        window = longer[start : start + ls]
         score = indel_ratio(shorter, window)
         if score > best:
             best = score
@@ -171,6 +189,37 @@ def token_set_jaccard(a: str, b: str) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+_SOUNDEX_CODES = {
+    **dict.fromkeys("BFPV", "1"),
+    **dict.fromkeys("CGJKQSXZ", "2"),
+    **dict.fromkeys("DT", "3"),
+    "L": "4",
+    **dict.fromkeys("MN", "5"),
+    "R": "6",
+}
+
+
+def soundex(s: str) -> str:
+    """Reference soundex, reproduced EXACTLY (optimized.py:235-251).
+
+    The reference variant differs from standard/Spark ``F.soundex``:
+    vowels and H/W are skipped without breaking runs (so codes repeated
+    across any separator collapse — standard soundex only collapses
+    across H/W), the first letter's own code is never suppressed, and
+    empty input returns "0000". We match the reference bit-for-bit
+    (SURVEY.md §2.7 F5: "verify parity on edge cases; else own kernel").
+    """
+    if not s:
+        return "0000"
+    s = s.upper()
+    out = s[0]
+    for ch in s[1:]:
+        code = _SOUNDEX_CODES.get(ch)
+        if code and code != out[-1]:
+            out += code
+    return out[:4].ljust(4, "0")
 
 
 def ngrams(s: str, n: int = 3) -> set[str]:

@@ -29,10 +29,19 @@ def build_plan(
 ) -> dict[str, DataFrame]:
     """Lazy end-to-end plan. Clustering needs actions (iterative), so the
     returned ``edges`` is the match edge list; call
-    ``cluster_edges`` to materialize clusters."""
+    ``cluster_edges`` to materialize clusters.
+
+    ``features`` is persisted (memory+disk): it feeds blocking key
+    exploding, the key-frequency pass, BOTH sides of the pair self-join
+    and BOTH sides of the scoring join — without persistence Catalyst
+    re-derives the canonicalize aggregation + MinHash for every branch
+    (measured 12 scans of the turns table). run_staged gets the same
+    effect from stage materialization.
+    """
     docs = canonicalize(turns)
-    feats = featurize(docs, cfg)
+    feats = featurize(docs, cfg).persist()
     pairs, hot_audit = candidate_pairs(feats, cfg)
+    pairs = pairs.persist()
     scored = score_pairs(feats, pairs, cfg)
     edges = scored.where("is_match").select(
         F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")

@@ -183,6 +183,15 @@ def score_pairs(
     )
     joined = pairs.join(fa, "conv_id_a").join(fb, "conv_id_b")
 
+    # The kernel UDF is CPU-bound Python: AQE sizes partitions by BYTES, so
+    # a small-but-expensive pair table gets coalesced into 1-2 tasks (and a
+    # broadcast join keeps it in the upstream stage) — measured 0.17 scaling
+    # efficiency without this. Hash-repartition on the pair key to
+    # 3x cores so every core scores; at real scale the pairs table is
+    # shuffle-born anyway and this evens out text-length skew.
+    n_parts = joined.sparkSession.sparkContext.defaultParallelism * 3
+    joined = joined.repartition(n_parts, "conv_id_a", "conv_id_b")
+
     udf = make_score_udf(cfg)
     scored = joined.withColumn(
         "_s", udf("_norm_a", "_norm_b", "_roles_a", "_roles_b")

@@ -1,0 +1,70 @@
+"""Soundex parity (kernel vs Spark F.soundex), CSV sink, catalog listing."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline.kernels import soundex
+
+
+WORDS = [
+    "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
+    "Honeyman", "street", "strete", "avenue", "avnue", "x", "Main",
+]
+
+
+def test_soundex_reference_semantics():
+    # values computed by the reference algorithm (optimized.py:235-251):
+    # separators never break runs, first-letter code not suppressed,
+    # empty -> "0000"
+    assert soundex("Robert") == "R163"
+    assert soundex("Rupert") == "R163"
+    assert soundex("Ashcraft") == "A261"
+    assert soundex("Tymczak") == "T520"   # standard soundex: T522
+    assert soundex("") == "0000"          # standard: empty/err
+    assert soundex("Pfister") == "P123"
+
+
+def test_soundex_vs_spark_divergence_documented(spark):
+    """Reference soundex == Spark F.soundex on plain runs; known, deliberate
+    divergence on vowel-separated duplicate codes (we follow the reference)."""
+    plain = ["Robert", "Rupert", "street", "avenue", "Main", "Ashcraft"]
+    df = spark.createDataFrame(pd.DataFrame({"w": plain}))
+    got = df.select(F.soundex("w").alias("s")).toPandas()["s"].tolist()
+    assert got == [soundex(w) for w in plain]
+    # divergent case stays divergent (guards against silent behavior change)
+    spark_t = (
+        spark.createDataFrame(pd.DataFrame({"w": ["Tymczak"]}))
+        .select(F.soundex("w").alias("s"))
+        .first()["s"]
+    )
+    assert spark_t == "T522" and soundex("Tymczak") == "T520"
+
+
+def test_csv_export_roundtrip(spark, tmp_path):
+    from pipeline.io import export_results_csv
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"conv_id": ["a", "b"], "score": [1.5, 2.5]}
+        )
+    ).withColumn("families", F.array(F.lit(1), F.lit(2)))
+    out = str(tmp_path / "csv")
+    export_results_csv(df, out)
+    back = spark.read.option("header", "true").csv(out).toPandas()
+    assert len(back) == 2
+    assert set(back.columns) == {"conv_id", "score", "families"}
+    assert set(back["families"]) == {"[1,2]"}
+
+
+def test_list_tables(spark, tmp_path):
+    from pipeline.io import StageRunner, list_tables
+
+    runner = StageRunner(spark, str(tmp_path), fingerprint="v1")
+    runner.run("tbl_a", lambda: spark.range(3))
+    names = list_tables(spark, str(tmp_path))
+    assert "tbl_a" in names
