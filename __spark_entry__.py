@@ -437,10 +437,6 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token/subword counts, char count, punct+stopword
     ratios, md5 fingerprint."""
     docs = _read(spark, sf_dir, "documents")
-    toks = _TOKENS_SPARK(
-        F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")[0]
-    )
-    # recompute cleanly via textstats columns
     from pipeline.extras import textstats as ts
 
     return docs.select(
@@ -500,10 +496,12 @@ def _lang_sql() -> str:
     for lang, h in hit_exprs.items():
         best_lang = f"case when {h} > {best_hits} then '{lang}' else {best_lang} end"
         best_hits = f"case when {h} > {best_hits} then {h} else {best_hits} end"
+    # cast: DuckDB literal arithmetic is DECIMAL; Spark's is DOUBLE —
+    # cast so the driver's schema comparison sees the same type
     return f"""
 with t as (select doc_id, text, lang, {toks} as toks from documents)
 select doc_id,
-       (case when length(text) >= 200 then 30.0
+       cast(case when length(text) >= 200 then 30.0
              when length(text) >= 50  then 20.0
              when length(text) >= 10  then 10.0
              else 0.0 end
@@ -516,7 +514,7 @@ select doc_id,
                      / greatest(len(toks),1)) >= 0.05 then 25.0 else 5.0 end
         + case when (length(text) / greatest(len(toks),1)) >= 3.0
                 and (length(text) / greatest(len(toks),1)) <= 12.0
-               then 20.0 else 5.0 end) as quality,
+               then 20.0 else 5.0 end as double) as quality,
        {best_lang} as lang_pred,
        lang
 from t
@@ -685,6 +683,82 @@ where rank <= 3
 """
 
 
+def q_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant generation (G9 analogue, UAM:651-738) + keyword extraction
+    (F18, UAM:740-758): per doc, ordered distinct normalization variants
+    exploded to (doc_id, variant_kind, variant_text)."""
+    n = _docs_normed(spark, sf_dir)
+    toks = _TOKENS_SPARK(F.col("norm_text"))
+    keywords = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array_except(
+                    F.array_distinct(toks), F.lit(sorted(STOPWORDS)).cast("array<string>")
+                ),
+                lambda t: F.length(t) > 2,
+            )
+        ),
+        " ",
+    )
+    no_digits = F.trim(
+        F.regexp_replace(F.regexp_replace("norm_text", r"\d+", " "), r"\s+", " ")
+    )
+    first_40 = F.substring("norm_text", 1, 40)
+    variants = F.array(
+        F.struct(F.lit("norm").alias("variant_kind"), F.col("norm_text").alias("variant_text")),
+        F.struct(F.lit("keywords").alias("variant_kind"), keywords.alias("variant_text")),
+        F.struct(F.lit("no_digits").alias("variant_kind"), no_digits.alias("variant_text")),
+        F.struct(F.lit("prefix40").alias("variant_kind"), first_40.alias("variant_text")),
+    )
+    return n.select("doc_id", F.explode(variants).alias("v")).select(
+        "doc_id", F.col("v.variant_kind").alias("variant_kind"),
+        F.col("v.variant_text").alias("variant_text"),
+    )
+
+
+SQL_VARIANTS = f"""
+with n as ({_DOCS_NORM_SQL}),
+v as (
+  select doc_id, 'norm' as variant_kind, norm_text as variant_text from n
+  union all
+  select doc_id, 'keywords',
+         array_to_string(list_sort(list_filter(
+           list_distinct({_tokens_sql('norm_text')}),
+           x -> length(x) > 2 and x not in ({_SW_LIST}))), ' ')
+  from n
+  union all
+  select doc_id, 'no_digits',
+         trim(regexp_replace(regexp_replace(norm_text, '\\d+', ' ', 'g'),
+                             '\\s+', ' ', 'g'))
+  from n
+  union all
+  select doc_id, 'prefix40', substring(norm_text, 1, 40) from n
+)
+select doc_id, variant_kind, variant_text from v
+"""
+
+
+def q_number_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction (F19 analogue, optimized.py:365): first 3-5 digit
+    token + count of all digit runs per document."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"\b(\d{3,5})\b", 1).alias("first_num"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\d+"), 0))
+        .cast("long")
+        .alias("n_digit_runs"),
+    )
+
+
+SQL_NUMBER_EXTRACT = r"""
+select doc_id,
+       coalesce(regexp_extract(text, '\b(\d{3,5})\b', 1), '') as first_num,
+       cast(len(regexp_extract_all(text, '\d+')) as bigint)   as n_digit_runs
+from documents
+"""
+
+
 # -- rows-only queries (non-SQL-expressible: xxhash64 / pandas-UDF kernels /
 #    iterative CC) — driver records a weaker rows-only check ----------------
 
@@ -767,6 +841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "quality_lang": q_quality_lang,
         "lang_histogram": q_lang_histogram,
+        "variants_expand": q_variants,
+        "number_extract": q_number_extract,
         "sessionize": q_sessionize,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -796,6 +872,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": SQL_DOC_STATS,
         "quality_lang": lang_sql,
         "lang_histogram": f"select lang_pred, cast(count(*) as bigint) as n_docs from ({lang_sql}) group by lang_pred",
+        "variants_expand": SQL_VARIANTS,
+        "number_extract": SQL_NUMBER_EXTRACT,
         "sessionize": SQL_SESSIONIZE,
         "pricing_summary": SQL_PRICING,
         "top_customers": SQL_TOP_CUSTOMERS,

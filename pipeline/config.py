@@ -134,6 +134,27 @@ class MatchConfig:
         if abs(total - 1.0) > 1e-9:
             raise ValueError(f"component weights must sum to 1.0, got {total}")
 
+    @classmethod
+    def from_file(cls, path: str) -> "MatchConfig":
+        """Config source (reference ``MatchConfig.from_file``,
+        optimized.py:148-157): JSON always; YAML when pyyaml is present
+        (import-gated — not guaranteed in this environment)."""
+        import json
+
+        with open(path) as f:
+            raw = f.read()
+        if path.endswith((".yaml", ".yml")):
+            try:
+                import yaml  # type: ignore
+            except ImportError as e:
+                raise ValueError(
+                    "YAML config requires pyyaml; use JSON here"
+                ) from e
+            data = yaml.safe_load(raw)
+        else:
+            data = json.loads(raw)
+        return cls(**data)
+
 
 DEFAULT_CONFIG = MatchConfig()
 

@@ -98,6 +98,11 @@ def run_staged(
     clusters = runner.run("clusters", _clusters)
     tiers = runner.run("tier_histogram", lambda: audit_mod.tier_histogram(scored))
     summary = runner.run("match_summary", lambda: audit_mod.match_summary(scored))
+    # per-partition lineage of the scored table (north_rule: resumable
+    # with per-partition lineage + metrics) — one row per partition
+    lineage = runner.run(
+        "partition_lineage", lambda: audit_mod.partition_lineage(scored)
+    )
 
     return {
         "docs": docs,
@@ -107,5 +112,6 @@ def run_staged(
         "clusters": clusters,
         "tier_histogram": tiers,
         "match_summary": summary,
+        "partition_lineage": lineage,
         "_runner": runner,
     }

@@ -30,6 +30,16 @@ def norm_text_col(col: Column | str) -> Column:
     return F.trim(c)
 
 
+def norm_unit_col(col: Column | str) -> Column:
+    """Reference ``normalize_unit`` (optimized.py:308-314) as a Column:
+    lower, drop spaces, strip leading apt/unit/ste/suite/# prefixes,
+    upper. Twin of ``textnorm.normalize_unit_py``."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.replace(F.lower(F.coalesce(c, F.lit(""))), F.lit(" "), F.lit(""))
+    c = F.regexp_replace(c, r"^(apt|unit|ste|suite|#)+", "")
+    return F.upper(c)
+
+
 def norm_sql_duckdb(expr: str) -> str:
     """Render the same chain as a DuckDB SQL scalar expression over
     ``expr``. DuckDB regexp_replace needs the 'g' flag for global

@@ -181,16 +181,21 @@ def score_pairs(
         F.col("norm_text").alias("_norm_b"),
         F.col("roles_sig").alias("_roles_b"),
     )
-    joined = pairs.join(fa, "conv_id_a").join(fb, "conv_id_b")
-
     # The kernel UDF is CPU-bound Python: AQE sizes partitions by BYTES, so
     # a small-but-expensive pair table gets coalesced into 1-2 tasks (and a
     # broadcast join keeps it in the upstream stage) — measured 0.17 scaling
     # efficiency without this. Hash-repartition on the pair key to
-    # 3x cores so every core scores; at real scale the pairs table is
-    # shuffle-born anyway and this evens out text-length skew.
-    n_parts = joined.sparkSession.sparkContext.defaultParallelism * 3
-    joined = joined.repartition(n_parts, "conv_id_a", "conv_id_b")
+    # 3x cores so every core scores. Repartition BEFORE the text joins:
+    # the pre-join rows are ids-only (~60x narrower than with both
+    # canonical texts attached), so the forced shuffle moves megabytes,
+    # not the full pair-text volume; a broadcast text join preserves the
+    # partitioning into the UDF stage.
+    n_parts = pairs.sparkSession.sparkContext.defaultParallelism * 3
+    joined = (
+        pairs.repartition(n_parts, "conv_id_a", "conv_id_b")
+        .join(fa, "conv_id_a")
+        .join(fb, "conv_id_b")
+    )
 
     udf = make_score_udf(cfg)
     scored = joined.withColumn(

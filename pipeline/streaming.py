@@ -1,0 +1,96 @@
+"""Structured Streaming ingestion for the linkage pipeline.
+
+The reference is strictly batch/request-response and the north rule asks
+for a *resumable batch* job (SURVEY.md §2.10) — so the matching stages
+stay batch. What streaming adds here is the INGESTION edge a production
+deployment needs: transcript turns arriving continuously land in the
+bronze turns table exactly-once (file-source + checkpoint), and a
+watermarked windowed aggregation feeds the audit table with arrival
+stats. The batch linkage job then runs over the bronze table on its own
+cadence, resuming via stage manifests.
+
+Both entry points use ``trigger(availableNow=True)`` in tests — the same
+code runs continuously in production with a processing-time trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TURNS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def ingest_turns_stream(
+    spark: SparkSession,
+    input_dir: str,
+    bronze_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """File-source stream -> bronze turns table, exactly-once.
+
+    The checkpoint directory makes re-runs skip already-committed source
+    files — the streaming twin of the batch stage manifests.
+    Returns the StreamingQuery (caller awaits/stops it).
+    """
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", bronze_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def arrival_stats_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+):
+    """Watermarked windowed arrival stats (audit feed): turns per
+    (event-time window, role); late data beyond the watermark dropped."""
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
