@@ -44,22 +44,31 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _shingle_minhash(normed: DataFrame, n: int, hashes: int) -> DataFrame:
-    sh = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length(_norm)-{n-1},1)),"
-        f" i -> substring(_norm, i, {n})))"
+    """(doc_id, _mh0.._mhH-1) via explode -> hash-once -> min-aggregate.
+
+    The inline form (one array_min(transform(shingles,...)) column per
+    hash) re-evaluates the shingle array once PER HASH — Catalyst
+    collapses the projections and higher-order functions don't get
+    common-subexpression elimination. Exploding hashes each shingle
+    exactly once and the map-side partial min keeps the shuffle at
+    H longs per doc. The shuffle also restores parallelism when the
+    input is a single parquet file (1-partition scan)."""
+    shingles = normed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(1, greatest(length(_norm)-{n-1},1)),"
+                f" i -> substring(_norm, i, {n})))"
+            )
+        ).alias("_g"),
     )
-    out = normed.withColumn("_sh", sh)
-    for i in range(hashes):
-        out = out.withColumn(
-            f"_mh{i}",
-            F.coalesce(
-                F.array_min(
-                    F.transform(F.col("_sh"), lambda t: F.xxhash64(t, F.lit(i)))
-                ),
-                F.lit(0).cast("long"),
-            ),
-        )
-    return out.drop("_sh")
+    return shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("_g", F.lit(i))).alias(f"_mh{i}")
+            for i in range(hashes)
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -80,6 +89,11 @@ def minhash_lsh_pairs(
     normed = docs.select(
         F.col(id_col).alias("doc_id"), norm_text_col(text_col).alias("_norm")
     )
+    # a small corpus often arrives as ONE parquet file -> 1-partition scan
+    # -> serial shingle generation; spread it (cheap: ids+text only)
+    normed = normed.repartition(
+        normed.sparkSession.sparkContext.defaultParallelism * 2
+    ).persist()
     mh = _shingle_minhash(normed, n, hashes)
     rows = hashes // bands
     band_keys = [
@@ -102,9 +116,13 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
+    # verify on HASHED shingle sets: same Jaccard (64-bit collisions are
+    # ~|S|^2/2^64 per pair — negligible), but long arrays shuffle ~2x
+    # smaller and intersect far faster than string arrays
     sh = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length(_norm)-{n-1},1)),"
-        f" i -> substring(_norm, i, {n})))"
+        f"array_distinct(transform(transform("
+        f"sequence(1, greatest(length(_norm)-{n-1},1)),"
+        f" i -> substring(_norm, i, {n})), g -> xxhash64(g)))"
     )
     grams = normed.select("doc_id", sh.alias("grams")).persist()
     ga = grams.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("_sa"))
