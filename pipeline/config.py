@@ -91,6 +91,16 @@ class MatchConfig:
     # cutoff sits one tier higher; every FIXTURES.md duplicate class still
     # scores >= 55 (see tests/test_synth_oracle.py).
     match_tier_threshold: float = 55.0
+    # The critical-channel floor for the MATCH DECISION: a pair only
+    # links if the primary text channel (the reference's street/overall
+    # similarity, optimized.py:753-754) also clears this. Rationale: the
+    # weighted-confidence early-return cap (optimized.py:704-706) emits
+    # min(token_sort, 60) for poor-critical-channel pairs, which lands
+    # borderline unrelated pairs exactly in the fuzzy band (measured:
+    # every false cluster edge had s_text <= 44 while true fuzzy-band
+    # duplicates sit >= 54 — transitive closure amplifies those few
+    # false edges into large wrong clusters).
+    match_text_floor: float = 45.0
 
     # Blocking knobs.
     prefix_key_len: int = 32

@@ -188,7 +188,8 @@ def score_pairs_pd(
                 "confidence_adjusted": adj,
                 "quality": quality,
                 "reliability": reliability(quality),
-                "is_match": conf >= cfg.match_tier_threshold,
+                "is_match": conf >= cfg.match_tier_threshold
+                and s["text"] >= cfg.match_text_floor,
             }
         )
     return pd.DataFrame(rows)

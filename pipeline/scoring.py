@@ -157,7 +157,9 @@ def with_decisions(
     )
     out = out.withColumn("reliability", reliability_col(F.col("quality")))
     out = out.withColumn(
-        "is_match", F.col("confidence") >= F.lit(cfg.match_tier_threshold)
+        "is_match",
+        (F.col("confidence") >= F.lit(cfg.match_tier_threshold))
+        & (F.col("s_text") >= F.lit(cfg.match_text_floor)),
     )
     return out
 

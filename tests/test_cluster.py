@@ -95,6 +95,19 @@ def test_cc_permutation_invariance(spark):
             assert got == base
 
 
+def test_cluster_agreement_vs_ground_truth(spark, turns_df, corpus):
+    """End-to-end cluster quality vs generator ground truth (pairwise
+    co-cluster F1) — the cluster-level analogue of the pairwise gate."""
+    from pipeline.evaluate import cluster_agreement
+    from pipeline.linkage import build_plan, cluster_edges
+
+    plan = build_plan(turns_df)
+    clusters, _ = cluster_edges(plan["edges"], plan["features"])
+    expected = spark.createDataFrame(corpus.expected_clusters)
+    m = cluster_agreement(clusters, expected)
+    assert m["f1"] >= 0.93, m
+
+
 def test_cluster_partition_validity(spark, turns_df, corpus):
     """Full-pipeline clusters: every conv exactly once; transitivity via
     union-find agreement on the matched edges."""
