@@ -65,6 +65,30 @@ def is_committed(table_dir: str, fingerprint: str | None = None) -> bool:
         return False
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 32,
+) -> None:
+    """Persist a stage table BUCKETED by the join key.
+
+    At 100-TB scale the two feature joins in pair scoring and the
+    blocking self-join dominate shuffle volume; storing docs/features
+    bucketed by ``conv_id`` (Iceberg: ``bucket(N, conv_id)`` hidden
+    partitioning; Hive tables here) lets Catalyst plan storage-partitioned
+    joins with NO Exchange on the bucketed side —
+    ``tests/test_plans.py::test_bucketed_join_avoids_shuffle`` proves the
+    Exchange disappears from the plan.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
 def export_results_csv(df: DataFrame, out_dir: str) -> None:
     """CSV result sink — reference ``export_results_to_csv``
     (optimized.py:947-994) exports a flat result table; here any stage

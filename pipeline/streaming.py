@@ -60,6 +60,40 @@ def ingest_turns_stream(
     return writer.start()
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+):
+    """Stateful streaming exact-dedup: drop turns whose (conv_id,
+    turn_idx, text-hash) was already seen, across micro-batches, state
+    bounded by the event-time watermark — built-in
+    ``dropDuplicatesWithinWatermark`` state store (no custom state code
+    needed; the keyed state is the applyInPandasWithState analogue for
+    this op)."""
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    deduped = (
+        stream.withColumn("text_hash", F.xxhash64("conv_id", "turn_idx", "text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .drop("text_hash")
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def arrival_stats_stream(
     spark: SparkSession,
     input_dir: str,

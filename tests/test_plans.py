@@ -4,6 +4,7 @@ executes."""
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -77,6 +78,43 @@ def test_no_cartesian_products(spark, turns_df):
     plan = _formatted_plan(build_plan(turns_df)["scored"])
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, turns_df, tmp_path):
+    """Docs stored bucketed by conv_id join WITHOUT an Exchange on either
+    side — the storage-partitioned join the production Iceberg layout
+    (bucket(N, conv_id)) gives the scoring stage."""
+    from pipeline.canonicalize import canonicalize
+    from pipeline.io import write_bucketed
+
+    import shutil
+
+    docs = canonicalize(turns_df).select("conv_id", "n_turns")
+    # warehouse dir is static config — uses ./spark-warehouse (gitignored).
+    # the in-memory metastore forgets tables between sessions while files
+    # persist, so clear any stale location first
+    spark.sql("drop table if exists docs_bucketed")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, "docs_bucketed"), ignore_errors=True)
+    write_bucketed(docs, "docs_bucketed", n_buckets=8)
+    try:
+        t = spark.table("docs_bucketed")
+        joined = t.alias("a").join(t.alias("b"), "conv_id")
+        # disable broadcast so the bucketed path is exercised
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _formatted_plan(joined)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange == 0, (
+            f"bucketed self-join still shuffles:\n{plan[:1500]}"
+        )
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.sql("drop table if exists docs_bucketed")
 
 
 def test_knn_broadcasts_queries(spark):

@@ -50,6 +50,28 @@ def test_exactly_once_ingest_with_resume(spark, tmp_path):
     assert spark.read.parquet(bronze).count() == n + m
 
 
+def test_stream_exact_dedup(spark, tmp_path):
+    """Duplicate turns across micro-batches are dropped exactly-once by
+    the watermarked state store."""
+    from pipeline.streaming import stream_exact_dedup
+
+    corpus = synth.generate(n_base=10, seed=31)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t = corpus.turns.assign(ts=corpus.turns["ts"].astype("datetime64[us]"))
+    # write the SAME rows twice as separate files -> second copy must drop
+    t.to_parquet(os.path.join(src, "a.parquet"), index=False)
+    t.to_parquet(os.path.join(src, "b.parquet"), index=False)
+
+    q = stream_exact_dedup(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == len(t)
+    assert out.select("conv_id", "turn_idx").distinct().count() == len(t)
+
+
 def test_arrival_stats_windowed(spark, tmp_path):
     corpus = synth.generate(n_base=15, seed=21)
     src = str(tmp_path / "src")
