@@ -115,7 +115,11 @@ class MatchConfig:
     # with document frequency in [2, anchor_max_df] are blocking anchors;
     # each doc contributes its anchor_tokens rarest. Cold keys by
     # construction (<= anchor_max_df members per key), so scale-safe.
-    anchor_max_df: int = 30
+    # max_df=8: true duplicate groups have df 2-6 (group size + chain),
+    # while df 9-30 is mid-tail vocabulary shared by UNRELATED docs — at
+    # 2000-base scale max_df=30 made anchors emit 47 candidates/doc (89%
+    # of all candidates); 8 keeps heavy-class recall ~0.8 at ~15/doc.
+    anchor_max_df: int = 8
     anchor_tokens: int = 16
     # Hot-key protection: keys with more members than this are capped
     # (deterministically, keeping lowest conv_ids) and audited. The reference
