@@ -787,6 +787,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (KMeans coarse quantizer)."""
+    from pipeline.extras.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 10")
+    return ivf_topk(emb, q, k=3, n_lists=8, n_probe=3)
+
+
 def q_linkage_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pair-scoring stage (pandas-UDF kernels + JVM cascade) on
     events-derived transcripts."""
@@ -850,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
+        "ivf_topk": q_ivf_topk,
         "linkage_scored_pairs": q_linkage_scored_pairs,
         "linkage_clusters": q_linkage_clusters,
     }

@@ -159,6 +159,77 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer
+    (JVM, pyspark.ml) partitions the corpus into ``n_lists`` cells; each
+    query probes its ``n_probe`` nearest cells and exact-cosine re-ranks
+    only those candidates. The scale path when hyperplane LSH recall is
+    insufficient: candidate volume ~= corpus * n_probe / n_lists per
+    query, and the cell assignment is a one-off batch job reused across
+    query sets (in production: materialized next to the embeddings,
+    clustered by cell id).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_feat"),
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_cell")
+    model = km.fit(v)
+    assigned = model.transform(v).select("neighbor_id", "_nv", "_cell")
+
+    # broadcast centroids; each query picks its n_probe nearest cells
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = vectors.sparkSession
+    cent_df = spark.createDataFrame(centroids, ["_cell", "_cv"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_sim", cosine_col(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("_sim"), F.asc("_cell")
+                )
+            ),
+        )
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "_cell")
+    )
+
+    cand = (
+        assigned.join(q_cells, "_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     n_dims: int,

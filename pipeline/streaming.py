@@ -94,6 +94,86 @@ def stream_exact_dedup(
     )
 
 
+CANON_STATE_SCHEMA = "turns ARRAY<STRUCT<turn_idx: INT, role: STRING, text: STRING>>, last_ts LONG"
+CANON_OUT_SCHEMA = (
+    "conv_id STRING, canonical_text STRING, n_turns INT, roles_sig STRING"
+)
+
+
+def streaming_canonicalize(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    idle_timeout_ms: int = 0,
+):
+    """Custom stateful streaming canonicalization via
+    ``applyInPandasWithState``: turns arrive in any order across
+    micro-batches; per-conv_id state accumulates (turn_idx, role, text);
+    when the conversation goes idle (processing-time timeout; with
+    ``availableNow`` test runs, at end-of-stream state timeout) the
+    canonical document is emitted — same semantics as the batch
+    canonicalizer (sort by turn_idx, \\x1e join), incrementally.
+
+    This is the streaming twin of ``pipeline.canonicalize.canonicalize``;
+    the batch path stays authoritative (north rule: resumable batch), but
+    a deployment that wants fresh canonical docs within minutes of
+    arrival runs this against the bronze stream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            turns, _ = state.get
+            state.remove()
+            ordered = sorted(turns, key=lambda t: t[0])
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "canonical_text": ["\x1e".join(t[2] for t in ordered)],
+                    "n_turns": [len(ordered)],
+                    "roles_sig": ["".join((t[1] or "?")[0] for t in ordered)],
+                }
+            )
+            return
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(i), r, x or "")
+                for i, r, x in zip(pdf["turn_idx"], pdf["role"], pdf["text"])
+            )
+        if state.exists:
+            prev, _ = state.get
+            rows = list(prev) + rows
+        state.update((rows, 0))
+        state.setTimeoutDuration(max(idle_timeout_ms, 1))
+        return
+        yield  # generator function with no batch output
+
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    out = stream.groupBy("conv_id").applyInPandasWithState(
+        _update,
+        outputStructType=CANON_OUT_SCHEMA,
+        stateStructType=CANON_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def arrival_stats_stream(
     spark: SparkSession,
     input_dir: str,

@@ -111,6 +111,36 @@ def test_lsh_finds_planted_near_neighbors(spark):
     assert hits >= 9, got
 
 
+def test_ivf_topk(spark, embeddings):
+    """IVF with full probing == brute force; planted near-dups found at
+    modest n_probe."""
+    from pipeline.extras.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    dims = 32
+    base = rng.normal(size=(60, dims))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for i in range(10):
+        rows.append(
+            (1000 + i, [float(x) for x in base[i] + rng.normal(scale=0.05, size=dims)])
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    q = df.where("vec_id >= 1000")
+
+    # full probing reproduces brute force exactly
+    exact = brute_force_topk(df, q, k=3).toPandas()
+    full = ivf_topk(df, q, k=3, n_lists=8, n_probe=8).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    f = set(map(tuple, full[["query_id", "neighbor_id"]].values))
+    assert e == f
+
+    # near-dups land in the same cell -> n_probe=2 finds them as rank 1
+    approx = ivf_topk(df, q, k=1, n_lists=8, n_probe=2).toPandas()
+    got = dict(zip(approx["query_id"], approx["neighbor_id"]))
+    hits = sum(got.get(1000 + i) == i for i in range(10))
+    assert hits >= 9, got
+
+
 def test_embedding_near_dup_pairs(spark):
     from pipeline.extras.similarity import embedding_near_dup_pairs
 

@@ -72,6 +72,51 @@ def test_stream_exact_dedup(spark, tmp_path):
     assert out.select("conv_id", "turn_idx").distinct().count() == len(t)
 
 
+def test_streaming_canonicalize_stateful(spark, tmp_path):
+    """applyInPandasWithState canonicalization: turns split across files
+    (and so micro-batches), per-conv state accumulates, idle timeout emits
+    the canonical doc — identical text to the batch canonicalizer.
+
+    Processing-time timeouts only fire while batches run, so after the
+    data pass a sentinel conversation is appended and a second
+    availableNow pass flushes the expired state."""
+    import time
+
+    from pipeline.streaming import streaming_canonicalize
+
+    corpus = synth.generate(n_base=12, seed=17)
+    src = str(tmp_path / "src")
+    _write_turn_files(corpus, src, n_files=3)
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = streaming_canonicalize(spark, src, out, ck, idle_timeout_ms=1)
+    q.awaitTermination(120)
+    time.sleep(0.2)  # let the 1ms processing-time timeouts expire
+
+    sentinel = pd.DataFrame(
+        {
+            "conv_id": pd.Series(["zz_sentinel"], dtype="string"),
+            "turn_idx": pd.Series([0], dtype="int32"),
+            "role": pd.Series(["user"], dtype="string"),
+            "text": pd.Series(["flush"], dtype="string"),
+            "tool": pd.Series([None], dtype="string"),
+            "ts": corpus.turns["ts"].iloc[:1].astype("datetime64[us]").values,
+        }
+    )
+    sentinel.to_parquet(os.path.join(src, "sentinel.parquet"), index=False)
+    q2 = streaming_canonicalize(spark, src, out, ck, idle_timeout_ms=1)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out).toPandas().set_index("conv_id")
+    from pipeline.oracle import canonicalize_pd
+
+    want = canonicalize_pd(corpus.turns).set_index("conv_id")
+    assert set(want.index) <= set(got.index)
+    for cid in want.index:
+        assert got.loc[cid, "canonical_text"] == want.loc[cid, "canonical_text"]
+        assert got.loc[cid, "roles_sig"] == want.loc[cid, "roles_sig"]
+
+
 def test_arrival_stats_windowed(spark, tmp_path):
     corpus = synth.generate(n_base=15, seed=21)
     src = str(tmp_path / "src")
