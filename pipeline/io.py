@@ -31,10 +31,25 @@ def _manifest_path(table_dir: str) -> str:
     return os.path.join(table_dir, "_MANIFEST.json")
 
 
-def write_table(df: DataFrame, table_dir: str, extra: dict | None = None) -> dict:
-    """Write parquet + commit manifest (atomic via temp-file rename)."""
+def write_table(
+    df: DataFrame,
+    table_dir: str,
+    extra: dict | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Write a stage table + commit manifest (atomic via temp-file rename).
+
+    ``fmt="iceberg"`` appends through the Iceberg catalog (``table_dir``
+    is then a table identifier) and relies on the snapshot as the commit
+    point; the manifest file still records wall time/schema for the
+    resume check. No Iceberg runtime jar ships in this sandbox, so only
+    the parquet branch is exercised by tests (SURVEY.md §7.0 seam).
+    """
     t0 = time.time()
-    df.write.mode("overwrite").parquet(table_dir)
+    if fmt == "iceberg":
+        df.writeTo(table_dir).createOrReplace()
+    else:
+        df.write.mode("overwrite").parquet(table_dir)
     manifest = {
         "table": table_dir,
         "wall_s": round(time.time() - t0, 3),

@@ -104,6 +104,18 @@ def run_staged(
         "partition_lineage", lambda: audit_mod.partition_lineage(scored)
     )
 
+    # persist the run's stage metrics as an audit table (Iceberg append in
+    # production; parquet here) — one row per stage/CC-iteration event
+    import json as _json
+
+    metrics_df = spark.createDataFrame(
+        [(m.get("stage", "?"), _json.dumps(m, default=str)) for m in runner.metrics],
+        "stage string, payload string",
+    )
+    from pipeline.io import write_table
+
+    write_table(metrics_df, runner.stage_dir("audit_metrics"))
+
     return {
         "docs": docs,
         "features": feats,
