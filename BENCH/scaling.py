@@ -107,13 +107,16 @@ def main() -> dict:
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 
     levels = {}
-    for cpus in (8, 32):
-        best = None
-        for _ in range(repeats):
+    all_runs: dict[int, list[float]] = {8: [], 32: []}
+    # interleave levels so slow drift in VM performance (noisy neighbors,
+    # turbo states) hits both levels equally instead of biasing one
+    for _ in range(repeats):
+        for cpus in (8, 32):
             r = run_level(cpus, sf_dir)
+            all_runs[cpus].append(r["saturated_pairs_per_sec"])
+            best = levels.get(cpus)
             if best is None or r["saturated_pairs_per_sec"] > best["saturated_pairs_per_sec"]:
-                best = r
-        levels[cpus] = best
+                levels[cpus] = r
 
     t8 = levels[8]["saturated_pairs_per_sec"]
     t32 = levels[32]["saturated_pairs_per_sec"]
@@ -143,6 +146,7 @@ def main() -> dict:
         )
         if hw["mp_efficiency_8_to_32"]
         else None,
+        "all_repeats_pairs_per_sec": {str(k): v for k, v in all_runs.items()},
         "queries": {
             "local[8]": levels[8]["queries"],
             "local[32]": levels[32]["queries"],
@@ -174,6 +178,10 @@ enough to saturate 32 cores (the events-derived e2e corpus yields only
 
 **Scaling efficiency** = {t32} / (4 x {t8}) =
 **{report["scaling_efficiency_pairs"]}**
+
+Per-repeat throughput (interleaved levels, best-of-N per level; the VM
+shows double-digit % run-to-run drift):
+local[8] {all_runs[8]} · local[32] {all_runs[32]}
 
 ### Hardware-ceiling context
 
