@@ -787,6 +787,71 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-family: role distribution over the derived turns."""
+    turns = _turns_from_events(spark, sf_dir)
+    return turns.groupBy("role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+    )
+
+
+SQL_ROLES_HIST = f"""
+with turns as ({_TURNS_SQL})
+select role, cast(count(*) as bigint) as n_turns,
+       cast(count(distinct conv_id) as bigint) as n_convs
+from turns group by role
+"""
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped corpus stats by source (scan + agg on another dimension)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+SQL_SOURCE_STATS = """
+select source, lang, cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars,
+       cast(max(n_chars) as bigint) as max_chars
+from documents group by source, lang
+"""
+
+
+def q_top_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family: per-event-type top-3 users by summed value (cents)."""
+    ev = _read(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value_cents"), F.asc("user_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where("rank <= 3")
+        .select("event_type", F.col("user_id").cast("long").alias("user_id"),
+                "value_cents", "rank")
+    )
+
+
+SQL_TOP_EVENT_USERS = """
+with agg as (select event_type, user_id,
+                    cast(sum(cast(round(value * 100) as bigint)) as bigint) as value_cents
+             from events group by event_type, user_id)
+select event_type, cast(user_id as bigint) as user_id, value_cents,
+       cast(rank as bigint) as rank
+from (select agg.*, row_number() over (partition by event_type
+                                       order by value_cents desc, user_id asc) as rank
+      from agg)
+where rank <= 3
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (KMeans coarse quantizer)."""
     from pipeline.extras.similarity import ivf_topk
@@ -856,6 +921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "knn_cosine": q_knn_cosine,
+        "roles_histogram": q_roles_histogram,
+        "source_stats": q_source_stats,
+        "top_event_users": q_top_event_users,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
@@ -888,6 +956,9 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": SQL_PRICING,
         "top_customers": SQL_TOP_CUSTOMERS,
         "knn_cosine": SQL_KNN,
+        "roles_histogram": SQL_ROLES_HIST,
+        "source_stats": SQL_SOURCE_STATS,
+        "top_event_users": SQL_TOP_EVENT_USERS,
         # minhash_dedup / simhash_dedup / embedding_near_dup /
         # linkage_scored_pairs / linkage_clusters: xxhash64-based keys,
         # pandas-UDF kernels, or iterative CC — not SQL-expressible;

@@ -52,6 +52,19 @@ def test_duckdb_matches_python():
     assert got == want
 
 
+def test_normalize_idempotent():
+    """normalize(normalize(x)) == normalize(x) — required for resume
+    determinism and for variant keys built on normalized text."""
+    import random
+
+    rng = random.Random(9)
+    alphabet = "abZ 12 ,.! àü ß #-/ \t3rd"
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 50)))
+        n = normalize_py(s)
+        assert normalize_py(n) == n, (s, n)
+
+
 def test_three_way_on_random_unicodeish():
     import random
 
