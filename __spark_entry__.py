@@ -232,9 +232,11 @@ def _lev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = n.select(F.col("doc_id").alias("doc_id_b"), F.col("norm_text").alias("_nb"))
     j = p.join(na, "doc_id_a").join(nb, "doc_id_b")
     lev = F.levenshtein("_na", "_nb")
+    # greatest(..., 1): two empty-norm docs pair via the empty prefix key;
+    # under ANSI mode a 0/0 would abort the whole query (ADVICE r1)
     ratio = (
         F.lit(100.0)
-        * (F.lit(1.0) - lev / F.greatest(F.length("_na"), F.length("_nb")))
+        * (F.lit(1.0) - lev / F.greatest(F.length("_na"), F.length("_nb"), F.lit(1)))
     )
     return j.select(
         "doc_id_a",
@@ -253,7 +255,7 @@ with n as ({_DOCS_NORM_SQL}),
      s as (select p.doc_id_a, p.doc_id_b,
                   cast(levenshtein(na.norm_text, nb.norm_text) as bigint) as lev,
                   100.0 * (1.0 - levenshtein(na.norm_text, nb.norm_text)
-                           / greatest(length(na.norm_text), length(nb.norm_text))) as lev_ratio
+                           / greatest(length(na.norm_text), length(nb.norm_text), 1)) as lev_ratio
            from p join n na on na.doc_id = p.doc_id_a
                   join n nb on nb.doc_id = p.doc_id_b)
 """

@@ -39,17 +39,25 @@ def write_table(
 ) -> dict:
     """Write a stage table + commit manifest (atomic via temp-file rename).
 
-    ``fmt="iceberg"`` appends through the Iceberg catalog (``table_dir``
-    is then a table identifier) and relies on the snapshot as the commit
-    point; the manifest file still records wall time/schema for the
-    resume check. No Iceberg runtime jar ships in this sandbox, so only
-    the parquet branch is exercised by tests (SURVEY.md §7.0 seam).
+    ``fmt="iceberg"`` APPENDS through the Iceberg catalog (``table_dir``
+    is then a table identifier, e.g. ``cat.db.scored_pairs``) — the
+    Iceberg snapshot IS the commit point, so no local manifest file is
+    written (a catalog identifier is not a filesystem path). Resume
+    against Iceberg = check the table's latest snapshot summary, not
+    ``is_committed``. No Iceberg runtime jar ships in this sandbox, so
+    only the parquet branch is exercised by tests (SURVEY.md §7.0 seam).
     """
     t0 = time.time()
     if fmt == "iceberg":
-        df.writeTo(table_dir).createOrReplace()
-    else:
-        df.write.mode("overwrite").parquet(table_dir)
+        df.writeTo(table_dir).append()
+        return {
+            "table": table_dir,
+            "wall_s": round(time.time() - t0, 3),
+            "schema": df.schema.jsonValue(),
+            "commit": "iceberg-snapshot",
+            **(extra or {}),
+        }
+    df.write.mode("overwrite").parquet(table_dir)
     manifest = {
         "table": table_dir,
         "wall_s": round(time.time() - t0, 3),

@@ -65,7 +65,7 @@ def canonicalize_pd(turns: pd.DataFrame) -> pd.DataFrame:
             "canonical_text": g["text"].apply(lambda s: "\x1e".join(s)),
             "n_turns": g["turn_idx"].count().astype("int64"),
             "roles_sig": g["role"].apply(
-                lambda s: "".join(x[0] for x in s)
+                lambda s: "".join(x[0] for x in s if x)
             ),
             "first_ts": g["ts"].min(),
         }

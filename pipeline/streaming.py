@@ -134,7 +134,10 @@ def streaming_canonicalize(
                     "conv_id": [conv_id],
                     "canonical_text": ["\x1e".join(t[2] for t in ordered)],
                     "n_turns": [len(ordered)],
-                    "roles_sig": ["".join((t[1] or "?")[0] for t in ordered)],
+                    # match batch canonicalize: array_join silently drops
+                    # null entries and substring('',1,1)='' — null/empty
+                    # roles contribute nothing to the signature
+                    "roles_sig": ["".join(t[1][0] for t in ordered if t[1])],
                 }
             )
             return
