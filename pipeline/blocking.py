@@ -81,8 +81,32 @@ def anchor_key_table(feats: DataFrame, cfg: MatchConfig) -> DataFrame:
     )
 
 
+def required_feature_gate(cfg: MatchConfig):
+    """P2 gate predicate (optimized.py:130-131, :784-793): True = the doc
+    is ELIGIBLE as a match query. Docs failing the gate generate no
+    blocking keys (the reference returns the empty MatchResult before the
+    retrieval query runs)."""
+    ok = F.lit(True)
+    if cfg.require_text:
+        ok = ok & (F.length(F.coalesce(F.col("norm_text"), F.lit(""))) > 0)
+    if cfg.require_roles:
+        ok = ok & (F.length(F.coalesce(F.col("roles_sig"), F.lit(""))) > 0)
+    return ok
+
+
+def rejected_docs(feats: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Audit of docs excluded by the required-feature gate (the A5
+    error-detail analogue for this failure class)."""
+    return feats.where(~required_feature_gate(cfg)).select(
+        "conv_id",
+        F.lit("empty_critical_feature").alias("reason"),
+    )
+
+
 def _key_table(feats: DataFrame, cfg: MatchConfig) -> DataFrame:
-    """Long table (family, key, conv_id) over all key families."""
+    """Long table (family, key, conv_id) over all key families.
+    Gated docs (empty critical features) are excluded up front."""
+    feats = feats.where(required_feature_gate(cfg))
     pairs_expr = F.array(
         *[
             F.struct(F.lit(fam).alias("family"), F.col(col).alias("key"))

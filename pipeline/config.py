@@ -65,17 +65,37 @@ RELIABILITY_BANDS: list[tuple[float, str]] = [
 class MatchConfig:
     """Weights + thresholds. Defaults mirror ``optimized.py:115-124``.
 
-    Component channels (transcript domain <- address domain analogue):
-      text       <- street  (.40): InDel ratio on normalized canonical text
-      token_sort <- house   (.25): InDel ratio on sorted-token form
-      partial    <- city    (.15): best-window partial ratio (truncation)
-      jaccard    <- zip     (.10): token-set Jaccard x100
-      jaro       <- state   (.05): Jaro-Winkler x100
-      struct     <- unit    (.05): role-sequence similarity
+    DECLARED channel mapping (transcript <- address), re-keyed in round 2
+    to match how the reference actually SCORES each component:
+
+      token_sort <- street (.40): the reference scores street as
+          normalized-equal -> 100 else fuzz.token_sort_ratio
+          (optimized.py:634-639) — i.e. the street channel IS the
+          reorder-invariant token-sort channel. Critical-channel caps
+          (<70 -> min(,60); post-hoc <85 -> cap 80) live here.
+      num        <- house  (.25): house number = the DIGIT-RUN SIGNATURE
+          of the canonical text (space-joined \\d+ runs — the transcript's
+          numeric identity). Exact -> 100; else plain InDel ratio with the
+          F9 penalty ladder (ratio<90 -> max(0, ratio-20),
+          optimized.py:666-673). Absent on either side -> 0 = channel
+          absent (the reference only scores house when both sides have
+          one), and an absent channel is excluded from the weighted sum.
+      partial    <- city   (.15): best-window partial ratio (truncation)
+      jaccard    <- zip    (.10): token-set Jaccard x100; dropped < 50
+      jaro       <- state  (.05): Jaro-Winkler x100 (128-char prefix)
+      struct     <- unit   (.05): role-sequence signature similarity
+
+      s_text (plain InDel ratio on the full normalized text, exact-first)
+      is NOT a weighted component: it is the reference's separate OVERALL
+      SIMILARITY (fuzz.ratio of normalized query vs matched address,
+      optimized.py:753-754), used for the exact predicate (similarity>=95),
+      the quality bonus (min(sim/5,15)), the low-similarity warning
+      (sim<50) and the match-decision floor — exactly the four places the
+      reference uses `similarity`.
     """
 
-    w_text: float = 0.40
-    w_token_sort: float = 0.25
+    w_token_sort: float = 0.40
+    w_num: float = 0.25
     w_partial: float = 0.15
     w_jaccard: float = 0.10
     w_jaro: float = 0.05
@@ -132,10 +152,34 @@ class MatchConfig:
     # Scoring knobs.
     score_text_max_chars: int = 2048  # kernel cost guard; documented truncation
 
+    # Required-feature gates (P2, optimized.py:130-131 require_house /
+    # require_zip + :784-793 empty-query guard): a doc whose critical
+    # feature is missing cannot be a match query — its pairs score
+    # confidence 0 / tier none and it generates no blocking keys.
+    # text is THE critical feature here (street/house analogue);
+    # roles_sig is the unit analogue (off by default, like require_house).
+    require_text: bool = True
+    require_roles: bool = False
+
+    # P5 exact-match predicate minimums (optimized.py:191-218
+    # _is_truly_exact, channel-for-channel):
+    # is_exact = s_text >= exact_similarity_min AND confidence >= 95
+    #            AND (s_num > 0 -> s_num >= exact_house_min)
+    #            AND s_token_sort >= exact_street_min
+    #            AND (s_jaccard > 0 -> s_jaccard >= exact_zip_min)
+    exact_similarity_min: float = 95.0
+    exact_house_min: float = 95.0
+    exact_street_min: float = 85.0
+    exact_zip_min: float = 80.0
+
     def weights(self) -> dict[str, float]:
+        """The six WEIGHTED channels (s_text is the similarity, not a
+        component — see class docstring). Insertion order is the
+        accumulation order of the confidence formula (FP-op-order parity
+        between the pandas oracle and the JVM expression)."""
         return {
-            "text": self.w_text,
             "token_sort": self.w_token_sort,
+            "num": self.w_num,
             "partial": self.w_partial,
             "jaccard": self.w_jaccard,
             "jaro": self.w_jaro,
@@ -180,8 +224,8 @@ def build_exact_match_config() -> MatchConfig:
     corpus is boilerplate-heavy (e.g. machine-generated event streams)
     and only partial-or-better tiers should link."""
     return MatchConfig(
-        w_text=0.45,
-        w_token_sort=0.30,
+        w_token_sort=0.45,
+        w_num=0.30,
         w_partial=0.10,
         w_jaccard=0.10,
         w_jaro=0.03,

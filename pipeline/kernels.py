@@ -28,7 +28,18 @@ bit-for-bit (SURVEY.md §7.5 risk 2).
 
 from __future__ import annotations
 
+import re
 from functools import lru_cache
+
+_DIGIT_RE = re.compile(r"\d+")
+
+
+def digit_sig(s: str) -> str:
+    """Digit-run signature — the house-number analogue: every ``\\d+`` run
+    of the normalized text joined by single spaces, in order. Empty when
+    the text has no digits (channel absent, like an address without a
+    house number)."""
+    return " ".join(_DIGIT_RE.findall(s))
 
 
 @lru_cache(maxsize=1024)  # ~18MB/worker at 2k-char texts; 1 worker/core

@@ -62,6 +62,43 @@ def cluster_edges(
     return connected_components(edges, all_nodes=feats.select("conv_id"))
 
 
+def best_matches(scored: DataFrame) -> DataFrame:
+    """W1-W4 best-candidate selection with the C3 unit-exact tie-break.
+
+    The reference ranks exact matches first (``_rank_results``,
+    optimized.py:739-776) and RETURNS EARLY on a unit-exact hit even at a
+    lower cascade level (UAM:910-943) — a unit-exact candidate outranks a
+    same-confidence candidate whose unit differs. Recast as a total
+    ordering: is_exact desc, unit_exact desc, confidence desc, partner id
+    asc (deterministic).
+    """
+    from pyspark.sql import Window
+
+    cols = ["confidence", "tier", "is_exact", "unit_exact"]
+    sym = scored.select(
+        F.col("conv_id_a").alias("conv_id"),
+        F.col("conv_id_b").alias("partner_id"),
+        *cols,
+    ).unionByName(
+        scored.select(
+            F.col("conv_id_b").alias("conv_id"),
+            F.col("conv_id_a").alias("partner_id"),
+            *cols,
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("is_exact"),
+        F.desc("unit_exact"),
+        F.desc("confidence"),
+        F.asc("partner_id"),
+    )
+    return (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("conv_id", "partner_id", *cols)
+    )
+
+
 def run_staged(
     spark: SparkSession,
     turns: DataFrame,

@@ -7,26 +7,40 @@ reproduce its match decisions with pairwise F1 >= 0.99 (BASELINE.json).
 
 Channel mapping (transcript <- reference address component), weights from
 ``optimized.py:115-121``; formula structure from
-``_calculate_weighted_confidence`` ``optimized.py:686-737``:
+``_calculate_weighted_confidence`` ``optimized.py:686-737``. The mapping
+mirrors how the reference SCORES each component (see
+``pipeline.config.MatchConfig`` for the full declaration):
 
-  text       (.40) <- street: 100 if normalized-equal else InDel ratio on
-                      normalized canonical text (exact-first, optimized.py:634-639)
-  token_sort (.25) <- house:  100 if sorted-token forms equal else
-                      token_sort_ratio (reorder-invariant critical channel)
+  token_sort (.40) <- street: normalized-equal -> 100 else
+                      token_sort_ratio (optimized.py:634-639 — street IS
+                      the reorder-invariant channel in the reference)
+  num        (.25) <- house:  digit-run signature; exact -> 100 else
+                      InDel ratio through the F9 penalty ladder
+                      (ratio<90 -> max(0, ratio-20), optimized.py:659-673);
+                      absent on either side -> 0 (channel excluded)
   partial    (.15) <- city:   partial_ratio (truncation tolerant,
                       optimized.py:675-676)
   jaccard    (.10) <- zip:    token-set Jaccard x100; dropped when <50
-                      (optimized.py:708-709)
+                      (optimized.py:714-715)
   jaro       (.05) <- state:  Jaro-Winkler x100 on 128-char prefix
   struct     (.05) <- unit:   role-sequence signature similarity
+  text  (unweighted) : plain InDel ratio on full normalized text — the
+                      reference's separate OVERALL SIMILARITY
+                      (optimized.py:753-754), used for the exact
+                      predicate / quality bonus / warnings / match floor.
 
-Caps (structure preserved from optimized.py:700-737, remapped to the
-critical transcript channel):
-  * token_sort < 70        -> confidence = min(token_sort, 60)   (early return)
-  * partial == 0           -> partial weight := 0
-  * jaccard < 50           -> jaccard channel dropped
-  * post-hoc, if ws > 85:  text < 90 -> ws = min(ws, 75);
-                           token_sort < 85 -> ws = min(ws, 80)
+Caps (optimized.py:700-737, channel-for-channel):
+  * num in (0, 80)   -> confidence = min(num, 70)      (house cap,
+                        optimized.py:703-706; 0 = absent, no cap)
+  * token_sort < 70  -> confidence = min(token_sort, 60) (street cap,
+                        optimized.py:708-710)
+  * num == 0         -> num weight := 0 (absent channel; the reference
+                        omits missing components from the weighted sum)
+  * partial == 0     -> partial weight := 0  (city, optimized.py:712-713)
+  * jaccard < 50     -> jaccard channel dropped (zip, optimized.py:714-715)
+  * post-hoc, if ws > 85 (optimized.py:728-735):
+      num in (0, 90)   -> ws = min(ws, 75)   (house guard)
+      token_sort < 85  -> ws = min(ws, 80)   (street guard)
 
 Tier = highest cascade tier whose threshold <= confidence
 (ultimate_address_matcher.py:276-364 recast per SURVEY.md §2.9 C1);
@@ -92,34 +106,58 @@ def component_scores(
     a, b = norm_a[:cap], norm_b[:cap]
     sorted_a = " ".join(sorted(a.split()))
     sorted_b = " ".join(sorted(b.split()))
+    # street channel (optimized.py:634-639): exact-normalized -> 100,
+    # else token_sort_ratio (reorder-invariant)
+    if a == b or sorted_a == sorted_b:
+        token_sort = 100.0
+    else:
+        token_sort = kernels.indel_ratio(sorted_a, sorted_b)
+    # house channel (optimized.py:659-673): digit-run signature; exact ->
+    # 100, else ratio through the F9 penalty ladder; absent -> 0
+    num_a, num_b = kernels.digit_sig(a), kernels.digit_sig(b)
+    if not num_a or not num_b:
+        num = 0.0
+    elif num_a == num_b:
+        num = 100.0
+    else:
+        r = kernels.indel_ratio(num_a, num_b)
+        num = r if r >= 90.0 else max(0.0, r - 20.0)
     return {
-        "text": 100.0 if a == b else kernels.indel_ratio(a, b),
-        "token_sort": 100.0
-        if sorted_a == sorted_b
-        else kernels.indel_ratio(sorted_a, sorted_b),
+        "token_sort": token_sort,
+        "num": num,
         "partial": kernels.partial_ratio(a, b),
         "jaccard": 100.0 * kernels.token_set_jaccard(a, b),
         "jaro": 100.0 * kernels.jaro_winkler(a[:JARO_PREFIX], b[:JARO_PREFIX]),
         "struct": 100.0
         if roles_a == roles_b
         else kernels.indel_ratio(roles_a, roles_b),
+        # overall similarity (optimized.py:753-754) — NOT a weighted
+        # component; exact-first like the reference's normalize-then-ratio
+        "text": 100.0 if a == b else kernels.indel_ratio(a, b),
     }
 
 
 def weighted_confidence(
     s: dict[str, float], cfg: MatchConfig = DEFAULT_CONFIG
 ) -> float:
-    """Reference formula (optimized.py:686-737), channels remapped."""
-    # critical-channel early return (street cap, optimized.py:704-706)
-    if s["token_sort"] < 70.0:
-        return min(s["token_sort"], 60.0)
+    """Reference formula (optimized.py:686-737), channel-for-channel:
+    street -> token_sort, house -> num."""
+    street, house = s["token_sort"], s["num"]
+    # house cap (optimized.py:703-706): present but poor -> cap 70
+    if 0.0 < house < 80.0:
+        return min(house, 70.0)
+    # street cap (optimized.py:708-710): critical channel poor -> cap 60
+    if street < 70.0:
+        return min(street, 60.0)
 
     w = dict(cfg.weights())
+    if house == 0.0:
+        w["num"] = 0.0  # absent component (reference omits it entirely)
     if s["partial"] == 0.0:
-        w["partial"] = 0.0
-    use = dict(s)
+        w["partial"] = 0.0  # optimized.py:712-713 (city score 0)
+    use = {k: s[k] for k in w}
     if s["jaccard"] < 50.0:
-        use.pop("jaccard")
+        use.pop("jaccard")  # optimized.py:714-715
 
     total_score = 0.0
     total_weight = 0.0
@@ -131,11 +169,12 @@ def weighted_confidence(
         return 0.0
     ws = total_score / total_weight
 
-    # post-hoc high-confidence guards (optimized.py:728-735)
+    # post-hoc high-confidence guards (optimized.py:728-735): house must be
+    # very good (if present) and street very close to claim high confidence
     if ws > 85.0:
-        if s["text"] < 90.0:
+        if 0.0 < house < 90.0:
             ws = min(ws, 75.0)
-        if s["token_sort"] < 85.0:
+        if street < 85.0:
             ws = min(ws, 80.0)
     return ws
 
@@ -154,6 +193,99 @@ def reliability(quality: float) -> str:
     return "speculative"
 
 
+def is_exact(
+    s: dict[str, float], conf: float, cfg: MatchConfig = DEFAULT_CONFIG
+) -> bool:
+    """P5 multi-component exact predicate (optimized.py:191-218
+    ``MatchResult.exact`` / ``_is_truly_exact``), channel-for-channel:
+    similarity -> text, house -> num, street -> token_sort, zip ->
+    jaccard. A high confidence alone is NOT exact: each critical channel
+    that is present must clear its own minimum."""
+    if s["text"] < cfg.exact_similarity_min or conf < 95.0:
+        return False
+    if 0.0 < s["num"] < cfg.exact_house_min:
+        return False
+    if s["token_sort"] < cfg.exact_street_min:
+        return False
+    if 0.0 < s["jaccard"] < cfg.exact_zip_min:
+        return False
+    return True
+
+
+def quality_warnings(
+    s: dict[str, float],
+    conf: float,
+    tier: str,
+    norm_a: str,
+    norm_b: str,
+    roles_a: str,
+    roles_b: str,
+    n_families: int = 1,
+) -> tuple[float, str, list[str]]:
+    """Quality score + reliability + warnings — the reference's
+    ``_calculate_enhanced_quality_score`` (UAM:760-838), post-clamp unit
+    bonus (UAM:910-921 — the clamp-order quirk, SURVEY §7.5 risk 4, is
+    reproduced deliberately: quality may exceed 100 after the bonus) and
+    ``_assess_reliability`` warnings (UAM:845-864).
+
+    Domain recast of the presence bonuses (matched-side components):
+      street  +20 <- norm_text_b non-empty
+      house   +15 <- norm_text_b contains a digit run
+      unit    +30 <- roles_sig_b non-empty; elif struct channel scored, +25
+                    (APTNBR/APTTYPE field bonuses are address-index quirks
+                    with no transcript analogue — SURVEY §2.8)
+      city    +10 <- partial channel informative (s_partial > 0)
+      state   +5  <- jaro channel informative (s_jaro > 0)
+      zip     +5  <- jaccard channel kept (s_jaccard >= 50)
+    es_score  <- 10 x number of blocking families that proposed the pair
+                 (the retrieval-signal analogue of the ES _score).
+    Preprocessing-issue penalties (UAM:829-836) apply to the QUERY side:
+    empty -50, too_short(<10 chars) -30, numeric_only -20.
+    """
+    base = conf
+    if norm_b:
+        base += 20.0
+    if any(c.isdigit() for c in norm_b):
+        base += 15.0
+    if roles_b:
+        base += 30.0
+    elif s["struct"] > 0.0:
+        base += 25.0
+    if s["partial"] > 0.0:
+        base += 10.0
+    if s["jaro"] > 0.0:
+        base += 5.0
+    if s["jaccard"] >= 50.0:
+        base += 5.0
+    es = 10.0 * float(n_families)
+    if es > 0.0:
+        base += min(es / 10.0, 20.0)
+    if s["text"] > 0.0:
+        base += min(s["text"] / 5.0, 15.0)
+    base += TIER_ADJUSTMENT.get(tier, -80.0)
+    if not norm_a:
+        base -= 50.0
+    elif len(norm_a) < 10:
+        base -= 30.0
+    elif norm_a.replace(" ", "").isdigit():
+        base -= 20.0
+    quality = max(0.0, min(100.0, base))
+    # POST-clamp unit bonus (UAM:910-921): query side has a unit analogue
+    # and the matched side too -> exact +50 / wrong -20, applied AFTER the
+    # [0,100] clamp exactly like the reference
+    if roles_a and roles_b:
+        quality += 50.0 if roles_a == roles_b else -20.0
+    band = reliability(quality)
+    warnings: list[str] = []
+    if tier in ("phonetic", "keyword", "desperate"):
+        warnings.append("low_confidence_level")
+    if s["text"] < 50.0:
+        warnings.append("low_similarity")
+    if es < 5.0:
+        warnings.append("low_retrieval_score")
+    return quality, band, warnings
+
+
 def score_pairs_pd(
     docs: pd.DataFrame,
     pairs: pd.DataFrame,
@@ -165,19 +297,36 @@ def score_pairs_pd(
     confidence + quality + reliability + is_match.
     """
     feats = docs.set_index("conv_id")
+    fam_counts = (
+        [int(len(f)) for f in pairs["families"]]
+        if "families" in pairs.columns
+        else [1] * len(pairs)
+    )
     rows = []
-    for a, b in zip(pairs["conv_id_a"], pairs["conv_id_b"]):
+    for a, b, nf in zip(pairs["conv_id_a"], pairs["conv_id_b"], fam_counts):
         fa, fb = feats.loc[a], feats.loc[b]
-        s = component_scores(
-            fa["norm_text"], fb["norm_text"], fa["roles_sig"], fb["roles_sig"], cfg
+        na, nb = fa["norm_text"], fb["norm_text"]
+        ra, rb = fa["roles_sig"], fb["roles_sig"]
+        # P2 required-feature gate (optimized.py:784-793): a doc missing
+        # its critical feature cannot link — the reference returns the
+        # empty MatchResult (confidence 0, no component scores)
+        gated = (cfg.require_text and (not na or not nb)) or (
+            cfg.require_roles and (not ra or not rb)
         )
-        conf = weighted_confidence(s, cfg)
-        tier = assign_tier(conf)
-        adj = max(0.0, conf + TIER_ADJUSTMENT.get(tier, -100.0))
-        # quality: conf + similarity bonus, clamped (UAM:760-838 simplified
-        # to the domain-neutral terms), then reliability bands (UAM:845-854)
-        quality = max(0.0, min(100.0, conf + min(s["text"] / 5.0, 15.0)
-                               + TIER_ADJUSTMENT.get(tier, -100.0)))
+        if gated:
+            s = {k: 0.0 for k in ("token_sort", "num", "partial",
+                                  "jaccard", "jaro", "struct", "text")}
+            conf, tier = 0.0, "none"
+            quality, band = 0.0, "speculative"
+            warnings = ["empty_critical_feature"]
+        else:
+            s = component_scores(na, nb, ra, rb, cfg)
+            conf = weighted_confidence(s, cfg)
+            tier = assign_tier(conf)
+            quality, band, warnings = quality_warnings(
+                s, conf, tier, na, nb, ra, rb, nf
+            )
+        adj = max(0.0, conf + TIER_ADJUSTMENT.get(tier, -80.0))
         rows.append(
             {
                 "conv_id_a": a,
@@ -186,9 +335,13 @@ def score_pairs_pd(
                 "confidence": conf,
                 "tier": tier,
                 "confidence_adjusted": adj,
+                "is_exact": (not gated) and is_exact(s, conf, cfg),
+                "unit_exact": bool(ra) and ra == rb,
                 "quality": quality,
-                "reliability": reliability(quality),
-                "is_match": conf >= cfg.match_tier_threshold
+                "reliability": band,
+                "warnings": warnings,
+                "is_match": (not gated)
+                and conf >= cfg.match_tier_threshold
                 and s["text"] >= cfg.match_text_floor,
             }
         )

@@ -2,8 +2,9 @@
 
 Two layers, split exactly as SURVEY.md §2.11 prescribes:
 
-* **Channel scores** (InDel ratio, token-sort, partial, Jaccard,
-  Jaro-Winkler, role-structure) — an Arrow-batched pandas UDF calling the
+* **Channel scores** (token-sort/street, digit-sig/house, partial/city,
+  Jaccard/zip, Jaro-Winkler/state, role-structure/unit + the unweighted
+  overall similarity) — an Arrow-batched pandas UDF calling the
   SAME kernel code as the pandas oracle (``pipeline.oracle
   .component_scores``), so pipeline and oracle cannot diverge. This is the
   only Python on the pair path; every kernel early-exits on equal strings,
@@ -37,7 +38,9 @@ from pipeline.config import (
     TIER_ADJUSTMENT,
 )
 
-CHANNELS = ["text", "token_sort", "partial", "jaccard", "jaro", "struct"]
+# score-column order = the oracle's component dict order; the six weighted
+# channels first, then the unweighted overall similarity (s_text)
+CHANNELS = ["token_sort", "num", "partial", "jaccard", "jaro", "struct", "text"]
 
 _SCORE_SCHEMA = T.StructType(
     [T.StructField(f"s_{c}", T.DoubleType()) for c in CHANNELS]
@@ -66,10 +69,13 @@ def make_score_udf(cfg: MatchConfig = DEFAULT_CONFIG):
 
 def confidence_col(cfg: MatchConfig = DEFAULT_CONFIG) -> Column:
     """Weighted confidence over s_* columns — oracle.weighted_confidence
-    as a Column expression, FP-op-order identical."""
+    as a Column expression, FP-op-order identical. Channel-for-channel
+    with the reference: street -> s_token_sort, house -> s_num."""
     s = {c: F.col(f"s_{c}") for c in CHANNELS}
     w = cfg.weights()
 
+    # absent house channel -> weight 0 (reference omits missing components)
+    w_num = F.when(s["num"] == 0.0, F.lit(0.0)).otherwise(F.lit(w["num"]))
     w_partial = F.when(s["partial"] == 0.0, F.lit(0.0)).otherwise(
         F.lit(w["partial"])
     )
@@ -80,16 +86,16 @@ def confidence_col(cfg: MatchConfig = DEFAULT_CONFIG) -> Column:
     jacc_weight_term = F.when(jacc_kept, F.lit(w["jaccard"])).otherwise(F.lit(0.0))
 
     total_score = (
-        s["text"] * F.lit(w["text"])
-        + s["token_sort"] * F.lit(w["token_sort"])
+        s["token_sort"] * F.lit(w["token_sort"])
+        + s["num"] * w_num
         + s["partial"] * w_partial
         + jacc_score_term
         + s["jaro"] * F.lit(w["jaro"])
         + s["struct"] * F.lit(w["struct"])
     )
     total_weight = (
-        F.lit(w["text"])
-        + F.lit(w["token_sort"])
+        F.lit(w["token_sort"])
+        + w_num
         + w_partial
         + jacc_weight_term
         + F.lit(w["jaro"])
@@ -99,14 +105,24 @@ def confidence_col(cfg: MatchConfig = DEFAULT_CONFIG) -> Column:
         total_score / total_weight
     )
 
-    # post-hoc high-confidence guards (optimized.py:728-735)
-    ws_a = F.when(s["text"] < 90.0, F.least(ws, F.lit(75.0))).otherwise(ws)
+    # post-hoc high-confidence guards (optimized.py:728-735): house (if
+    # present) must be very good, street must be very close
+    ws_a = F.when(
+        (s["num"] > 0.0) & (s["num"] < 90.0), F.least(ws, F.lit(75.0))
+    ).otherwise(ws)
     ws_b = F.when(s["token_sort"] < 85.0, F.least(ws_a, F.lit(80.0))).otherwise(ws_a)
     guarded = F.when(ws > 85.0, ws_b).otherwise(ws)
 
-    # critical-channel early return (optimized.py:704-706)
-    return F.when(
+    # street cap early return (optimized.py:708-710)
+    guarded = F.when(
         s["token_sort"] < 70.0, F.least(s["token_sort"], F.lit(60.0))
+    ).otherwise(guarded)
+
+    # house cap early return (optimized.py:703-706) — checked FIRST in the
+    # reference, so it wins over the street cap
+    return F.when(
+        (s["num"] > 0.0) & (s["num"] < 80.0),
+        F.least(s["num"], F.lit(70.0)),
     ).otherwise(guarded)
 
 
@@ -119,7 +135,9 @@ def tier_col(conf: Column) -> Column:
 
 
 def adjustment_col(tier: Column) -> Column:
-    expr = F.lit(-100.0)
+    # default -80 for unknown levels = the reference's
+    # level_adjustments.get(match_level, -80) (UAM:836, :925)
+    expr = F.lit(-80.0)
     for name, adj in TIER_ADJUSTMENT.items():
         expr = F.when(tier == name, F.lit(adj)).otherwise(expr)
     return expr
@@ -135,33 +153,134 @@ def reliability_col(quality: Column) -> Column:
 def with_decisions(
     scored: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """Add confidence / tier / adjusted / quality / reliability / is_match
-    over a DataFrame that already has the s_* channel columns."""
-    out = scored.withColumn("confidence", confidence_col(cfg))
-    out = out.withColumn("tier", tier_col(F.col("confidence")))
+    """Add confidence / tier / adjusted / is_exact / unit_exact / quality /
+    reliability / warnings / is_match over a DataFrame that has the s_*
+    channel columns plus the pair context columns ``_norm_a, _norm_b,
+    _roles_a, _roles_b`` (and optionally ``families``).
+
+    Every expression is the Column twin of the pandas oracle
+    (``pipeline.oracle``): same FP-op order, same clamp order — including
+    the POST-clamp unit bonus quirk (UAM:910-921, SURVEY §7.5 risk 4).
+    """
+    needed = {"_norm_a", "_norm_b", "_roles_a", "_roles_b"}
+    missing = needed - set(scored.columns)
+    if missing:
+        raise ValueError(
+            f"with_decisions needs pair context columns {sorted(missing)}"
+        )
+    na = F.coalesce(F.col("_norm_a"), F.lit(""))
+    nb = F.coalesce(F.col("_norm_b"), F.lit(""))
+    ra = F.coalesce(F.col("_roles_a"), F.lit(""))
+    rb = F.coalesce(F.col("_roles_b"), F.lit(""))
+    n_families = (
+        F.size("families").cast("double")
+        if "families" in scored.columns
+        else F.lit(1.0)
+    )
+
+    # P2 required-feature gate (optimized.py:784-793): gated pairs get the
+    # empty MatchResult — zero channel scores, confidence 0, tier none
+    gate = F.lit(False)
+    if cfg.require_text:
+        gate = gate | (F.length(na) == 0) | (F.length(nb) == 0)
+    if cfg.require_roles:
+        gate = gate | (F.length(ra) == 0) | (F.length(rb) == 0)
+
+    out = scored.withColumn("_gated", gate)
+    for c in CHANNELS:
+        out = out.withColumn(
+            f"s_{c}", F.when(F.col("_gated"), F.lit(0.0)).otherwise(F.col(f"s_{c}"))
+        )
+    out = out.withColumn(
+        "confidence",
+        F.when(F.col("_gated"), F.lit(0.0)).otherwise(confidence_col(cfg)),
+    )
+    out = out.withColumn(
+        "tier",
+        F.when(F.col("_gated"), F.lit("none")).otherwise(
+            tier_col(F.col("confidence"))
+        ),
+    )
     adj = adjustment_col(F.col("tier"))
     out = out.withColumn(
         "confidence_adjusted", F.greatest(F.lit(0.0), F.col("confidence") + adj)
     )
+
+    # P5 multi-component exact predicate (optimized.py:191-218)
+    s = {c: F.col(f"s_{c}") for c in CHANNELS}
+    out = out.withColumn(
+        "is_exact",
+        (s["text"] >= F.lit(cfg.exact_similarity_min))
+        & (F.col("confidence") >= F.lit(95.0))
+        & ~((s["num"] > 0.0) & (s["num"] < F.lit(cfg.exact_house_min)))
+        & (s["token_sort"] >= F.lit(cfg.exact_street_min))
+        & ~((s["jaccard"] > 0.0) & (s["jaccard"] < F.lit(cfg.exact_zip_min))),
+    )
+    out = out.withColumn("unit_exact", (F.length(ra) > 0) & (ra == rb))
+
+    # F16 quality (UAM:760-838): presence bonuses + es/similarity bonuses
+    # + level adjustment + preprocessing-issue penalties, clamped [0,100]
+    es = F.lit(10.0) * n_families
+    zero = F.lit(0.0)
+    base = (
+        F.col("confidence")
+        + F.when(F.length(nb) > 0, F.lit(20.0)).otherwise(zero)
+        + F.when(nb.rlike("[0-9]"), F.lit(15.0)).otherwise(zero)
+        + F.when(F.length(rb) > 0, F.lit(30.0))
+        .when(s["struct"] > 0.0, F.lit(25.0))
+        .otherwise(zero)
+        + F.when(s["partial"] > 0.0, F.lit(10.0)).otherwise(zero)
+        + F.when(s["jaro"] > 0.0, F.lit(5.0)).otherwise(zero)
+        + F.when(s["jaccard"] >= 50.0, F.lit(5.0)).otherwise(zero)
+        + F.when(es > 0.0, F.least(es / 10.0, F.lit(20.0))).otherwise(zero)
+        + F.when(s["text"] > 0.0, F.least(s["text"] / 5.0, F.lit(15.0))).otherwise(zero)
+        + adj
+        - F.when(F.length(na) == 0, F.lit(50.0))
+        .when(F.length(na) < 10, F.lit(30.0))
+        .when(na.rlike("^[0-9 ]+$") & na.rlike("[0-9]"), F.lit(20.0))
+        .otherwise(zero)
+    )
+    clamped = F.greatest(zero, F.least(F.lit(100.0), base))
+    # POST-clamp unit bonus (UAM:910-921) — quality may exceed 100
+    unit_bonus = F.when(
+        (F.length(ra) > 0) & (F.length(rb) > 0),
+        F.when(ra == rb, F.lit(50.0)).otherwise(F.lit(-20.0)),
+    ).otherwise(zero)
     out = out.withColumn(
         "quality",
-        F.greatest(
-            F.lit(0.0),
-            F.least(
-                F.lit(100.0),
-                F.col("confidence")
-                + F.least(F.col("s_text") / 5.0, F.lit(15.0))
-                + adj,
-            ),
+        F.when(F.col("_gated"), zero).otherwise(clamped + unit_bonus),
+    )
+    out = out.withColumn(
+        "reliability",
+        F.when(F.col("_gated"), F.lit("speculative")).otherwise(
+            reliability_col(F.col("quality"))
         ),
     )
-    out = out.withColumn("reliability", reliability_col(F.col("quality")))
+    # F17 warnings array (UAM:855-864)
+    out = out.withColumn(
+        "warnings",
+        F.when(
+            F.col("_gated"), F.array(F.lit("empty_critical_feature"))
+        ).otherwise(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.col("tier").isin("phonetic", "keyword", "desperate"),
+                        F.lit("low_confidence_level"),
+                    ),
+                    F.when(s["text"] < 50.0, F.lit("low_similarity")),
+                    F.when(es < 5.0, F.lit("low_retrieval_score")),
+                )
+            )
+        ),
+    )
     out = out.withColumn(
         "is_match",
-        (F.col("confidence") >= F.lit(cfg.match_tier_threshold))
-        & (F.col("s_text") >= F.lit(cfg.match_text_floor)),
+        ~F.col("_gated")
+        & (F.col("confidence") >= F.lit(cfg.match_tier_threshold))
+        & (s["text"] >= F.lit(cfg.match_text_floor)),
     )
-    return out
+    return out.drop("_gated")
 
 
 def score_pairs(
@@ -204,6 +323,9 @@ def score_pairs(
         "_s", udf("_norm_a", "_norm_b", "_roles_a", "_roles_b")
     )
     scored = scored.select(
-        "conv_id_a", "conv_id_b", "block_key", "families", "_s.*"
+        "conv_id_a", "conv_id_b", "block_key", "families",
+        "_norm_a", "_norm_b", "_roles_a", "_roles_b", "_s.*",
     )
-    return with_decisions(scored, cfg)
+    return with_decisions(scored, cfg).drop(
+        "_norm_a", "_norm_b", "_roles_a", "_roles_b"
+    )

@@ -1,0 +1,137 @@
+"""P2 feature-null gates, P5 exact predicate, C3 unit-exact tie-break."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pipeline.blocking import candidate_pairs, rejected_docs
+from pipeline.canonicalize import canonicalize
+from pipeline.config import DEFAULT_CONFIG, MatchConfig
+from pipeline.features import featurize
+from pipeline.linkage import best_matches
+from pipeline.scoring import CHANNELS, with_decisions
+
+
+def _pair_df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_empty_text_pair_cannot_reach_exact(spark):
+    """P2 (optimized.py:784-793): two punctuation-only conversations
+    normalize to empty text; without the gate they'd score text=100
+    (equal strings) -> tier exact. The gate zeroes everything."""
+    rows = [
+        {
+            **{f"s_{c}": 100.0 for c in CHANNELS},
+            "_norm_a": "",
+            "_norm_b": "",
+            "_roles_a": "ua",
+            "_roles_b": "ua",
+        }
+    ]
+    out = with_decisions(_pair_df(spark, rows), DEFAULT_CONFIG).collect()[0]
+    assert out["confidence"] == 0.0
+    assert out["tier"] == "none"
+    assert out["is_exact"] is False
+    assert out["is_match"] is False
+    assert out["quality"] == 0.0
+    assert list(out["warnings"]) == ["empty_critical_feature"]
+
+
+def test_gated_docs_generate_no_blocking_keys(spark):
+    """Empty-norm docs are excluded from candidate generation and audited
+    (the reference returns the empty MatchResult before retrieval)."""
+    turns = pd.DataFrame(
+        {
+            "conv_id": ["e1", "e1", "e2", "e2", "ok1", "ok1", "ok2", "ok2"],
+            "turn_idx": [0, 1] * 4,
+            "role": ["user", "assistant"] * 4,
+            "text": ["...", "!!!", "???", "...", "hello world foo", "bar baz",
+                     "hello world foo", "bar baz"],
+            "tool": [None] * 8,
+            "ts": pd.to_datetime(["2024-01-01"] * 8),
+        }
+    )
+    feats = featurize(canonicalize(spark.createDataFrame(turns)))
+    pairs, _ = candidate_pairs(feats)
+    got = pairs.select("conv_id_a", "conv_id_b").toPandas()
+    ids = set(got["conv_id_a"]) | set(got["conv_id_b"])
+    assert "e1" not in ids and "e2" not in ids
+    assert ("ok1" in ids) and ("ok2" in ids)
+    rej = rejected_docs(feats).toPandas()
+    assert set(rej["conv_id"]) == {"e1", "e2"}
+    assert (rej["reason"] == "empty_critical_feature").all()
+
+
+def test_require_roles_gate(spark):
+    cfg = MatchConfig(require_roles=True)
+    rows = [
+        {
+            **{f"s_{c}": 100.0 for c in CHANNELS},
+            "_norm_a": "hello world conversation",
+            "_norm_b": "hello world conversation",
+            "_roles_a": "",
+            "_roles_b": "ua",
+        }
+    ]
+    out = with_decisions(_pair_df(spark, rows), cfg).collect()[0]
+    assert out["tier"] == "none" and out["is_match"] is False
+
+
+def test_exact_requires_component_minimums(spark):
+    """P5 (optimized.py:191-218): confidence >= 95 alone is NOT exact —
+    a present house channel below 95 disqualifies."""
+    base = {
+        "s_token_sort": 100.0, "s_num": 0.0, "s_partial": 100.0,
+        "s_jaccard": 100.0, "s_jaro": 100.0, "s_struct": 100.0,
+        "s_text": 100.0,
+        "_norm_a": "hello world conversation", "_norm_b": "hello world conversation",
+        "_roles_a": "ua", "_roles_b": "ua",
+    }
+    ok = dict(base)
+    bad_house = dict(base, s_num=92.0)      # present but < 95
+    bad_sim = dict(base, s_text=94.0)       # similarity < 95
+    bad_zip = dict(base, s_jaccard=79.0)    # present but < 80
+    out = {
+        i: r
+        for i, r in enumerate(
+            with_decisions(
+                _pair_df(spark, [ok, bad_house, bad_sim, bad_zip]),
+                DEFAULT_CONFIG,
+            ).collect()
+        )
+    }
+    # NB: rows come back in input order for a local 1-partition frame
+    flags = [r["is_exact"] for r in out.values()]
+    confs = [r["confidence"] for r in out.values()]
+    assert flags[0] is True
+    assert all(c >= 95.0 for c in confs[:3])
+    assert flags[1] is False  # house present < 95
+    assert flags[2] is False  # similarity < 95
+    assert flags[3] is False  # zip present < 80
+
+
+def test_best_match_unit_tiebreak(spark):
+    """C3 (UAM:910-943): at equal confidence, the unit-exact candidate
+    wins; is_exact outranks everything."""
+    rows = pd.DataFrame(
+        [
+            # query q: partner a (unit differs), partner b (unit exact),
+            # same confidence — b must win despite higher partner id
+            {"conv_id_a": "q", "conv_id_b": "a", "confidence": 80.0,
+             "tier": "relaxed", "is_exact": False, "unit_exact": False},
+            {"conv_id_a": "q", "conv_id_b": "b", "confidence": 80.0,
+             "tier": "relaxed", "is_exact": False, "unit_exact": True},
+            # query z: lower-confidence exact candidate outranks a
+            # higher-confidence non-exact one (exact-first, OPT:758-776)
+            {"conv_id_a": "z", "conv_id_b": "c", "confidence": 99.0,
+             "tier": "exact", "is_exact": False, "unit_exact": False},
+            {"conv_id_a": "z", "conv_id_b": "d", "confidence": 96.0,
+             "tier": "exact", "is_exact": True, "unit_exact": True},
+        ]
+    )
+    best = best_matches(spark.createDataFrame(rows)).toPandas()
+    best = best.set_index("conv_id")["partner_id"].to_dict()
+    assert best["q"] == "b"
+    assert best["z"] == "d"

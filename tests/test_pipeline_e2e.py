@@ -73,18 +73,24 @@ def test_oracle_parity_f1(plan, scored_pd, corpus, spark):
 
 
 def test_scores_bitwise_equal_oracle(scored_pd, corpus):
-    """Stronger than F1: confidence and tier must equal the oracle exactly
-    (shared kernels + FP-op-order-matched JVM expressions)."""
-    cand = scored_pd[["conv_id_a", "conv_id_b"]]
+    """Stronger than F1: confidence / tier / quality / warnings / exact
+    predicates must equal the oracle exactly (shared kernels +
+    FP-op-order-matched JVM expressions)."""
+    cand = scored_pd[["conv_id_a", "conv_id_b", "families"]]
     labels = oracle.oracle_labels(corpus.turns, cand)
     m = scored_pd.merge(
         labels, on=["conv_id_a", "conv_id_b"], suffixes=("_spark", "_oracle")
     )
     assert len(m) == len(scored_pd)
-    diff = (m["confidence_spark"] - m["confidence_oracle"]).abs()
-    assert diff.max() == 0.0, m.loc[diff.idxmax()]
-    assert (m["tier_spark"] == m["tier_oracle"]).all()
-    assert (m["is_match_spark"] == m["is_match_oracle"]).all()
+    for col in ["confidence", "confidence_adjusted", "quality"]:
+        diff = (m[f"{col}_spark"] - m[f"{col}_oracle"]).abs()
+        assert diff.max() == 0.0, (col, m.loc[diff.idxmax()])
+    for col in ["tier", "is_match", "is_exact", "unit_exact", "reliability"]:
+        assert (m[f"{col}_spark"] == m[f"{col}_oracle"]).all(), col
+    assert all(
+        list(a) == list(b)
+        for a, b in zip(m["warnings_spark"], m["warnings_oracle"])
+    )
 
 
 def test_true_pair_tiers(scored_pd, corpus):

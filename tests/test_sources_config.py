@@ -61,13 +61,13 @@ def test_read_turns_missing_column(spark, tiny, tmp_path):
 def test_config_from_file(tmp_path):
     p = str(tmp_path / "cfg.json")
     with open(p, "w") as f:
-        json.dump({"w_text": 0.5, "w_token_sort": 0.2, "w_partial": 0.1,
+        json.dump({"w_token_sort": 0.5, "w_num": 0.2, "w_partial": 0.1,
                    "w_jaccard": 0.1, "w_jaro": 0.05, "w_struct": 0.05,
                    "match_tier_threshold": 65.0}, f)
     cfg = MatchConfig.from_file(p)
-    assert cfg.w_text == 0.5 and cfg.match_tier_threshold == 65.0
+    assert cfg.w_token_sort == 0.5 and cfg.match_tier_threshold == 65.0
     with open(p, "w") as f:
-        json.dump({"w_text": 0.9}, f)  # weights no longer sum to 1
+        json.dump({"w_token_sort": 0.9}, f)  # weights no longer sum to 1
     with pytest.raises(ValueError):
         MatchConfig.from_file(p)
 
