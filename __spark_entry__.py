@@ -243,6 +243,8 @@ def _lev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_b",
         lev.cast("long").alias("lev"),
         ratio.alias("lev_ratio"),
+        "_na",
+        "_nb",
     )
 
 
@@ -761,8 +763,204 @@ from documents
 """
 
 
-# -- rows-only queries (non-SQL-expressible: xxhash64 / pandas-UDF kernels /
-#    iterative CC) — driver records a weaker rows-only check ----------------
+# tier -> quality/confidence adjustment (UAM:820-827), shared by the two
+# engines below
+_ADJ_CASE_SQL = """
+    case tier when 'exact' then 0.0 when 'relaxed' then -5.0
+              when 'partial' then -10.0 when 'geographic' then -15.0
+              when 'fuzzy' then -25.0 when 'ultra_fuzzy' then -35.0
+              when 'semantic' then -45.0 when 'phonetic' then -55.0
+              when 'keyword' then -65.0 when 'desperate' then -75.0
+              else -80.0 end
+"""
+
+
+def _adj_from_tier(tier_col):
+    from pipeline.config import TIER_ADJUSTMENT
+
+    expr = F.lit(-80.0)
+    for name, adj in TIER_ADJUSTMENT.items():
+        expr = F.when(tier_col == name, F.lit(adj)).otherwise(expr)
+    return expr
+
+
+def q_quality_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16/F17 quality + reliability + warnings STRUCTURE (UAM:760-866)
+    over engine-native lev-scored pairs — the SQL-checkable twin of the
+    kernel-based pipeline decision layer (same bonuses, same clamp-before-
+    unit-bonus order, same warning rules; 'unit' here = the first 3-5
+    digit token, the number_extract feature)."""
+    s = _lev_pairs(spark, sf_dir)
+    conf = F.col("lev_ratio")
+    tier = _tier_from_ratio(conf)
+    s = s.withColumn("tier", tier)
+    una = F.regexp_extract(F.col("_na"), r"\b(\d{3,5})\b", 1)
+    unb = F.regexp_extract(F.col("_nb"), r"\b(\d{3,5})\b", 1)
+    adj = _adj_from_tier(F.col("tier"))
+    zero = F.lit(0.0)
+    base = (
+        conf
+        + F.when(F.length("_nb") > 0, F.lit(20.0)).otherwise(zero)
+        + F.when(F.col("_nb").rlike("[0-9]"), F.lit(15.0)).otherwise(zero)
+        + F.when(F.length(unb) > 0, F.lit(30.0)).otherwise(zero)
+        + F.lit(1.0)  # es-analogue bonus: min(10*1 family / 10, 20) = 1
+        + F.when(conf > 0.0, F.least(conf / 5.0, F.lit(15.0))).otherwise(zero)
+        + adj
+        - F.when(F.length("_na") == 0, F.lit(50.0))
+        .when(F.length("_na") < 10, F.lit(30.0))
+        .when(F.col("_na").rlike("^[0-9 ]+$") & F.col("_na").rlike("[0-9]"), F.lit(20.0))
+        .otherwise(zero)
+    )
+    clamped = F.greatest(zero, F.least(F.lit(100.0), base))
+    unit_bonus = F.when(
+        (F.length(una) > 0) & (F.length(unb) > 0),
+        F.when(una == unb, F.lit(50.0)).otherwise(F.lit(-20.0)),
+    ).otherwise(zero)
+    quality = clamped + unit_bonus
+    rel = (
+        F.when(quality >= 80.0, F.lit("high"))
+        .when(quality >= 60.0, F.lit("medium"))
+        .when(quality >= 40.0, F.lit("low"))
+        .when(quality >= 20.0, F.lit("very_low"))
+        .otherwise(F.lit("speculative"))
+    )
+    warnings_csv = F.concat_ws(
+        ",",
+        F.array_compact(
+            F.array(
+                F.when(
+                    F.col("tier").isin("phonetic", "keyword", "desperate"),
+                    F.lit("low_confidence_level"),
+                ),
+                F.when(conf < 50.0, F.lit("low_similarity")),
+            )
+        ),
+    )
+    return s.select(
+        "doc_id_a",
+        "doc_id_b",
+        "tier",
+        quality.alias("quality"),
+        rel.alias("reliability"),
+        warnings_csv.alias("warnings_csv"),
+    )
+
+
+SQL_QUALITY_RELIABILITY = rf"""
+{_SQL_LEV_PAIRS_BODY},
+     t as (select s.*, na.norm_text as _na, nb.norm_text as _nb,
+                  {_TIER_CASE_SQL} as tier
+           from s join n na on na.doc_id = s.doc_id_a
+                  join n nb on nb.doc_id = s.doc_id_b),
+     q as (select doc_id_a, doc_id_b, tier,
+                  coalesce(regexp_extract(_na, '\b(\d{{3,5}})\b', 1), '') as una,
+                  coalesce(regexp_extract(_nb, '\b(\d{{3,5}})\b', 1), '') as unb,
+                  lev_ratio
+                  + case when length(_nb) > 0 then 20.0 else 0.0 end
+                  + case when regexp_matches(_nb, '[0-9]') then 15.0 else 0.0 end
+                  + case when length(coalesce(regexp_extract(_nb, '\b(\d{{3,5}})\b', 1), '')) > 0
+                         then 30.0 else 0.0 end
+                  + 1.0
+                  + case when lev_ratio > 0.0
+                         then least(lev_ratio / 5.0, 15.0) else 0.0 end
+                  + {_ADJ_CASE_SQL}
+                  - case when length(_na) = 0 then 50.0
+                         when length(_na) < 10 then 30.0
+                         when regexp_matches(_na, '^[0-9 ]+$')
+                              and regexp_matches(_na, '[0-9]') then 20.0
+                         else 0.0 end as base,
+                  lev_ratio
+           from t)
+select doc_id_a, doc_id_b, tier,
+       cast(greatest(0.0, least(100.0, base))
+        + case when length(una) > 0 and length(unb) > 0
+               then (case when una = unb then 50.0 else -20.0 end)
+               else 0.0 end as double) as quality,
+       case when greatest(0.0, least(100.0, base))
+                 + case when length(una) > 0 and length(unb) > 0
+                        then (case when una = unb then 50.0 else -20.0 end)
+                        else 0.0 end >= 80.0 then 'high'
+            when greatest(0.0, least(100.0, base))
+                 + case when length(una) > 0 and length(unb) > 0
+                        then (case when una = unb then 50.0 else -20.0 end)
+                        else 0.0 end >= 60.0 then 'medium'
+            when greatest(0.0, least(100.0, base))
+                 + case when length(una) > 0 and length(unb) > 0
+                        then (case when una = unb then 50.0 else -20.0 end)
+                        else 0.0 end >= 40.0 then 'low'
+            when greatest(0.0, least(100.0, base))
+                 + case when length(una) > 0 and length(unb) > 0
+                        then (case when una = unb then 50.0 else -20.0 end)
+                        else 0.0 end >= 20.0 then 'very_low'
+            else 'speculative' end as reliability,
+       concat_ws(',',
+         case when tier in ('phonetic','keyword','desperate')
+              then 'low_confidence_level' end,
+         case when lev_ratio < 50.0 then 'low_similarity' end) as warnings_csv
+from q
+"""
+
+
+def q_best_match_unit_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 unit-exact tie-break (UAM:910-943) as an oracle-checked ranking:
+    per query doc, candidates order by (unit-exact desc, score desc,
+    partner id) — a unit-exact candidate outranks a same-or-higher-score
+    candidate whose unit differs."""
+    s = _lev_pairs(spark, sf_dir)
+    una = F.regexp_extract(F.col("_na"), r"\b(\d{3,5})\b", 1)
+    unb = F.regexp_extract(F.col("_nb"), r"\b(\d{3,5})\b", 1)
+    ue = ((F.length(una) > 0) & (una == unb)).cast("int")
+    sym = s.select(
+        F.col("doc_id_a").alias("doc_id"),
+        F.col("doc_id_b").alias("partner_id"),
+        "lev_ratio",
+        ue.alias("unit_exact"),
+    ).unionByName(
+        s.select(
+            F.col("doc_id_b").alias("doc_id"),
+            F.col("doc_id_a").alias("partner_id"),
+            "lev_ratio",
+            ue.alias("unit_exact"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("unit_exact"), F.desc("lev_ratio"), F.asc("partner_id")
+    )
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "doc_id",
+            "partner_id",
+            "lev_ratio",
+            F.col("unit_exact").cast("long").alias("unit_exact"),
+        )
+    )
+
+
+SQL_BEST_MATCH_UNIT = rf"""
+{_SQL_LEV_PAIRS_BODY},
+     t as (select s.doc_id_a, s.doc_id_b, s.lev_ratio,
+                  cast(length(coalesce(regexp_extract(na.norm_text, '\b(\d{{3,5}})\b', 1), '')) > 0
+                       and coalesce(regexp_extract(na.norm_text, '\b(\d{{3,5}})\b', 1), '')
+                         = coalesce(regexp_extract(nb.norm_text, '\b(\d{{3,5}})\b', 1), '')
+                       as int) as unit_exact
+           from s join n na on na.doc_id = s.doc_id_a
+                  join n nb on nb.doc_id = s.doc_id_b),
+     sym as (select doc_id_a as doc_id, doc_id_b as partner_id, lev_ratio, unit_exact from t
+             union all
+             select doc_id_b, doc_id_a, lev_ratio, unit_exact from t)
+select doc_id, partner_id, lev_ratio, cast(unit_exact as bigint) as unit_exact
+from (select sym.*, row_number() over (partition by doc_id
+              order by unit_exact desc, lev_ratio desc, partner_id asc) rn
+      from sym)
+where rn = 1
+"""
+
+
+# -- LSH / ANN operators — engine-neutral md5 hashing (pipeline.hashing)
+#    makes every bucketing step DuckDB-expressible; the SQL twins are
+#    generated below from the same parameters ------------------------------
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,7 +974,12 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline.extras.dedup import simhash_dedup_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_dedup_pairs(docs, max_hamming=12)
+    # n_tables is derived from max_hamming (pigeonhole-complete candidate
+    # generation — round-1 ADVICE fixed the overstated max_hamming=12)
+    out = simhash_dedup_pairs(docs, max_hamming=3)
+    return out.select(
+        "doc_id_a", "doc_id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,6 +990,182 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         emb, n_dims=n_dims, cosine_threshold=0.5, n_bits=4, n_tables=4
     )
+
+
+# ---- DuckDB twins of the LSH operators ------------------------------------
+
+from pipeline.hashing import h60_sql  # noqa: E402
+
+
+def _minhash_sql(n: int = 5, hashes: int = 12, bands: int = 4,
+                 threshold: float = 0.3, cap: int = 256) -> str:
+    rows = hashes // bands
+    shingle_list = (
+        f"list_distinct(list_transform(range(1, greatest(length(norm_text)-{n-1},1) + 1),"
+        f" i -> substring(norm_text, i, {n})))"
+    )
+    mh_cols = ", ".join(
+        f"min({h60_sql(repr(str(i)), 'gram')}) as mh{i}" for i in range(hashes)
+    )
+    band_selects = " union all ".join(
+        "select doc_id, "
+        + h60_sql("'band'", repr(str(b)), *[f"mh{b * rows + r}" for r in range(rows)])
+        + " as band_key from mh"
+        for b in range(bands)
+    )
+    coin = h60_sql("'coin'", "doc_id", "band_key")
+    return f"""
+with n as ({_DOCS_NORM_SQL}),
+g as (select doc_id, unnest({shingle_list}) as gram from n),
+mh as (select doc_id, {mh_cols} from g group by doc_id),
+keyed as ({band_selects}),
+counts as (select band_key, count(*) as members from keyed group by band_key),
+kept as (select k.doc_id, k.band_key from keyed k join counts using (band_key)
+         where members <= {cap}
+            or (({coin}) % 1000000) / 1000000.0 < cast({cap} as double) / members),
+cand as (select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
+         from kept a join kept b on a.band_key = b.band_key
+                               and a.doc_id < b.doc_id),
+gh as (select doc_id,
+              list_distinct(list_transform({shingle_list}, g -> {h60_sql('g')})) as grams
+       from n)
+select c.doc_id_a, c.doc_id_b,
+       len(list_intersect(ga.grams, gb.grams))
+         / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))
+         as jaccard
+from cand c join gh ga on ga.doc_id = c.doc_id_a
+             join gh gb on gb.doc_id = c.doc_id_b
+where len(list_intersect(ga.grams, gb.grams))
+        / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))
+      >= {threshold}
+"""
+
+
+def _simhash_sql(max_hamming: int = 3, cap: int = 256, bits: int = 60) -> str:
+    n_tables = max_hamming + 1
+    width = bits // n_tables
+    tok_hash = h60_sql("t")
+    bit_terms = " + ".join(
+        f"case when 2 * len(list_filter(th, h -> ((h >> {b}) & 1) = 1)) > nt"
+        f" then cast({1 << b} as bigint) else 0 end"
+        for b in range(bits)
+    )
+    block_selects = " union all ".join(
+        f"select doc_id, simhash, {t} as tbl,"
+        f" (simhash >> {width * t}) & {(1 << width) - 1} as block from sh"
+        for t in range(n_tables)
+    )
+    coin = h60_sql("'coin'", "doc_id", "tbl", "block")
+    return f"""
+with n as ({_DOCS_NORM_SQL}),
+tk as (select doc_id,
+              list_transform(list_filter(string_split(norm_text, ' '), x -> x <> ''),
+                             t -> {tok_hash}) as th,
+              len(list_filter(string_split(norm_text, ' '), x -> x <> '')) as nt
+       from n),
+sh as (select doc_id, {bit_terms} as simhash from tk),
+keyed as ({block_selects}),
+counts as (select tbl, block, count(*) as members from keyed group by tbl, block),
+kept as (select k.* from keyed k join counts using (tbl, block)
+         where members <= {cap}
+            or (({coin}) % 1000000) / 1000000.0 < cast({cap} as double) / members),
+cand as (select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+                a.simhash as ha, b.simhash as hb
+         from kept a join kept b on a.tbl = b.tbl and a.block = b.block
+                               and a.doc_id < b.doc_id)
+select doc_id_a, doc_id_b, cast(bit_count(xor(ha, hb)) as bigint) as hamming
+from cand
+where bit_count(xor(ha, hb)) <= {max_hamming}
+"""
+
+
+def _hyperplane_bucket_sql(vec: str, n_bits: int, table: int) -> str:
+    """DuckDB: hyperplane-LSH bucket key of DOUBLE[] column ``vec`` for
+    one table — twin of similarity._hyperplane_sign / with_lsh_buckets."""
+    bit_terms = []
+    for b in range(n_bits):
+        comp = (
+            f"(({h60_sql(chr(39) + 'hp' + chr(39), 'd', repr(str(b)), repr(str(table)))})"
+            f" % 2000001 - 1000000) / 1000000.0"
+        )
+        dot = (
+            f"list_reduce(list_prepend(cast(0.0 as double),"
+            f" list_transform(range(0, len({vec})), d -> {vec}[d + 1] * ({comp}))),"
+            f" (a, b) -> a + b)"
+        )
+        bit_terms.append(f"case when ({dot}) >= 0 then {1 << b} else 0 end")
+    return " + ".join(bit_terms)
+
+
+_COSINE_SQL = """
+  cast(round(
+    list_reduce(list_prepend(cast(0.0 as double),
+      list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_prepend(cast(0.0 as double),
+        list_transform({a}, x -> x * x)), (x, y) -> x + y))
+       * sqrt(list_reduce(list_prepend(cast(0.0 as double),
+          list_transform({b}, x -> x * x)), (x, y) -> x + y)))
+    * 10000) as bigint)
+"""
+
+
+def _embedding_near_dup_sql(threshold: float = 0.5, n_bits: int = 4,
+                            n_tables: int = 4, cap: int = 1024) -> str:
+    bucket_selects = " union all ".join(
+        f"select doc_id, e, ({_hyperplane_bucket_sql('e', n_bits, t)}) * 10 + {t} as bkey from v"
+        for t in range(n_tables)
+    )
+    coin = h60_sql("'coin'", "doc_id", "bkey")
+    cos = _COSINE_SQL.format(a="a.e", b="b.e")
+    return f"""
+with v as (select vec_id as doc_id, embedding::DOUBLE[] as e from embeddings),
+keyed as ({bucket_selects}),
+counts as (select bkey, count(*) as members from keyed group by bkey),
+kept as (select k.doc_id, k.e, k.bkey from keyed k join counts using (bkey)
+         where members <= {cap}
+            or (({coin}) % 1000000) / 1000000.0 < cast({cap} as double) / members),
+cand as (select distinct on (a.doc_id, b.doc_id)
+                a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+                {cos} as cosine_x10000
+         from kept a join kept b on a.bkey = b.bkey and a.doc_id < b.doc_id)
+select doc_id_a, doc_id_b, cosine_x10000
+from cand
+where cosine_x10000 >= {int(round(threshold * 10000))}
+"""
+
+
+def _ivf_fixed_sql(k: int = 3, n_lists: int = 8, n_probe: int = 3) -> str:
+    cos_nc = _COSINE_SQL.format(a="v.e", b="c.cv")
+    cos_qc = _COSINE_SQL.format(a="q.qv", b="c.cv")
+    cos_qn = _COSINE_SQL.format(a="qv", b="nv")
+    return f"""
+with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+cent as (select vec_id as cell, e as cv from v order by vec_id limit {n_lists}),
+assign as (select vec_id as neighbor_id, e as nv, cell
+           from (select v.*, cell, cv,
+                        row_number() over (partition by v.vec_id
+                          order by {cos_nc} desc, cell asc) as rn
+                 from v, cent c)
+           where rn = 1),
+q as (select vec_id as query_id, e as qv from v where vec_id < 10),
+qc as (select query_id, qv, cell
+       from (select q.*, cell, cv,
+                    row_number() over (partition by q.query_id
+                      order by {cos_qc} desc, cell asc) as rn
+             from q, cent c)
+       where rn <= {n_probe}),
+cand as (select distinct on (query_id, neighbor_id)
+                query_id, neighbor_id, {cos_qn} as score_x10000
+         from assign join qc using (cell)
+         where query_id <> neighbor_id)
+select cast(query_id as bigint) as query_id,
+       cast(neighbor_id as bigint) as neighbor_id,
+       score_x10000, cast(rank as bigint) as rank
+from (select cand.*, row_number() over (partition by query_id
+               order by score_x10000 desc, neighbor_id asc) as rank
+      from cand)
+where rank <= {k}
+"""
 
 
 def q_roles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,12 +1234,16 @@ where rank <= 3
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors (KMeans coarse quantizer)."""
-    from pipeline.extras.similarity import ivf_topk
+    """IVF approximate nearest neighbors. The contract query uses the
+    DETERMINISTIC fixed-seed coarse quantizer (``ivf_topk_fixed``) so the
+    whole IVF pipeline — cell assignment, probe limiting, re-rank — is
+    DuckDB-verifiable; the KMeans-trained variant (``ivf_topk``) stays
+    pytest-covered (full-probe == brute-force equivalence)."""
+    from pipeline.extras.similarity import ivf_topk_fixed
 
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where("vec_id < 10")
-    return ivf_topk(emb, q, k=3, n_lists=8, n_probe=3)
+    return ivf_topk_fixed(emb, q, k=3, n_lists=8, n_probe=3)
 
 
 def q_linkage_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_histogram": q_lang_histogram,
         "variants_expand": q_variants,
         "number_extract": q_number_extract,
+        "quality_reliability": q_quality_reliability,
+        "best_match_unit_tiebreak": q_best_match_unit_tiebreak,
         "sessionize": q_sessionize,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -954,6 +1339,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_histogram": f"select lang_pred, cast(count(*) as bigint) as n_docs from ({lang_sql}) group by lang_pred",
         "variants_expand": SQL_VARIANTS,
         "number_extract": SQL_NUMBER_EXTRACT,
+        "quality_reliability": SQL_QUALITY_RELIABILITY,
+        "best_match_unit_tiebreak": SQL_BEST_MATCH_UNIT,
         "sessionize": SQL_SESSIONIZE,
         "pricing_summary": SQL_PRICING,
         "top_customers": SQL_TOP_CUSTOMERS,
@@ -961,8 +1348,13 @@ def oracle_sql() -> dict[str, str]:
         "roles_histogram": SQL_ROLES_HIST,
         "source_stats": SQL_SOURCE_STATS,
         "top_event_users": SQL_TOP_EVENT_USERS,
-        # minhash_dedup / simhash_dedup / embedding_near_dup /
-        # linkage_scored_pairs / linkage_clusters: xxhash64-based keys,
-        # pandas-UDF kernels, or iterative CC — not SQL-expressible;
-        # rows-only check.
+        # LSH/ANN operators: engine-neutral md5 keys make the full
+        # bucketing + verify pipelines DuckDB-expressible (round-2)
+        "minhash_dedup": _minhash_sql(),
+        "simhash_dedup": _simhash_sql(),
+        "embedding_near_dup": _embedding_near_dup_sql(),
+        "ivf_topk": _ivf_fixed_sql(),
+        # linkage_scored_pairs / linkage_clusters: pandas-UDF kernels and
+        # iterative CC — oracled via the single-node pandas twin (inlined
+        # edge list) + DuckDB recursive-CTE connected components.
     }

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline.config import DEFAULT_CONFIG, MatchConfig
-from pipeline.features import key_columns
+from pipeline.features import hash_fn, key_columns
 
 
 ANCHOR_FAMILY = 4
@@ -76,7 +76,7 @@ def anchor_key_table(feats: DataFrame, cfg: MatchConfig) -> DataFrame:
     )
     return ranked.select(
         F.lit(ANCHOR_FAMILY).alias("family"),
-        F.xxhash64("token").alias("key"),
+        hash_fn(cfg)("token").alias("key"),
         "conv_id",
     )
 
@@ -144,15 +144,52 @@ def capped_key_table(
         ["family", "key"],
         "left",
     )
-    # deterministic hash coin in [0, 1): keep with prob cap/members
+    # deterministic hash coin in [0, 1): keep with prob cap/members.
+    # Engine-neutral (hash_fn) so the pandas blocking twin and the DuckDB
+    # oracle reproduce the SAME capped membership.
     coin = (
-        F.pmod(F.xxhash64("conv_id", "key", F.lit(777)), F.lit(1_000_000))
+        F.pmod(hash_fn(cfg)(F.lit("coin"), "conv_id", "key"), F.lit(1_000_000))
         / 1_000_000.0
     )
     kept = joined.filter(
         F.col("members").isNull()
         | (coin < F.lit(float(cfg.block_key_cap)) / F.col("members"))
     ).select("family", "key", "conv_id")
+    return kept, audit
+
+
+def cap_hot_buckets(
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    cap: int,
+    hash_impl: str = "md5",
+) -> tuple[DataFrame, DataFrame]:
+    """Generic hot-bucket protection for LSH-style bucket tables (the
+    capped_key_table machinery, reusable by the dedup/ANN extras —
+    round-1 VERDICT 'what's wrong' #4: one boilerplate-heavy bucket is
+    quadratic at scale without this).
+
+    keyed: one row per (bucket key(s), member id). Buckets over ``cap``
+    members are down-sampled with a deterministic engine-neutral hash
+    coin (expected kept ~= cap); the drop is AUDITED, never silent.
+    Returns (kept, audit) where audit = (key_cols..., members, est_kept).
+    """
+    from pipeline.hashing import h60_col
+
+    H = F.xxhash64 if hash_impl == "xxhash64" else h60_col
+    counts = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("members"))
+    hot = counts.filter(F.col("members") > cap)
+    audit = hot.withColumn("est_kept", F.lit(cap).cast("long"))
+    joined = keyed.join(F.broadcast(hot), key_cols, "left")
+    coin = (
+        F.pmod(H(F.lit("coin"), id_col, *key_cols), F.lit(1_000_000))
+        / 1_000_000.0
+    )
+    kept = joined.filter(
+        F.col("members").isNull()
+        | (coin < F.lit(float(cap)) / F.col("members"))
+    ).drop("members")
     return kept, audit
 
 

@@ -122,6 +122,13 @@ class MatchConfig:
     # false edges into large wrong clusters).
     match_text_floor: float = 45.0
 
+    # Key hashing: "md5" = engine-neutral 60-bit hash (pipeline.hashing)
+    # — identical keys in Spark, DuckDB and Python, so every bucketing
+    # operator is oracle-checkable and the pandas blocking twin is exact.
+    # "xxhash64" = Spark-native (~2x faster per key, not verifiable);
+    # for clusters where the oracle never runs.
+    hash_impl: str = "md5"
+
     # Blocking knobs.
     prefix_key_len: int = 32
     # MinHash-LSH over char-4-gram shingles: 5 bands x 3 rows — tuned so

@@ -5,45 +5,68 @@ contract (``__spark_entry__.queries``):
 
   * exact           — hash-groupBy on the normalized text (keep min doc_id)
   * minhash_lsh     — shingle -> MinHash -> banding -> bucket self-join
-  * simhash         — 64-bit SimHash over token hashes; bucket by rotated
-                      prefixes for Hamming-distance candidate generation
+  * simhash         — 60-bit SimHash over token hashes; candidates from
+                      (max_hamming + 1) bit-block tables (pigeonhole)
   * ngram_jaccard   — n-gram Jaccard on LSH candidates (verification step)
-  * embedding near-dup — cosine >= threshold over LSH/bucketed vectors
+  * embedding near-dup — cosine >= threshold over LSH-bucketed vectors
                       (see pipeline.extras.similarity)
 
-All candidate generation is equi-join on deterministic keys (shuffle-
-friendly, AQE-skew-safe); verification is column arithmetic or an
-Arrow-batched kernel. No driver-side loops.
+All candidate generation is equi-join on deterministic keys; every bucket
+self-join goes through ``blocking.cap_hot_buckets`` (a degenerate
+boilerplate bucket is down-sampled deterministically and AUDITED, never
+silently quadratic). Verification is column arithmetic — no Python on the
+pair path, no driver-side loops.
+
+Hashing is the engine-neutral 60-bit md5 hash (``pipeline.hashing``) by
+default, so every step here has a DuckDB oracle twin in
+``__spark_entry__.oracle_sql``; pass ``hash_impl="xxhash64"`` for the
+faster non-verifiable keys.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pipeline.blocking import cap_hot_buckets
+from pipeline.hashing import h60_col
 from pipeline.normalize import norm_text_col
+from pipeline.session import track_cache
+
+SIMHASH_BITS = 60  # the neutral hash is 60-bit; 4 tables x 15-bit blocks
+
+
+def _H(hash_impl: str):
+    return F.xxhash64 if hash_impl == "xxhash64" else h60_col
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup on normalized text: one survivor (min id) per group.
 
     Returns (doc_id, canonical_id, group_size); rows with canonical_id !=
-    doc_id are duplicates. Single hash-aggregate — the minimal plan.
+    doc_id are duplicates. Groups and joins back on a 60-bit text hash —
+    at 100-TB scale the shuffle moves 8-byte keys, not full documents
+    (collisions only group candidate texts; the min/count semantics are
+    per-hash, and a 60-bit collision needs ~2^30 DISTINCT texts per
+    bucket to matter — acceptable for dedup, documented).
     """
     normed = docs.select(
-        F.col(id_col).alias("doc_id"), norm_text_col(text_col).alias("_norm")
+        F.col(id_col).alias("doc_id"),
+        h60_col(norm_text_col(text_col)).alias("_h"),
     )
-    grouped = normed.groupBy("_norm").agg(
+    grouped = normed.groupBy("_h").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count(F.lit(1)).alias("group_size"),
     )
     return (
-        normed.join(grouped, "_norm")
+        normed.join(grouped, "_h")
         .select("doc_id", "canonical_id", "group_size")
     )
 
 
-def _shingle_minhash(normed: DataFrame, n: int, hashes: int) -> DataFrame:
+def _shingle_minhash(
+    normed: DataFrame, n: int, hashes: int, hash_impl: str
+) -> DataFrame:
     """(doc_id, _mh0.._mhH-1) via explode -> hash-once -> min-aggregate.
 
     The inline form (one array_min(transform(shingles,...)) column per
@@ -53,6 +76,7 @@ def _shingle_minhash(normed: DataFrame, n: int, hashes: int) -> DataFrame:
     exactly once and the map-side partial min keeps the shuffle at
     H longs per doc. The shuffle also restores parallelism when the
     input is a single parquet file (1-partition scan)."""
+    H = _H(hash_impl)
     shingles = normed.select(
         "doc_id",
         F.explode(
@@ -65,7 +89,7 @@ def _shingle_minhash(normed: DataFrame, n: int, hashes: int) -> DataFrame:
     )
     return shingles.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64("_g", F.lit(i))).alias(f"_mh{i}")
+            F.min(H(F.lit(i), "_g")).alias(f"_mh{i}")
             for i in range(hashes)
         ]
     )
@@ -79,25 +103,31 @@ def minhash_lsh_pairs(
     hashes: int = 12,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
-) -> DataFrame:
+    bucket_cap: int = 256,
+    hash_impl: str = "md5",
+    return_audit: bool = False,
+):
     """Near-duplicate pairs via MinHash banding + n-gram Jaccard verify.
 
-    Returns (doc_id_a, doc_id_b, jaccard) for verified pairs. The banding
-    join proposes, the Jaccard (computed on exact shingle sets via an
-    array intersection in the JVM) disposes.
+    Returns (doc_id_a, doc_id_b, jaccard) for verified pairs — or
+    (pairs, hot_bucket_audit) with ``return_audit``. The banding join
+    proposes, the Jaccard (computed on exact hashed-shingle sets via an
+    array intersection in the JVM) disposes. Band buckets over
+    ``bucket_cap`` members are down-sampled + audited (cap_hot_buckets).
     """
+    H = _H(hash_impl)
     normed = docs.select(
         F.col(id_col).alias("doc_id"), norm_text_col(text_col).alias("_norm")
     )
     # a small corpus often arrives as ONE parquet file -> 1-partition scan
     # -> serial shingle generation; spread it (cheap: ids+text only)
-    normed = normed.repartition(
-        normed.sparkSession.sparkContext.defaultParallelism * 2
-    ).persist()
-    mh = _shingle_minhash(normed, n, hashes)
+    normed = track_cache(
+        normed.repartition(normed.sparkSession.sparkContext.defaultParallelism * 2)
+    )
+    mh = _shingle_minhash(normed, n, hashes, hash_impl)
     rows = hashes // bands
     band_keys = [
-        F.xxhash64(*[F.col(f"_mh{b * rows + r}") for r in range(rows)], F.lit(b))
+        H(F.lit("band"), F.lit(b), *[F.col(f"_mh{b * rows + r}") for r in range(rows)])
         for b in range(bands)
     ]
     # band join proposes on (doc_id, band_key) only — shingle arrays are
@@ -105,6 +135,9 @@ def minhash_lsh_pairs(
     # from a persisted per-doc table (each doc's shingles computed once)
     keyed = mh.select(
         "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
+    )
+    keyed, audit = cap_hot_buckets(
+        keyed, ["band_key"], "doc_id", bucket_cap, hash_impl
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
@@ -116,15 +149,10 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
-    # verify on HASHED shingle sets: same Jaccard (64-bit collisions are
-    # ~|S|^2/2^64 per pair — negligible), but long arrays shuffle ~2x
+    # verify on HASHED shingle sets: same Jaccard (60-bit collisions are
+    # ~|S|^2/2^60 per pair — negligible), but long arrays shuffle ~2x
     # smaller and intersect far faster than string arrays
-    sh = F.expr(
-        f"array_distinct(transform(transform("
-        f"sequence(1, greatest(length(_norm)-{n-1},1)),"
-        f" i -> substring(_norm, i, {n})), g -> xxhash64(g)))"
-    )
-    grams = normed.select("doc_id", sh.alias("grams")).persist()
+    grams = track_cache(normed.select("doc_id", _hashed_grams(n, hash_impl)))
     ga = grams.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("_sa"))
     gb = grams.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("_sb"))
     verified = (
@@ -138,34 +166,47 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
-    return verified
+    return (verified, audit) if return_audit else verified
 
 
-def simhash_col(tokens_col, bits: int = 64):
-    """64-bit SimHash of a token array, pure JVM.
+def _hashed_grams(n: int, hash_impl: str) -> Column:
+    """Distinct hashed n-gram set of ``_norm`` as an alias'd column."""
+    H = _H(hash_impl)
+    raw = F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length(_norm)-{n-1},1)),"
+        f" i -> substring(_norm, i, {n})))"
+    )
+    # hash each distinct gram; re-distinct is unnecessary (injective on
+    # distinct inputs up to negligible collisions) but cheap and keeps
+    # exact-set semantics under collision
+    return F.array_distinct(F.transform(raw, lambda g: H(g))).alias("grams")
+
+
+def simhash_col(tokens_col, hash_impl: str = "md5", bits: int = SIMHASH_BITS):
+    """SimHash of a token array, pure JVM.
 
     Classic Charikar sketch: for each bit position, sum +1/-1 votes from
-    each token's hash bit; bit set iff the sum is positive. Expressed as
-    an aggregate over the token array per bit — compiled into one
-    whole-stage-codegen pass (no Python).
+    each token's hash bit; bit set iff the sum is positive. The token
+    array is hashed ONCE (transform -> long array); each bit's vote is a
+    size(filter(...)) over the long array — whole-stage-codegen, no
+    Python. 60 bits with the neutral hash (fits a signed LONG exactly).
     """
+    H = _H(hash_impl)
+    hashed = F.transform(tokens_col, lambda t: H(t))
+    n = F.size(tokens_col)
     acc = F.lit(0).cast("long")
     for bit in range(bits):
-        vote = F.aggregate(
-            tokens_col,
-            F.lit(0),
-            lambda s, t: s
-            + F.when(
-                F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
+        set_count = F.size(
+            F.filter(
+                hashed,
+                lambda h: F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1,
+            )
         )
-        acc = acc.bitwiseOR(
-            F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            * F.lit(2 ** bit).cast("long")
-            if bit < 63
-            else F.when(vote > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0)).cast("long")
-        )
+        # votes = set - unset > 0  <=>  2*set > n
+        acc = acc + F.when(
+            (set_count * 2) > n, F.lit(2**bit).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return acc
 
 
@@ -174,31 +215,45 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    n_tables: int = 4,
-) -> DataFrame:
-    """SimHash near-dup candidates: docs whose 64-bit SimHash agree on a
-    16-bit block (4 tables); verify Hamming distance <= max_hamming.
+    bucket_cap: int = 256,
+    hash_impl: str = "md5",
+    return_audit: bool = False,
+):
+    """SimHash near-dup pairs: docs whose 60-bit SimHash agrees on one of
+    ``max_hamming + 1`` equal-width bit blocks; verify Hamming distance.
 
-    By pigeonhole, any pair within Hamming distance 3 agrees on at least
-    one of the 4 16-bit blocks — the standard multi-table SimHash index.
+    By pigeonhole, any pair within Hamming distance h agrees on at least
+    one of h+1 disjoint blocks — n_tables is DERIVED from max_hamming
+    (round-1 ADVICE: a fixed 4-table index silently missed distances > 3).
+    Block width 60/(h+1); h=3 -> 4 tables x 15-bit blocks -> 32k buckets
+    per table. Bucket population is bounded by cap_hot_buckets, so even
+    at 10^9+ docs a degenerate block key cannot go quadratic (the
+    round-1 16-bit/65k-bucket scale concern).
     """
+    n_tables = max_hamming + 1
+    width = SIMHASH_BITS // n_tables
     normed = docs.select(
         F.col(id_col).alias("doc_id"), norm_text_col(text_col).alias("_norm")
     )
     toks = normed.withColumn(
         "_tokens", F.array_remove(F.split("_norm", " "), "")
     )
-    sh = toks.withColumn("simhash", simhash_col(F.col("_tokens"))).select(
-        "doc_id", "simhash"
-    )
+    sh = toks.withColumn(
+        "simhash", simhash_col(F.col("_tokens"), hash_impl)
+    ).select("doc_id", "simhash")
     block_keys = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * t).bitwiseAND(F.lit(0xFFFF))
+        F.shiftrightunsigned(F.col("simhash"), width * t).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
         for t in range(n_tables)
     ]
     keyed = sh.select(
         "doc_id",
         "simhash",
         F.posexplode(F.array(*block_keys)).alias("table", "block"),
+    )
+    keyed, audit = cap_hot_buckets(
+        keyed, ["table", "block"], "doc_id", bucket_cap, hash_impl
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
@@ -212,10 +267,11 @@ def simhash_dedup_pairs(
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
-    return (
+    out = (
         cand.withColumn(
             "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
         )
         .where(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+    return (out, audit) if return_audit else out

@@ -9,15 +9,23 @@
   exact cosine re-rank on candidates. The 100-TB path: the self-join is
   an equi-join on bucket keys, never a cross join.
 
-Hyperplanes are generated deterministically from a seed via xxhash64 of
-(dimension index, bit, table) — no driver-side randomness, identical on
-every executor, resumable.
+Hyperplanes are generated deterministically from the engine-neutral hash
+of (dimension index, bit, table) — no driver-side randomness, identical
+on every executor, resumable, and reproducible in DuckDB (oracle) and
+Python. Bucket self-joins go through ``blocking.cap_hot_buckets``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from pipeline.blocking import cap_hot_buckets
+from pipeline.hashing import h60_col
+
+
+def _H(hash_impl: str):
+    return F.xxhash64 if hash_impl == "xxhash64" else h60_col
 
 
 def _dot(a, b):
@@ -75,16 +83,20 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(vec, n_dims: int, bit: int, table: int):
+def _hyperplane_sign(vec, n_dims: int, bit: int, table: int, hash_impl: str = "md5"):
     """Sign of <vec, h> for a deterministic pseudo-random hyperplane whose
-    components are xxhash64(dim, bit, table) scaled to [-1, 1]."""
+    components are H("hp", dim, bit, table) scaled to [-1, 1]. The dot
+    product is a LEFT-FOLD (F.aggregate) so the DuckDB oracle can
+    reproduce the exact FP accumulation order (list_reduce)."""
+    H = _H(hash_impl)
     weighted = F.zip_with(
         vec,
         F.transform(
             F.sequence(F.lit(0), F.lit(n_dims - 1)),
             lambda d: (
                 F.pmod(
-                    F.xxhash64(d, F.lit(bit), F.lit(table)), F.lit(2_000_001)
+                    H(F.lit("hp"), d, F.lit(bit), F.lit(table)),
+                    F.lit(2_000_001),
                 )
                 - 1_000_000
             )
@@ -102,12 +114,14 @@ def with_lsh_buckets(
     n_bits: int = 8,
     n_tables: int = 3,
     vec_col: str = "embedding",
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Add ``bucket_0..n_tables-1`` columns (random-hyperplane LSH)."""
     out = vectors
     for t in range(n_tables):
         bits = [
-            _hyperplane_sign(F.col(vec_col), n_dims, b, t) for b in range(n_bits)
+            _hyperplane_sign(F.col(vec_col), n_dims, b, t, hash_impl)
+            for b in range(n_bits)
         ]
         key = F.lit(0)
         for b, bit in enumerate(bits):
@@ -125,20 +139,26 @@ def lsh_topk(
     n_tables: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int = 4096,
+    hash_impl: str = "md5",
 ) -> DataFrame:
-    """Approximate top-k: bucket-join candidates, exact cosine re-rank."""
+    """Approximate top-k: bucket-join candidates, exact cosine re-rank.
+    Corpus-side buckets are capped (a degenerate bucket — e.g. the
+    all-zeros region — would otherwise attach the whole corpus to every
+    query landing there)."""
     v = with_lsh_buckets(
         vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")),
-        n_dims, n_bits, n_tables, "_nv",
+        n_dims, n_bits, n_tables, "_nv", hash_impl,
     )
     q = with_lsh_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        n_dims, n_bits, n_tables, "_qv",
+        n_dims, n_bits, n_tables, "_qv", hash_impl,
     )
     v_keyed = v.select(
         "neighbor_id", "_nv",
         F.explode(F.array(*[F.col(f"bucket_{t}") * F.lit(10) + t for t in range(n_tables)])).alias("bkey"),
     )
+    v_keyed, _ = cap_hot_buckets(v_keyed, ["bkey"], "neighbor_id", bucket_cap, hash_impl)
     q_keyed = q.select(
         "query_id", "_qv",
         F.explode(F.array(*[F.col(f"bucket_{t}") * F.lit(10) + t for t in range(n_tables)])).alias("bkey"),
@@ -230,6 +250,76 @@ def ivf_topk(
     )
 
 
+def ivf_topk_fixed(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k with a DETERMINISTIC coarse quantizer: the
+    ``n_lists`` lowest-id vectors are the cell centroids (a fixed-seed
+    quantizer — same architecture as the KMeans variant ``ivf_topk``:
+    coarse cells, probe-limited candidate generation, exact re-rank —
+    but fully closed-form, so the DuckDB oracle can verify it end to
+    end; ``ivf_topk`` remains the trained-quantizer path).
+
+    All rankings use round(cosine*10000) with id tie-breaks, so cell
+    assignment and the final top-k are platform/engine stable.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    cent = (
+        vectors.orderBy(id_col)
+        .limit(n_lists)
+        .select(F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv"))
+    )
+    sim_x = lambda a, b: F.round(cosine_col(a, b) * 10000).cast("long")  # noqa: E731
+    assign_w = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("_sim"), F.asc("_cell")
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("_sim", sim_x(F.col("_nv"), F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(assign_w))
+        .where(F.col("_rn") == 1)
+        .select("neighbor_id", "_nv", "_cell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("_cell"))
+    q_cells = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_sim", sim_x(F.col("_qv"), F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "_cell")
+    )
+    cand = (
+        assigned.join(q_cells, "_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score_x10000", sim_x(F.col("_qv"), F.col("_nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_x10000"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "score_x10000",
+            "rank",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     n_dims: int,
@@ -238,12 +328,21 @@ def embedding_near_dup_pairs(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    bucket_cap: int = 1024,
+    hash_impl: str = "md5",
+    return_audit: bool = False,
+):
     """Embedding-cosine near-duplicate pairs via LSH bucket self-join +
-    exact cosine verification (the embedding leg of the dedup suite)."""
+    exact cosine verification (the embedding leg of the dedup suite).
+
+    The threshold is applied to ``cosine_x10000`` (round(cosine*10000))
+    so the PAIR SET is stable across engines/platforms — raw double
+    cosines can differ in the last ulp between summation strategies.
+    Buckets over ``bucket_cap`` are down-sampled + audited.
+    """
     v = with_lsh_buckets(
         vectors.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v")),
-        n_dims, n_bits, n_tables, "_v",
+        n_dims, n_bits, n_tables, "_v", hash_impl,
     )
     keyed = v.select(
         "doc_id", "_v",
@@ -251,15 +350,19 @@ def embedding_near_dup_pairs(
             F.array(*[F.col(f"bucket_{t}") * F.lit(10) + t for t in range(n_tables)])
         ).alias("bkey"),
     )
+    keyed, audit = cap_hot_buckets(keyed, ["bkey"], "doc_id", bucket_cap, hash_impl)
     a, b = keyed.alias("a"), keyed.alias("b")
-    return (
+    out = (
         a.join(b, "bkey")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            cosine_col(F.col("a._v"), F.col("b._v")).alias("cosine"),
+            F.round(cosine_col(F.col("a._v"), F.col("b._v")) * 10000)
+            .cast("long")
+            .alias("cosine_x10000"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
-        .where(F.col("cosine") >= cosine_threshold)
+        .where(F.col("cosine_x10000") >= int(round(cosine_threshold * 10000)))
     )
+    return (out, audit) if return_audit else out

@@ -19,11 +19,14 @@ BLOCKING KEYS; candidate pairs are equi-self-joins per key family:
                       desperate tier analogue (UAM:740-758)
 
 MinHash is computed entirely JVM-side: hash_i(doc) = min over shingles of
-xxhash64(shingle, i); band key = xxhash64(h_{3j},..,h_{3j+2}, seed). No
-Python, no pyspark.ml pipeline objects, fully codegen'd.
+H(i, shingle); band key = H("band", b, h_{3j},..,h_{3j+2}). No Python, no
+pyspark.ml pipeline objects, fully codegen'd. H is the engine-neutral
+60-bit md5 hash by default (``pipeline.hashing``, cfg.hash_impl) so the
+same keys are computable in DuckDB and in the pandas blocking twin;
+xxhash64 is the opt-in fast path.
 
-64-bit key collisions are harmless: keys only PROPOSE candidates; the
-scoring stage decides on the actual texts.
+Key collisions are harmless: keys only PROPOSE candidates; the scoring
+stage decides on the actual texts.
 """
 
 from __future__ import annotations
@@ -32,9 +35,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pipeline.config import DEFAULT_CONFIG, MatchConfig
+from pipeline.hashing import h60_col
 from pipeline.normalize import norm_text_col
 
 FAMILY_NAMES = ["exact", "token_set", "prefix", "minhash", "anchor"]
+
+
+def hash_fn(cfg: MatchConfig):
+    """The configured key-hash function: (*cols) -> LONG Column."""
+    if cfg.hash_impl == "xxhash64":
+        return F.xxhash64
+    return h60_col
 
 
 def _shingles(col: str, n: int) -> Column:
@@ -46,11 +57,11 @@ def _shingles(col: str, n: int) -> Column:
     )
 
 
-def _minhash_cols(shingles: Column, n_hashes: int) -> list[Column]:
-    """h_i = min over shingles of xxhash64(shingle, i)."""
+def _minhash_cols(shingles: Column, n_hashes: int, H) -> list[Column]:
+    """h_i = min over shingles of H(i, shingle)."""
     return [
         F.coalesce(
-            F.array_min(F.transform(shingles, lambda t: F.xxhash64(t, F.lit(i)))),
+            F.array_min(F.transform(shingles, lambda t: H(F.lit(i), t))),
             F.lit(0).cast("long"),
         )
         for i in range(n_hashes)
@@ -69,25 +80,24 @@ def featurize(docs: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG) -> DataFrame:
         F.array_remove(F.split(F.col("norm_text"), " "), ""),
     )
 
-    out = out.withColumn("key_exact", F.xxhash64(F.col("norm_text")))
+    H = hash_fn(cfg)
+    out = out.withColumn("key_exact", H(F.col("norm_text")))
     out = out.withColumn(
         "key_token_set",
-        F.xxhash64(
-            F.array_join(F.array_sort(F.array_distinct(F.col("tokens"))), " ")
-        ),
+        H(F.array_join(F.array_sort(F.array_distinct(F.col("tokens"))), " ")),
     )
     out = out.withColumn(
         "key_prefix",
-        F.xxhash64(F.substring(F.col("norm_text"), 1, cfg.prefix_key_len)),
+        H(F.substring(F.col("norm_text"), 1, cfg.prefix_key_len)),
     )
 
     out = out.withColumn("_shingles", _shingles("norm_text", cfg.shingle_size))
-    mh = _minhash_cols(F.col("_shingles"), cfg.minhash_hashes)
+    mh = _minhash_cols(F.col("_shingles"), cfg.minhash_hashes, H)
     rows_per_band = cfg.minhash_hashes // cfg.minhash_bands
     for b in range(cfg.minhash_bands):
         band = mh[b * rows_per_band : (b + 1) * rows_per_band]
         out = out.withColumn(
-            f"key_band_{b}", F.xxhash64(*band, F.lit(10_000 + b))
+            f"key_band_{b}", H(F.lit("band"), F.lit(b), *band)
         )
 
     return out.drop("_shingles", "canonical_text", "tools_sig")

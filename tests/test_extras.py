@@ -163,6 +163,57 @@ def test_embedding_near_dup_pairs(spark):
     assert hits >= 7, found
 
 
+def test_hot_bucket_capping_minhash(spark):
+    """90 identical boilerplate docs vs bucket_cap=16: membership is
+    down-sampled, the drop is audited, pair volume stays far below
+    quadratic (round-1 VERDICT 'what's wrong' #4)."""
+    from pipeline.extras.dedup import minhash_lsh_pairs
+
+    rows = [(i, "identical boilerplate text repeated in every document body")
+            for i in range(90)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs, audit = minhash_lsh_pairs(
+        df, jaccard_threshold=0.5, bucket_cap=16, return_audit=True
+    )
+    audit_pd = audit.toPandas()
+    assert list(audit_pd.columns) == ["band_key", "members", "est_kept"]
+    assert (audit_pd["members"] == 90).all() and len(audit_pd) > 0
+    n = pairs.count()
+    # uncapped would be 90*89/2 = 4005 verified pairs
+    assert 0 < n <= 4 * 16 * 17  # bands x ~cap members pairwise bound
+
+
+def test_hot_bucket_capping_simhash(spark):
+    from pipeline.extras.dedup import simhash_dedup_pairs
+
+    rows = [(i, "same tokens every time alpha bravo charlie delta")
+            for i in range(80)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs, audit = simhash_dedup_pairs(
+        df, max_hamming=3, bucket_cap=12, return_audit=True
+    )
+    audit_pd = audit.toPandas()
+    assert list(audit_pd.columns) == ["table", "block", "members", "est_kept"]
+    assert len(audit_pd) > 0 and (audit_pd["members"] == 80).all()
+    assert 0 < pairs.count() < 80 * 79 / 2
+
+
+def test_hot_bucket_capping_embedding(spark):
+    from pipeline.extras.similarity import embedding_near_dup_pairs
+
+    vec = [1.0] + [0.0] * 15
+    rows = [(i, vec) for i in range(60)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    pairs, audit = embedding_near_dup_pairs(
+        df, n_dims=16, cosine_threshold=0.9, n_bits=4, n_tables=2,
+        bucket_cap=10, return_audit=True,
+    )
+    audit_pd = audit.toPandas()
+    assert list(audit_pd.columns) == ["bkey", "members", "est_kept"]
+    assert len(audit_pd) > 0
+    assert 0 < pairs.count() < 60 * 59 / 2
+
+
 def test_document_stats(documents):
     from pipeline.extras.textstats import document_stats
 
