@@ -1246,6 +1246,97 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_fixed(emb, q, k=3, n_lists=8, n_probe=3)
 
 
+# ---- oracles for the kernel-based linkage queries --------------------------
+# The pandas+hashlib twin (pipeline.twin) reproduces the distributed
+# pipeline bit-for-bit WITHOUT Spark: same blocking keys (engine-neutral
+# hash), same capping coins, same kernels. oracle_sql() runs it over the
+# driver's correctness SF (sf0.01, env-overridable) and inlines scored
+# pairs / match edges as VALUES; DuckDB then independently recomputes the
+# transitive closure with a recursive CTE — verifying the Spark
+# large-star/small-star connected components against a second CC
+# implementation, and the whole blocking+scoring stack against a
+# Spark-free single-node run.
+
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness SF
+
+
+def _twin_results():
+    return _twin_results_cached(
+        __import__("os").environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _ORACLE_SF_DIR)
+    )
+
+
+def _twin_results_cached(sf_dir: str):
+    global _TWIN_CACHE
+    try:
+        if _TWIN_CACHE[0] == sf_dir:
+            return _TWIN_CACHE[1]
+    except NameError:
+        pass
+    import pyarrow.parquet as pq
+
+    from pipeline.config import build_exact_match_config
+    from pipeline.twin import linkage_pd, turns_from_events_pd
+
+    events = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    turns = turns_from_events_pd(events)
+    out = {
+        "default": linkage_pd(turns),
+        "strict": linkage_pd(turns, build_exact_match_config()),
+    }
+    _TWIN_CACHE = (sf_dir, out)
+    return out
+
+
+def _sql_str(s: str) -> str:
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def _linkage_scored_sql() -> str:
+    scored = _twin_results()["default"]["scored"]
+    vals = ",\n".join(
+        f"({_sql_str(a)}, {_sql_str(b)}, cast('{float(c)!r}' as double),"
+        f" {_sql_str(t)}, {'true' if m else 'false'})"
+        for a, b, c, t, m in zip(
+            scored["conv_id_a"], scored["conv_id_b"], scored["confidence"],
+            scored["tier"], scored["is_match"],
+        )
+    )
+    return (
+        "select conv_id_a, conv_id_b, confidence, tier, is_match\n"
+        f"from (values\n{vals}\n)"
+        " as t(conv_id_a, conv_id_b, confidence, tier, is_match)"
+    )
+
+
+def _linkage_clusters_sql() -> str:
+    twin = _twin_results()["strict"]
+    scored, docs = twin["scored"], twin["docs"]
+    nodes = ",".join(f"({_sql_str(c)})" for c in sorted(docs["conv_id"]))
+    edges = scored[scored["is_match"]]
+    if len(edges) == 0:
+        return (
+            f"select conv_id, conv_id as entity_id from (values {nodes}) as n(conv_id)"
+        )
+    edge_vals = ",".join(
+        f"({_sql_str(a)}, {_sql_str(b)})"
+        for a, b in zip(edges["conv_id_a"], edges["conv_id_b"])
+    )
+    return f"""
+with recursive
+nodes(conv_id) as (values {nodes}),
+raw(src, dst) as (values {edge_vals}),
+edges as (select src, dst from raw union select dst, src from raw),
+reach(node, r) as (
+    select conv_id, conv_id from nodes
+    union
+    select reach.node, e.dst from reach join edges e on e.src = reach.r
+)
+select node as conv_id, min(r) as entity_id
+from reach group by node
+"""
+
+
 def q_linkage_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pair-scoring stage (pandas-UDF kernels + JVM cascade) on
     events-derived transcripts."""
@@ -1354,7 +1445,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
         "ivf_topk": _ivf_fixed_sql(),
-        # linkage_scored_pairs / linkage_clusters: pandas-UDF kernels and
-        # iterative CC — oracled via the single-node pandas twin (inlined
-        # edge list) + DuckDB recursive-CTE connected components.
+        # kernel-based linkage: single-node pandas+hashlib twin inlined as
+        # VALUES; clusters re-derived by DuckDB recursive-CTE CC (an
+        # independent second implementation of connected components)
+        "linkage_scored_pairs": _linkage_scored_sql(),
+        "linkage_clusters": _linkage_clusters_sql(),
     }

@@ -1,0 +1,172 @@
+"""Single-node pandas twin of the FULL linkage pipeline (blocking
+included) — the oracle for the two kernel-based contract queries.
+
+``pipeline.oracle`` twins the scoring semantics; this module twins the
+DISTRIBUTED parts — events->turns derivation, canonicalize, featurize
+(blocking keys via the engine-neutral hash, ``pipeline.hashing.h60_py``),
+hot-key capping, per-key pair caps — so a plain pandas+hashlib run
+reproduces the exact candidate pair set of ``pipeline.blocking`` with no
+Spark involved. ``__spark_entry__.oracle_sql`` runs it over the sf0.01
+parquet and inlines the results as VALUES for the driver's DuckDB check
+(clusters are NOT inlined from here — only edges; DuckDB computes the
+transitive closure itself with a recursive CTE, independently verifying
+the large-star/small-star implementation).
+
+Scale note: this module is an ORACLE, not an execution path — it exists
+to certify the distributed implementation at test scale.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pandas as pd
+
+from pipeline import oracle
+from pipeline.config import DEFAULT_CONFIG, MatchConfig
+from pipeline.hashing import h60_py
+
+ANCHOR_FAMILY = 4
+
+
+def turns_from_events_pd(events: pd.DataFrame) -> pd.DataFrame:
+    """Twin of ``__spark_entry__._turns_from_events`` (and _TURNS_SQL)."""
+    ev = events.sort_values(["user_id", "ts", "event_id"]).copy()
+    ev["turn_idx"] = ev.groupby("user_id").cumcount().astype("int32")
+    # Spark cast(double as string) == Java Double.toString == Python str
+    # for plain-notation doubles (values here are in [1e-3, 1e7))
+    ev["text"] = (
+        ev["event_type"]
+        + " "
+        + ev["value"].map(str)
+        + " "
+        + ev["props"].fillna("")
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": "u" + ev["user_id"].astype(str),
+            "turn_idx": ev["turn_idx"],
+            "role": ev["event_type"],
+            "text": ev["text"],
+            "ts": ev["ts"],
+        }
+    )
+
+
+def _doc_keys(norm: str, cfg: MatchConfig) -> list[tuple[int, int]]:
+    """Families 0-3 for one doc — twin of ``features.featurize``."""
+    tokens = [t for t in norm.split(" ") if t]
+    keys = [
+        (0, h60_py(norm)),
+        (1, h60_py(" ".join(sorted(set(tokens))))),
+        (2, h60_py(norm[: cfg.prefix_key_len])),
+    ]
+    n = cfg.shingle_size
+    shingles = {norm[i : i + n] for i in range(max(len(norm) - n + 1, 1))}
+    mh = [
+        min(h60_py(i, g) for g in shingles)
+        for i in range(cfg.minhash_hashes)
+    ]
+    rows = cfg.minhash_hashes // cfg.minhash_bands
+    for b in range(cfg.minhash_bands):
+        band = mh[b * rows : (b + 1) * rows]
+        keys.append((3, h60_py("band", b, *band)))
+    return keys
+
+
+def blocking_pairs_pd(
+    docs: pd.DataFrame, cfg: MatchConfig = DEFAULT_CONFIG
+) -> pd.DataFrame:
+    """Twin of ``blocking.candidate_pairs`` over featurized docs
+    (needs columns conv_id, norm_text, roles_sig). Returns the deduped
+    (conv_id_a, conv_id_b) pair set with the families count."""
+    # P2 gate — twin of blocking.required_feature_gate
+    eligible = docs
+    if cfg.require_text:
+        eligible = eligible[eligible["norm_text"].str.len() > 0]
+    if cfg.require_roles:
+        eligible = eligible[eligible["roles_sig"].str.len() > 0]
+
+    rows: list[tuple[int, int, str]] = []  # (family, key, conv_id)
+    doc_tokens: dict[str, list[str]] = {}
+    for conv_id, norm in zip(eligible["conv_id"], eligible["norm_text"]):
+        for fam, key in _doc_keys(norm, cfg):
+            rows.append((fam, key, conv_id))
+        doc_tokens[conv_id] = sorted(
+            {t for t in norm.split(" ") if t}
+        )
+
+    # anchor keys (family 4) — twin of blocking.anchor_key_table
+    df_counts: dict[str, int] = {}
+    for toks in doc_tokens.values():
+        for t in toks:
+            df_counts[t] = df_counts.get(t, 0) + 1
+    for conv_id, toks in doc_tokens.items():
+        anchors = sorted(
+            (
+                (df_counts[t], t)
+                for t in toks
+                if 2 <= df_counts[t] <= cfg.anchor_max_df
+            )
+        )[: cfg.anchor_tokens]
+        for _df, t in anchors:
+            rows.append((ANCHOR_FAMILY, h60_py(t), conv_id))
+
+    keyed = pd.DataFrame(rows, columns=["family", "key", "conv_id"])
+
+    # hot-key capping — twin of blocking.capped_key_table
+    counts = keyed.groupby(["family", "key"])["conv_id"].transform("size")
+    coin = keyed.apply(
+        lambda r: (h60_py("coin", r["conv_id"], r["key"]) % 1_000_000)
+        / 1_000_000.0,
+        axis=1,
+    )
+    keep = (counts <= cfg.block_key_cap) | (
+        coin < float(cfg.block_key_cap) / counts
+    )
+    keyed = keyed[keep]
+
+    # per-(family,key) pair generation with the ordered pair cap
+    pairs: set[tuple[str, str]] = set()
+    for (_fam, _key), grp in keyed.groupby(["family", "key"]):
+        members = sorted(grp["conv_id"])
+        for n_emitted, (a, b) in enumerate(combinations(members, 2)):
+            if n_emitted >= cfg.pairs_per_key_cap:
+                break
+            pairs.add((a, b))
+    out = pd.DataFrame(sorted(pairs), columns=["conv_id_a", "conv_id_b"])
+    return out
+
+
+def linkage_pd(
+    turns: pd.DataFrame, cfg: MatchConfig = DEFAULT_CONFIG
+) -> dict[str, pd.DataFrame]:
+    """Full twin: turns -> docs -> pairs -> scored -> match edges ->
+    clusters (union-find; entity_id = min conv_id of the component)."""
+    docs = oracle.featurize_pd(oracle.canonicalize_pd(turns))
+    pairs = blocking_pairs_pd(docs, cfg)
+    scored = oracle.score_pairs_pd(docs, pairs, cfg)
+
+    parent: dict[str, str] = {c: c for c in docs["conv_id"]}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, m in zip(
+        scored["conv_id_a"], scored["conv_id_b"], scored["is_match"]
+    ):
+        if m:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[str, list[str]] = {}
+    for c in parent:
+        comp.setdefault(find(c), []).append(c)
+    clusters = pd.DataFrame(
+        [(c, root) for root, members in comp.items() for c in members],
+        columns=["conv_id", "entity_id"],
+    ).sort_values(["conv_id"]).reset_index(drop=True)
+    return {"docs": docs, "pairs": pairs, "scored": scored, "clusters": clusters}
