@@ -102,9 +102,11 @@ def token_sort_ratio(a: str, b: str) -> float:
 
 
 def partial_ratio(a: str, b: str) -> float:
-    """Best-window ratio of the shorter string inside the longer
-    (fuzzywuzzy/rapidfuzz partial_ratio semantics with a BOUNDED,
-    deterministic candidate-window set).
+    """Best-window ratio of the shorter string inside the longer — a
+    SPEC'd bounded-window kernel (this docstring IS the definition; the
+    committed golden data pins it, tests/test_kernels_golden_external.py,
+    including its measured divergence from the exhaustive all-alignments
+    definition: one pathological reversed-needle case in 50).
 
     difflib-based block discovery costs O(n*m) on long similar strings
     (measured 44 ms/pair at ~1.3k chars — the scoring hot-path killer);
