@@ -688,9 +688,14 @@ where rank <= 3
 
 
 def q_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Variant generation (G9 analogue, UAM:651-738) + keyword extraction
-    (F18, UAM:740-758): per doc, ordered distinct normalization variants
-    exploded to (doc_id, variant_kind, variant_text)."""
+    """Variant generation (G9, UAM:651-738) + keyword extraction (F18,
+    UAM:740-758): per doc, SEVEN ordered variant families with the
+    reference's ORDERED-DEDUP + cap semantics (UAM:733-738: variants are
+    deduped keeping first occurrence, list capped — 15 in the reference;
+    7 families here so the cap binds only via dedup), exploded to
+    (doc_id, variant_kind, variant_text). A later family whose text
+    collides with an earlier one (e.g. no_digits == norm for digit-free
+    docs) is dropped, exactly like the reference's seen-set loop."""
     n = _docs_normed(spark, sf_dir)
     toks = _TOKENS_SPARK(F.col("norm_text"))
     keywords = F.array_join(
@@ -704,41 +709,85 @@ def q_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         " ",
     )
+    sorted_tokens = F.array_join(F.array_sort(toks), " ")
     no_digits = F.trim(
         F.regexp_replace(F.regexp_replace("norm_text", r"\d+", " "), r"\s+", " ")
     )
-    first_40 = F.substring("norm_text", 1, 40)
-    variants = F.array(
-        F.struct(F.lit("norm").alias("variant_kind"), F.col("norm_text").alias("variant_text")),
-        F.struct(F.lit("keywords").alias("variant_kind"), keywords.alias("variant_text")),
-        F.struct(F.lit("no_digits").alias("variant_kind"), no_digits.alias("variant_text")),
-        F.struct(F.lit("prefix40").alias("variant_kind"), first_40.alias("variant_text")),
+    digits_only = F.array_join(
+        F.regexp_extract_all(F.col("norm_text"), F.lit(r"\d+"), 0), " "
     )
-    return n.select("doc_id", F.explode(variants).alias("v")).select(
-        "doc_id", F.col("v.variant_kind").alias("variant_kind"),
+    first8 = F.array_join(F.slice(toks, 1, 8), " ")
+    first_40 = F.substring("norm_text", 1, 40)
+    kinds = [
+        ("norm", F.col("norm_text")),
+        ("sorted_tokens", sorted_tokens),
+        ("keywords", keywords),
+        ("no_digits", no_digits),
+        ("digits_only", digits_only),
+        ("first8_tokens", first8),
+        ("prefix40", first_40),
+    ]
+    variants = F.array(
+        *[
+            F.struct(F.lit(k).alias("variant_kind"), v.alias("variant_text"))
+            for k, v in kinds
+        ]
+    )
+    exploded = n.select(
+        "doc_id", F.posexplode(variants).alias("pos", "v")
+    ).select(
+        "doc_id", "pos",
+        F.col("v.variant_kind").alias("variant_kind"),
         F.col("v.variant_text").alias("variant_text"),
+    )
+    w_dedup = Window.partitionBy("doc_id", "variant_text").orderBy("pos")
+    w_cap = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        exploded.withColumn("_first", F.row_number().over(w_dedup))
+        .where(F.col("_first") == 1)
+        .withColumn("_rank", F.row_number().over(w_cap))
+        .where(F.col("_rank") <= 15)
+        .select("doc_id", "variant_kind", "variant_text")
     )
 
 
 SQL_VARIANTS = f"""
 with n as ({_DOCS_NORM_SQL}),
 v as (
-  select doc_id, 'norm' as variant_kind, norm_text as variant_text from n
+  select doc_id, 0 as pos, 'norm' as variant_kind, norm_text as variant_text from n
   union all
-  select doc_id, 'keywords',
+  select doc_id, 1, 'sorted_tokens',
+         array_to_string(list_sort({_tokens_sql('norm_text')}), ' ')
+  from n
+  union all
+  select doc_id, 2, 'keywords',
          array_to_string(list_sort(list_filter(
            list_distinct({_tokens_sql('norm_text')}),
            x -> length(x) > 2 and x not in ({_SW_LIST}))), ' ')
   from n
   union all
-  select doc_id, 'no_digits',
+  select doc_id, 3, 'no_digits',
          trim(regexp_replace(regexp_replace(norm_text, '\\d+', ' ', 'g'),
                              '\\s+', ' ', 'g'))
   from n
   union all
-  select doc_id, 'prefix40', substring(norm_text, 1, 40) from n
-)
-select doc_id, variant_kind, variant_text from v
+  select doc_id, 4, 'digits_only',
+         coalesce(array_to_string(regexp_extract_all(norm_text, '\\d+'), ' '), '')
+  from n
+  union all
+  select doc_id, 5, 'first8_tokens',
+         array_to_string({_tokens_sql('norm_text')}[1:8], ' ')
+  from n
+  union all
+  select doc_id, 6, 'prefix40', substring(norm_text, 1, 40) from n
+),
+dedup as (select * from (select v.*, row_number() over
+            (partition by doc_id, variant_text order by pos) as _first from v)
+          where _first = 1)
+select doc_id, variant_kind, variant_text
+from (select dedup.*, row_number() over (partition by doc_id order by pos) as _rank
+      from dedup)
+where _rank <= 15
 """
 
 
@@ -987,8 +1036,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     n_dims = len(emb.select("embedding").first()[0])
+    # n_bits=6 keeps buckets ~8 members on the near-uniform driver
+    # embeddings; threshold 0.4 = the near-dup band of that corpus
     return embedding_near_dup_pairs(
-        emb, n_dims=n_dims, cosine_threshold=0.5, n_bits=4, n_tables=4
+        emb, n_dims=n_dims, cosine_threshold=0.4, n_bits=6, n_tables=4
     )
 
 
@@ -998,7 +1049,8 @@ from pipeline.hashing import h60_sql  # noqa: E402
 
 
 def _minhash_sql(n: int = 5, hashes: int = 12, bands: int = 4,
-                 threshold: float = 0.3, cap: int = 256) -> str:
+                 threshold: float = 0.3, cap: int = 256,
+                 pair_cap: int = 50) -> str:
     rows = hashes // bands
     shingle_list = (
         f"list_distinct(list_transform(range(1, greatest(length(norm_text)-{n-1},1) + 1),"
@@ -1023,9 +1075,13 @@ counts as (select band_key, count(*) as members from keyed group by band_key),
 kept as (select k.doc_id, k.band_key from keyed k join counts using (band_key)
          where members <= {cap}
             or (({coin}) % 1000000) / 1000000.0 < cast({cap} as double) / members),
-cand as (select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
+rawp as (select a.band_key, a.doc_id as doc_id_a, b.doc_id as doc_id_b
          from kept a join kept b on a.band_key = b.band_key
                                and a.doc_id < b.doc_id),
+cand as (select distinct doc_id_a, doc_id_b
+         from (select rawp.*, row_number() over (partition by band_key
+                 order by doc_id_a, doc_id_b) as rn from rawp)
+         where rn <= {pair_cap}),
 gh as (select doc_id,
               list_distinct(list_transform({shingle_list}, g -> {h60_sql('g')})) as grams
        from n)
@@ -1041,7 +1097,8 @@ where len(list_intersect(ga.grams, gb.grams))
 """
 
 
-def _simhash_sql(max_hamming: int = 3, cap: int = 256, bits: int = 60) -> str:
+def _simhash_sql(max_hamming: int = 3, cap: int = 256, bits: int = 60,
+                 pair_cap: int = 50) -> str:
     n_tables = max_hamming + 1
     width = bits // n_tables
     tok_hash = h60_sql("t")
@@ -1069,10 +1126,14 @@ counts as (select tbl, block, count(*) as members from keyed group by tbl, block
 kept as (select k.* from keyed k join counts using (tbl, block)
          where members <= {cap}
             or (({coin}) % 1000000) / 1000000.0 < cast({cap} as double) / members),
-cand as (select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+rawp as (select a.tbl, a.block, a.doc_id as doc_id_a, b.doc_id as doc_id_b,
                 a.simhash as ha, b.simhash as hb
          from kept a join kept b on a.tbl = b.tbl and a.block = b.block
-                               and a.doc_id < b.doc_id)
+                               and a.doc_id < b.doc_id),
+cand as (select distinct doc_id_a, doc_id_b, ha, hb
+         from (select rawp.*, row_number() over (partition by tbl, block
+                 order by doc_id_a, doc_id_b) as rn from rawp)
+         where rn <= {pair_cap})
 select doc_id_a, doc_id_b, cast(bit_count(xor(ha, hb)) as bigint) as hamming
 from cand
 where bit_count(xor(ha, hb)) <= {max_hamming}
@@ -1109,14 +1170,15 @@ _COSINE_SQL = """
 """
 
 
-def _embedding_near_dup_sql(threshold: float = 0.5, n_bits: int = 4,
-                            n_tables: int = 4, cap: int = 1024) -> str:
+def _embedding_near_dup_sql(threshold: float = 0.4, n_bits: int = 6,
+                            n_tables: int = 4, cap: int = 1024,
+                            pair_cap: int = 200) -> str:
     bucket_selects = " union all ".join(
         f"select doc_id, e, ({_hyperplane_bucket_sql('e', n_bits, t)}) * 10 + {t} as bkey from v"
         for t in range(n_tables)
     )
     coin = h60_sql("'coin'", "doc_id", "bkey")
-    cos = _COSINE_SQL.format(a="a.e", b="b.e")
+    cos = _COSINE_SQL.format(a="ea", b="eb")
     return f"""
 with v as (select vec_id as doc_id, embedding::DOUBLE[] as e from embeddings),
 keyed as ({bucket_selects}),
@@ -1124,10 +1186,14 @@ counts as (select bkey, count(*) as members from keyed group by bkey),
 kept as (select k.doc_id, k.e, k.bkey from keyed k join counts using (bkey)
          where members <= {cap}
             or (({coin}) % 1000000) / 1000000.0 < cast({cap} as double) / members),
-cand as (select distinct on (a.doc_id, b.doc_id)
-                a.doc_id as doc_id_a, b.doc_id as doc_id_b,
-                {cos} as cosine_x10000
-         from kept a join kept b on a.bkey = b.bkey and a.doc_id < b.doc_id)
+rawp as (select a.bkey, a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+                a.e as ea, b.e as eb
+         from kept a join kept b on a.bkey = b.bkey and a.doc_id < b.doc_id),
+cand as (select distinct on (doc_id_a, doc_id_b)
+                doc_id_a, doc_id_b, {cos} as cosine_x10000
+         from (select rawp.*, row_number() over (partition by bkey
+                 order by doc_id_a, doc_id_b) as rn from rawp)
+         where rn <= {pair_cap})
 select doc_id_a, doc_id_b, cosine_x10000
 from cand
 where cosine_x10000 >= {int(round(threshold * 10000))}

@@ -174,10 +174,17 @@ def cap_hot_buckets(
     members are down-sampled with a deterministic engine-neutral hash
     coin (expected kept ~= cap); the drop is AUDITED, never silent.
     Returns (kept, audit) where audit = (key_cols..., members, est_kept).
+
+    ``keyed`` is tracked-cached here: the frequency pass AND the
+    filter join both read it (without the cache the whole upstream
+    bucketing DAG runs twice). Callers release via
+    ``pipeline.session.release_caches``.
     """
     from pipeline.hashing import h60_col
+    from pipeline.session import track_cache
 
     H = F.xxhash64 if hash_impl == "xxhash64" else h60_col
+    keyed = track_cache(keyed)
     counts = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("members"))
     hot = counts.filter(F.col("members") > cap)
     audit = hot.withColumn("est_kept", F.lit(cap).cast("long"))
@@ -203,8 +210,11 @@ def candidate_pairs(
     """
     kept, audit = capped_key_table(feats, cfg)
     # both self-join sides + (upstream) the frequency pass read this —
-    # persist so the explode/cap work happens once
-    kept = kept.persist()
+    # cache so the explode/cap work happens once; tracked for
+    # session.release_caches (no persist leaks in long-lived sessions)
+    from pipeline.session import track_cache
+
+    kept = track_cache(kept)
 
     a = kept.alias("a")
     b = kept.alias("b")

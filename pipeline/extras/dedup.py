@@ -25,7 +25,7 @@ faster non-verifiable keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline.blocking import cap_hot_buckets
@@ -38,6 +38,23 @@ SIMHASH_BITS = 60  # the neutral hash is 60-bit; 4 tables x 15-bit blocks
 
 def _H(hash_impl: str):
     return F.xxhash64 if hash_impl == "xxhash64" else h60_col
+
+
+def _bucket_pair_cap(
+    cand: DataFrame, key_cols: list[str], cap: int
+) -> DataFrame:
+    """Star-preserving per-bucket PAIR cap (the blocking layer's
+    pairs_per_key_cap, applied to LSH buckets): keep the first ``cap``
+    (doc_id_a, doc_id_b) pairs per bucket in sorted order. A 256-member
+    exact-dup bucket contributes 50 connectivity-preserving pairs instead
+    of C(256,2)=32k — the transitive dedup component is unchanged, the
+    verify-stage cost is bounded per bucket."""
+    w = Window.partitionBy(*key_cols).orderBy("doc_id_a", "doc_id_b")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn", *key_cols)
+    )
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -104,6 +121,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     bucket_cap: int = 256,
+    pairs_per_bucket_cap: int = 50,
     hash_impl: str = "md5",
     return_audit: bool = False,
 ):
@@ -139,16 +157,20 @@ def minhash_lsh_pairs(
     keyed, audit = cap_hot_buckets(
         keyed, ["band_key"], "doc_id", bucket_cap, hash_impl
     )
+    keyed = track_cache(keyed)  # both self-join sides read it
     a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
+    raw_pairs = (
         a.join(b, "band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
+            "band_key",
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
+    cand = _bucket_pair_cap(
+        raw_pairs, ["band_key"], pairs_per_bucket_cap
+    ).dropDuplicates(["doc_id_a", "doc_id_b"])
     # verify on HASHED shingle sets: same Jaccard (60-bit collisions are
     # ~|S|^2/2^60 per pair — negligible), but long arrays shuffle ~2x
     # smaller and intersect far faster than string arrays
@@ -216,6 +238,7 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bucket_cap: int = 256,
+    pairs_per_bucket_cap: int = 50,
     hash_impl: str = "md5",
     return_audit: bool = False,
 ):
@@ -255,18 +278,23 @@ def simhash_dedup_pairs(
     keyed, audit = cap_hot_buckets(
         keyed, ["table", "block"], "doc_id", bucket_cap, hash_impl
     )
+    keyed = track_cache(keyed)  # both self-join sides read it
     a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
+    raw_pairs = (
         a.join(b, ["table", "block"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
+            "table",
+            "block",
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
             F.col("a.simhash").alias("_ha"),
             F.col("b.simhash").alias("_hb"),
         )
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
+    cand = _bucket_pair_cap(
+        raw_pairs, ["table", "block"], pairs_per_bucket_cap
+    ).dropDuplicates(["doc_id_a", "doc_id_b"])
     out = (
         cand.withColumn(
             "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))

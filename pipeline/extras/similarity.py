@@ -329,6 +329,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int = 1024,
+    pairs_per_bucket_cap: int = 200,
     hash_impl: str = "md5",
     return_audit: bool = False,
 ):
@@ -338,8 +339,12 @@ def embedding_near_dup_pairs(
     The threshold is applied to ``cosine_x10000`` (round(cosine*10000))
     so the PAIR SET is stable across engines/platforms — raw double
     cosines can differ in the last ulp between summation strategies.
-    Buckets over ``bucket_cap`` are down-sampled + audited.
+    Buckets over ``bucket_cap`` members are down-sampled + audited, and
+    each bucket contributes at most ``pairs_per_bucket_cap`` verify pairs
+    (star-preserving ordered cap — the blocking layer's machinery).
     """
+    from pipeline.extras.dedup import _bucket_pair_cap
+
     v = with_lsh_buckets(
         vectors.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v")),
         n_dims, n_bits, n_tables, "_v", hash_impl,
@@ -351,18 +356,31 @@ def embedding_near_dup_pairs(
         ).alias("bkey"),
     )
     keyed, audit = cap_hot_buckets(keyed, ["bkey"], "doc_id", bucket_cap, hash_impl)
+    from pipeline.session import track_cache
+
+    keyed = track_cache(keyed)  # both self-join sides read it
     a, b = keyed.alias("a"), keyed.alias("b")
-    out = (
+    # cap BEFORE the cosine: the vectors ride through the cap window so a
+    # hot bucket never pays more than pairs_per_bucket_cap dot products
+    raw_pairs = (
         a.join(b, "bkey")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
+            "bkey",
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.round(cosine_col(F.col("a._v"), F.col("b._v")) * 10000)
-            .cast("long")
-            .alias("cosine_x10000"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
         )
+    )
+    out = (
+        _bucket_pair_cap(raw_pairs, ["bkey"], pairs_per_bucket_cap)
         .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .withColumn(
+            "cosine_x10000",
+            F.round(cosine_col(F.col("_va"), F.col("_vb")) * 10000).cast("long"),
+        )
         .where(F.col("cosine_x10000") >= int(round(cosine_threshold * 10000)))
+        .drop("_va", "_vb")
     )
     return (out, audit) if return_audit else out

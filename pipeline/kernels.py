@@ -34,6 +34,21 @@ from functools import lru_cache
 _DIGIT_RE = re.compile(r"\d+")
 
 
+@lru_cache(maxsize=16384)
+def sorted_form(s: str) -> str:
+    """Sorted-token form (token_sort input). Cached per doc text: in
+    blocked scoring the same document recurs across many candidate
+    pairs — the sort is paid once per doc, not once per pair."""
+    return " ".join(sorted(s.split()))
+
+
+@lru_cache(maxsize=16384)
+def token_set(s: str) -> frozenset[str]:
+    """Whitespace token set, cached per doc text."""
+    return frozenset(s.split())
+
+
+@lru_cache(maxsize=16384)
 def digit_sig(s: str) -> str:
     """Digit-run signature — the house-number analogue: every ``\\d+`` run
     of the normalized text joined by single spaces, in order. Empty when
@@ -42,7 +57,7 @@ def digit_sig(s: str) -> str:
     return " ".join(_DIGIT_RE.findall(s))
 
 
-@lru_cache(maxsize=1024)  # ~18MB/worker at 2k-char texts; 1 worker/core
+@lru_cache(maxsize=16384)  # ~4KB/entry at 300-char texts -> ~64MB/worker
 def _match_masks(a: str) -> tuple[dict[str, int], int]:
     """Per-string char->bitmask table for the bit-parallel LCS. Cached:
     in blocked pair scoring the same document text recurs across many
@@ -144,8 +159,25 @@ def partial_ratio(a: str, b: str) -> float:
     return best
 
 
+@lru_cache(maxsize=16384)
+def _char_positions(b: str) -> dict[str, list[int]]:
+    pos: dict[str, list[int]] = {}
+    for j, ch in enumerate(b):
+        pos.setdefault(ch, []).append(j)
+    return pos
+
+
 def jaro(a: str, b: str) -> float:
-    """Standard Jaro similarity in [0, 1]."""
+    """Standard Jaro similarity in [0, 1].
+
+    O(la + lb) cursor formulation of the classic flag-array greedy: the
+    greedy picks, for each a[i] in order, the smallest unused j in
+    [i-window, i+window] with b[j]==a[i]. Because the window's lower
+    bound is non-decreasing in i, a per-character cursor over b's
+    position lists visits each position once — same matches, same
+    transposition count as the textbook double loop (pinned bit-for-bit
+    by tests/test_kernels_golden_external.py against the textbook DP
+    implementation)."""
     la, lb = len(a), len(b)
     if la == 0 and lb == 0:
         return 1.0
@@ -154,31 +186,32 @@ def jaro(a: str, b: str) -> float:
     match_window = max(la, lb) // 2 - 1
     if match_window < 0:
         match_window = 0
-    a_flags = [False] * la
-    b_flags = [False] * lb
-    matches = 0
+    positions = _char_positions(b)
+    cursors: dict[str, int] = {}
+    a_match_chars: list[str] = []
+    b_match_js: list[int] = []
     for i, ch in enumerate(a):
-        lo = max(0, i - match_window)
-        hi = min(lb, i + match_window + 1)
-        for j in range(lo, hi):
-            if not b_flags[j] and b[j] == ch:
-                a_flags[i] = True
-                b_flags[j] = True
-                matches += 1
-                break
-    if matches == 0:
+        plist = positions.get(ch)
+        if plist is None:
+            continue
+        c = cursors.get(ch, 0)
+        n = len(plist)
+        lo = i - match_window
+        while c < n and plist[c] < lo:
+            c += 1
+        if c < n and plist[c] <= i + match_window:
+            a_match_chars.append(ch)
+            b_match_js.append(plist[c])
+            c += 1
+        cursors[ch] = c
+    m = len(a_match_chars)
+    if m == 0:
         return 0.0
     transpositions = 0
-    k = 0
-    for i in range(la):
-        if a_flags[i]:
-            while not b_flags[k]:
-                k += 1
-            if a[i] != b[k]:
-                transpositions += 1
-            k += 1
+    for ch, j in zip(a_match_chars, sorted(b_match_js)):
+        if ch != b[j]:
+            transpositions += 1
     t = transpositions / 2
-    m = matches
     return (m / la + m / lb + (m - t) / m) / 3.0
 
 
@@ -196,7 +229,7 @@ def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
 
 def token_set_jaccard(a: str, b: str) -> float:
     """Jaccard over whitespace token sets, in [0, 1]."""
-    sa, sb = set(a.split()), set(b.split())
+    sa, sb = token_set(a), token_set(b)
     if not sa and not sb:
         return 1.0
     if not sa or not sb:

@@ -38,10 +38,12 @@ def build_plan(
     (measured 12 scans of the turns table). run_staged gets the same
     effect from stage materialization.
     """
+    from pipeline.session import track_cache
+
     docs = canonicalize(turns)
-    feats = featurize(docs, cfg).persist()
+    feats = track_cache(featurize(docs, cfg))
     pairs, hot_audit = candidate_pairs(feats, cfg)
-    pairs = pairs.persist()
+    pairs = track_cache(pairs)
     scored = score_pairs(feats, pairs, cfg)
     edges = scored.where("is_match").select(
         F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
@@ -106,7 +108,12 @@ def run_staged(
     cfg: MatchConfig = DEFAULT_CONFIG,
 ) -> dict[str, DataFrame]:
     """Materialize every stage with commit manifests (resumable)."""
-    fingerprint = f"cfg:{hash(cfg)}"
+    # deterministic ACROSS PROCESSES: hash() of a dataclass with str
+    # fields is salted per interpreter (PYTHONHASHSEED), which would
+    # silently defeat resume; repr() of a frozen dataclass is stable
+    import hashlib
+
+    fingerprint = "cfg:" + hashlib.md5(repr(cfg).encode("utf-8")).hexdigest()
     runner = StageRunner(spark, out_dir, fingerprint=fingerprint)
 
     docs = runner.run("docs", lambda: canonicalize(turns))
@@ -152,6 +159,12 @@ def run_staged(
     from pipeline.io import write_table
 
     write_table(metrics_df, runner.stage_dir("audit_metrics"))
+
+    # every stage is materialized to its table by now — release any
+    # tracked caches so a long-lived session doesn't accumulate storage
+    from pipeline.session import release_caches
+
+    release_caches()
 
     return {
         "docs": docs,

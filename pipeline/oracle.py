@@ -104,8 +104,8 @@ def component_scores(
 ) -> dict[str, float]:
     cap = cfg.score_text_max_chars
     a, b = norm_a[:cap], norm_b[:cap]
-    sorted_a = " ".join(sorted(a.split()))
-    sorted_b = " ".join(sorted(b.split()))
+    sorted_a = kernels.sorted_form(a)
+    sorted_b = kernels.sorted_form(b)
     # street channel (optimized.py:634-639): exact-normalized -> 100,
     # else token_sort_ratio (reorder-invariant)
     if a == b or sorted_a == sorted_b:
