@@ -1299,6 +1299,92 @@ where rank <= 3
 """
 
 
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k: bucket-join candidate generation
+    + exact cosine re-rank (deterministic x10000 scores for the
+    engine-neutral comparison). The LSH twin of ``knn_cosine`` — at scale
+    the bucket equi-join replaces the broadcast cross join."""
+    from pipeline.blocking import cap_hot_buckets
+    from pipeline.extras.similarity import cosine_col, with_lsh_buckets
+
+    emb = _read(spark, sf_dir, "embeddings")
+    n_dims = len(emb.select("embedding").first()[0])
+    n_bits, n_tables, k = 6, 4, 3
+    v = with_lsh_buckets(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")),
+        n_dims, n_bits, n_tables, "_nv",
+    )
+    q = with_lsh_buckets(
+        emb.where("vec_id < 10").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+        ),
+        n_dims, n_bits, n_tables, "_qv",
+    )
+    bkeys = [F.col(f"bucket_{t}") * F.lit(10) + t for t in range(n_tables)]
+    v_keyed = v.select("neighbor_id", "_nv", F.explode(F.array(*bkeys)).alias("bkey"))
+    v_keyed, _ = cap_hot_buckets(v_keyed, ["bkey"], "neighbor_id", 4096)
+    q_keyed = q.select("query_id", "_qv", F.explode(F.array(*bkeys)).alias("bkey"))
+    cand = (
+        v_keyed.join(q_keyed, "bkey")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "score_x10000",
+            F.round(cosine_col(F.col("_qv"), F.col("_nv")) * 10000).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_x10000"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "score_x10000",
+            "rank",
+        )
+    )
+
+
+def _lsh_topk_sql(n_bits: int = 6, n_tables: int = 4, k: int = 3,
+                  cap: int = 4096) -> str:
+    bucket_selects_v = " union all ".join(
+        f"select vec_id as neighbor_id, e as nv,"
+        f" ({_hyperplane_bucket_sql('e', n_bits, t)}) * 10 + {t} as bkey from v"
+        for t in range(n_tables)
+    )
+    bucket_selects_q = " union all ".join(
+        f"select vec_id as query_id, e as qv,"
+        f" ({_hyperplane_bucket_sql('e', n_bits, t)}) * 10 + {t} as bkey from q"
+        for t in range(n_tables)
+    )
+    coin = h60_sql("'coin'", "neighbor_id", "bkey")
+    cos = _COSINE_SQL.format(a="qv", b="nv")
+    return f"""
+with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+q as (select vec_id, e from v where vec_id < 10),
+vk as ({bucket_selects_v}),
+counts as (select bkey, count(*) as members from vk group by bkey),
+vkept as (select vk.* from vk join counts using (bkey)
+          where members <= {cap}
+             or (({coin}) % 1000000) / 1000000.0 < cast({cap} as double) / members),
+qk as ({bucket_selects_q}),
+cand as (select distinct on (query_id, neighbor_id)
+                query_id, neighbor_id, {cos} as score_x10000
+         from vkept join qk using (bkey)
+         where query_id <> neighbor_id)
+select cast(query_id as bigint) as query_id,
+       cast(neighbor_id as bigint) as neighbor_id,
+       score_x10000, cast(rank as bigint) as rank
+from (select cand.*, row_number() over (partition by query_id
+               order by score_x10000 desc, neighbor_id asc) as rank
+      from cand)
+where rank <= {k}
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors. The contract query uses the
     DETERMINISTIC fixed-seed coarse quantizer (``ivf_topk_fixed``) so the
@@ -1465,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "knn_cosine": q_knn_cosine,
+        "lsh_topk": q_lsh_topk,
         "roles_histogram": q_roles_histogram,
         "source_stats": q_source_stats,
         "top_event_users": q_top_event_users,
@@ -1502,6 +1589,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": SQL_PRICING,
         "top_customers": SQL_TOP_CUSTOMERS,
         "knn_cosine": SQL_KNN,
+        "lsh_topk": _lsh_topk_sql(),
         "roles_histogram": SQL_ROLES_HIST,
         "source_stats": SQL_SOURCE_STATS,
         "top_event_users": SQL_TOP_EVENT_USERS,
