@@ -117,6 +117,33 @@ def test_bucketed_join_avoids_shuffle(spark, turns_df, tmp_path):
         spark.sql("drop table if exists docs_bucketed")
 
 
+def test_decision_layer_adds_no_exchange_or_python(spark, turns_df):
+    """The round-2 decision layer (gates, exact predicate, quality,
+    warnings, unit flags) is pure Column arithmetic: the scored plan has
+    exactly the shuffles the joins need and exactly one Python stage —
+    adding the new columns must not introduce either."""
+    from pipeline.linkage import build_plan
+
+    plan = _formatted_plan(build_plan(turns_df)["scored"])
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    # quality/warnings/gates ride the UDF's Project — no window, no agg
+    assert "Window" not in plan.split("ArrowEvalPython")[0].split("\n")[0]
+
+
+def test_lsh_pair_cap_single_shuffle_per_bucket_family(spark):
+    """minhash candidate capping uses ONE hash-partitioned window per
+    band-bucket keyset (WindowGroupLimit pushes the rank filter down),
+    and no cartesian appears anywhere in the dedup plan."""
+    import __spark_entry__ as em
+
+    plan = _formatted_plan(em.q_minhash_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the star-preserving pair cap compiles to a rank-limited window
+    assert "WindowGroupLimit" in plan or "RunningWindowFunction" in plan or "Window" in plan
+
+
 def test_knn_broadcasts_queries(spark):
     """Brute-force kNN broadcasts the bounded query set, streams the
     corpus side."""
