@@ -1413,8 +1413,10 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness SF
 
 
 def _twin_results():
+    import os
+
     return _twin_results_cached(
-        __import__("os").environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _ORACLE_SF_DIR)
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _ORACLE_SF_DIR)
     )
 
 
