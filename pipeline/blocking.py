@@ -229,10 +229,20 @@ def candidate_pairs(
         )
     )
 
-    # per-(family,key) pair cap — deterministic, star-preserving
+    # per-(family,key) pair cap — deterministic AND star-preserving: the
+    # first cap pairs in (a, b) order PLUS every pair whose left side is
+    # the key's minimum member, so all members of a capped key stay
+    # reachable from its minimum (a key has <= block_key_cap members, so
+    # the star adds <= block_key_cap - 1 - cap extra pairs)
     w = Window.partitionBy("family", "key").orderBy("conv_id_a", "conv_id_b")
-    capped = raw.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= cfg.pairs_per_key_cap
+    wm = Window.partitionBy("family", "key")
+    capped = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_min_a", F.min("conv_id_a").over(wm))
+        .filter(
+            (F.col("_rn") <= cfg.pairs_per_key_cap)
+            | (F.col("conv_id_a") == F.col("_min_a"))
+        )
     )
 
     pairs = capped.groupBy("conv_id_a", "conv_id_b").agg(

@@ -41,42 +41,78 @@ def _H(hash_impl: str):
 
 
 def _bucket_pair_cap(
-    cand: DataFrame, key_cols: list[str], cap: int
-) -> DataFrame:
+    cand: DataFrame,
+    key_cols: list[str],
+    cap: int,
+    return_audit: bool = False,
+):
     """Star-preserving per-bucket PAIR cap (the blocking layer's
-    pairs_per_key_cap, applied to LSH buckets): keep the first ``cap``
-    (doc_id_a, doc_id_b) pairs per bucket in sorted order. A 256-member
-    exact-dup bucket contributes 50 connectivity-preserving pairs instead
-    of C(256,2)=32k — the transitive dedup component is unchanged, the
-    verify-stage cost is bounded per bucket."""
+    pairs_per_key_cap, applied to LSH buckets).
+
+    Keeps, per bucket: (a) EVERY pair whose left side is the bucket's
+    minimum member — the star that connects all m members through the
+    min, so the transitive dedup component over a bucket of any size up
+    to ``bucket_cap`` survives the cap (round-2 ADVICE: a plain first-50
+    lexicographic cap was a star covering only 51 members — members
+    52..256 of an exact-dup bucket silently lost every edge); plus (b)
+    the first ``cap`` pairs in (doc_id_a, doc_id_b) order as clique
+    extras for verify quality. Per-bucket output is <= cap + members - 1
+    pairs; the pre-cap pair count is itself bounded by the upstream
+    ``cap_hot_buckets`` member cap (C(bucket_cap, 2) worst case).
+
+    With ``return_audit``, also returns (key_cols..., pairs_total,
+    pairs_kept) for buckets where the cap dropped anything — the same
+    never-silent contract as ``cap_hot_buckets``.
+    """
     w = Window.partitionBy(*key_cols).orderBy("doc_id_a", "doc_id_b")
-    return (
+    wb = Window.partitionBy(*key_cols)
+    flagged = (
         cand.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= cap)
-        .drop("_rn", *key_cols)
+        .withColumn("_min_a", F.min("doc_id_a").over(wb))
+        .withColumn(
+            "_keep", (F.col("_rn") <= cap) | (F.col("doc_id_a") == F.col("_min_a"))
+        )
     )
+    kept = flagged.where("_keep").drop("_rn", "_min_a", "_keep", *key_cols)
+    if not return_audit:
+        return kept
+    audit = (
+        flagged.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("pairs_total"),
+            F.sum(F.col("_keep").cast("long")).alias("pairs_kept"),
+        )
+        .where(F.col("pairs_kept") < F.col("pairs_total"))
+    )
+    return kept, audit
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup on normalized text: one survivor (min id) per group.
 
     Returns (doc_id, canonical_id, group_size); rows with canonical_id !=
-    doc_id are duplicates. Groups and joins back on a 60-bit text hash —
-    at 100-TB scale the shuffle moves 8-byte keys, not full documents
-    (collisions only group candidate texts; the min/count semantics are
-    per-hash, and a 60-bit collision needs ~2^30 DISTINCT texts per
-    bucket to matter — acceptable for dedup, documented).
+    doc_id are duplicates. Groups and joins back on TWO independent
+    60-bit text hashes — the shuffle still moves 16-byte keys instead of
+    full documents, and a false merge now needs a simultaneous 120-bit
+    collision. (Round-2 ADVICE: with one 60-bit hash, the birthday bound
+    gives ~O(1) expected collisions once the corpus holds ~2^30 distinct
+    texts — i.e. dozens of expected false merges at 10^9+ docs. Two
+    independent hashes push the collision corpus size to ~2^60 distinct
+    texts.) The DuckDB oracle groups by the TEXT itself, so any residual
+    collision at test scale would surface as a hash mismatch.
     """
+    norm = norm_text_col(text_col)
     normed = docs.select(
         F.col(id_col).alias("doc_id"),
-        h60_col(norm_text_col(text_col)).alias("_h"),
+        h60_col(norm).alias("_h"),
+        h60_col(F.lit("x2"), norm).alias("_h2"),
     )
-    grouped = normed.groupBy("_h").agg(
+    grouped = normed.groupBy("_h", "_h2").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count(F.lit(1)).alias("group_size"),
     )
     return (
-        normed.join(grouped, "_h")
+        normed.join(grouped, ["_h", "_h2"])
         .select("doc_id", "canonical_id", "group_size")
     )
 

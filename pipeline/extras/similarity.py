@@ -179,27 +179,21 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
+def ivf_fit_cells(
     vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_lists: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer
-    (JVM, pyspark.ml) partitions the corpus into ``n_lists`` cells; each
-    query probes its ``n_probe`` nearest cells and exact-cosine re-ranks
-    only those candidates. The scale path when hyperplane LSH recall is
-    insufficient: candidate volume ~= corpus * n_probe / n_lists per
-    query, and the cell assignment is a one-off batch job reused across
-    query sets (in production: materialized next to the embeddings,
-    clustered by cell id).
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the IVF coarse quantizer (pyspark.ml KMeans) and return
+    (assignments, centroids): assignments = (neighbor_id, _nv, _cell),
+    centroids = (_cell, _cv ARRAY<DOUBLE>). Both are plain DataFrames so
+    they can be MATERIALIZED through ``pipeline.io`` and reused across
+    query sets without refitting (see ``ivf_topk(index_dir=...)``)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from pyspark.ml.functions import array_to_vector
 
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
@@ -211,13 +205,63 @@ def ivf_topk(
     km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_cell")
     model = km.fit(v)
     assigned = model.transform(v).select("neighbor_id", "_nv", "_cell")
-
-    # broadcast centroids; each query picks its n_probe nearest cells
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    spark = vectors.sparkSession
-    cent_df = spark.createDataFrame(centroids, ["_cell", "_cv"])
+    cent_df = vectors.sparkSession.createDataFrame(centroids, ["_cell", "_cv"])
+    return assigned, cent_df
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_dir: str | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer
+    (JVM, pyspark.ml) partitions the corpus into ``n_lists`` cells; each
+    query probes its ``n_probe`` nearest cells and exact-cosine re-ranks
+    only those candidates. The scale path when hyperplane LSH recall is
+    insufficient: candidate volume ~= corpus * n_probe / n_lists per
+    query.
+
+    With ``index_dir`` the cell assignment + centroid tables are
+    MATERIALIZED through ``pipeline.io.StageRunner`` (fingerprinted by
+    n_lists/seed): the quantizer fits once, and every later query set
+    against the same index_dir reuses the committed tables without a
+    refit — the production shape (assignments stored next to the
+    embeddings, clustered by cell id). Without it, the quantizer is fit
+    inline (one-shot usage).
+    """
+    if index_dir is not None:
+        from pipeline.io import StageRunner
+
+        runner = StageRunner(
+            vectors.sparkSession,
+            index_dir,
+            fingerprint=f"ivf:{n_lists}:{seed}:{id_col}:{vec_col}",
+        )
+        state: dict[str, DataFrame] = {}
+
+        def _fit() -> None:
+            if not state:
+                a, c = ivf_fit_cells(vectors, n_lists, seed, id_col, vec_col)
+                state["assigned"], state["centroids"] = a, c
+
+        assigned = runner.run(
+            "ivf_cells", lambda: (_fit(), state["assigned"])[1]
+        )
+        cent_df = runner.run(
+            "ivf_centroids", lambda: (_fit(), state["centroids"])[1]
+        )
+    else:
+        assigned, cent_df = ivf_fit_cells(vectors, n_lists, seed, id_col, vec_col)
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )

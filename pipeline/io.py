@@ -11,9 +11,16 @@ same semantics with parquet + atomic manifest files:
     committed checkpoint" (north_rule). Reruns are byte-stable because
     every stage is deterministic (seeded hashes, sorted aggregations).
 
-With Iceberg configured (``spark.sql.catalog...``), set
-``use_iceberg=True`` and the same runner appends to Iceberg tables and
-relies on snapshots instead of manifest files.
+With Iceberg configured (``spark.sql.catalog...``), construct the runner
+with ``use_iceberg=True`` and a catalog namespace: each stage becomes
+``catalog.ns.<stage>`` written with ``createOrReplace()`` (an atomic
+Iceberg snapshot commit with overwrite semantics — a stage retry or
+re-run REPLACES, never duplicates) carrying the config fingerprint as a
+table property; resume = the table exists and its recorded fingerprint
+matches. The Iceberg calls go through two seam functions
+(``_iceberg_write`` / ``_iceberg_fingerprint``) so the skip logic is
+unit-testable with a stubbed catalog (no Iceberg jar in this sandbox —
+SURVEY.md §7.0).
 """
 
 from __future__ import annotations
@@ -39,17 +46,19 @@ def write_table(
 ) -> dict:
     """Write a stage table + commit manifest (atomic via temp-file rename).
 
-    ``fmt="iceberg"`` APPENDS through the Iceberg catalog (``table_dir``
-    is then a table identifier, e.g. ``cat.db.scored_pairs``) — the
-    Iceberg snapshot IS the commit point, so no local manifest file is
-    written (a catalog identifier is not a filesystem path). Resume
-    against Iceberg = check the table's latest snapshot summary, not
-    ``is_committed``. No Iceberg runtime jar ships in this sandbox, so
-    only the parquet branch is exercised by tests (SURVEY.md §7.0 seam).
+    ``fmt="iceberg"`` writes through the Iceberg catalog (``table_dir``
+    is then a table identifier, e.g. ``cat.db.scored_pairs``) with
+    ``createOrReplace()``: the Iceberg snapshot IS the commit point
+    (atomic, and overwrite semantics make stage retries idempotent — no
+    duplicate rows), so no local manifest file is written (a catalog
+    identifier is not a filesystem path). The config fingerprint rides as
+    a table property for the resume check (``_iceberg_fingerprint``). No
+    Iceberg runtime jar ships in this sandbox, so tests exercise this
+    branch through the stubbed seam (``tests/test_io_extras.py``).
     """
     t0 = time.time()
     if fmt == "iceberg":
-        df.writeTo(table_dir).append()
+        _iceberg_write(df, table_dir, (extra or {}).get("fingerprint"))
         return {
             "table": table_dir,
             "wall_s": round(time.time() - t0, 3),
@@ -71,7 +80,34 @@ def write_table(
     return manifest
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+FINGERPRINT_PROP = "pipeline.stage.fingerprint"
+
+
+def _iceberg_write(df: DataFrame, ident: str, fingerprint: str | None) -> None:
+    """Iceberg seam: atomic createOrReplace with the fingerprint property.
+    Tests stub this (no Iceberg jar in the sandbox)."""
+    writer = df.writeTo(ident).using("iceberg")
+    if fingerprint is not None:
+        writer = writer.tableProperty(FINGERPRINT_PROP, fingerprint)
+    writer.createOrReplace()
+
+
+def _iceberg_fingerprint(spark: SparkSession, ident: str) -> str | None:
+    """Iceberg seam: the committed fingerprint of ``ident`` or None if the
+    table doesn't exist / carries no fingerprint property."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {ident}").collect()
+    except Exception:  # AnalysisException: table not found / no catalog
+        return None
+    for r in rows:
+        if r["key"] == FINGERPRINT_PROP:
+            return r["value"]
+    return None
+
+
+def read_table(spark: SparkSession, table_dir: str, fmt: str = "parquet") -> DataFrame:
+    if fmt == "iceberg":
+        return spark.read.table(table_dir)
     return spark.read.parquet(table_dir)
 
 
@@ -143,25 +179,46 @@ def list_tables(spark: SparkSession, out_dir: str | None = None) -> list[str]:
 
 @dataclass
 class StageRunner:
-    """Staged materialization with skip-on-manifest resume."""
+    """Staged materialization with skip-on-commit resume.
+
+    Parquet mode (default): commit = atomic ``_MANIFEST.json`` rename;
+    resume = manifest exists with a matching config fingerprint.
+
+    Iceberg mode (``use_iceberg=True``; ``out_dir`` is then a catalog
+    namespace like ``cat.db``): commit = the ``createOrReplace()``
+    snapshot carrying the fingerprint as a table property; resume = the
+    table's recorded fingerprint matches. Retries are idempotent in both
+    modes (rename-commit / snapshot-replace).
+    """
 
     spark: SparkSession
     out_dir: str
     fingerprint: str = "default"
+    use_iceberg: bool = False
     metrics: list[dict] = field(default_factory=list)
 
     def stage_dir(self, name: str) -> str:
+        if self.use_iceberg:
+            return f"{self.out_dir}.{name}"
         return os.path.join(self.out_dir, name)
+
+    def _committed(self, ident: str) -> bool:
+        if self.use_iceberg:
+            return _iceberg_fingerprint(self.spark, ident) == self.fingerprint
+        return is_committed(ident, self.fingerprint)
 
     def run(self, name: str, fn: Callable[[], DataFrame]) -> DataFrame:
         """Build-or-load stage ``name``. ``fn`` produces the DataFrame."""
+        fmt = "iceberg" if self.use_iceberg else "parquet"
         d = self.stage_dir(name)
-        if is_committed(d, self.fingerprint):
+        if self._committed(d):
             self.metrics.append({"stage": name, "resumed": True})
-            return read_table(self.spark, d)
+            return read_table(self.spark, d, fmt)
         df = fn()
-        manifest = write_table(df, d, {"fingerprint": self.fingerprint})
+        manifest = write_table(
+            df, d, {"fingerprint": self.fingerprint}, fmt=fmt
+        )
         self.metrics.append(
             {"stage": name, "resumed": False, "wall_s": manifest["wall_s"]}
         )
-        return read_table(self.spark, d)
+        return read_table(self.spark, d, fmt)

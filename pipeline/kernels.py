@@ -116,6 +116,22 @@ def token_sort_ratio(a: str, b: str) -> float:
     return indel_ratio(sa, sb)
 
 
+def partial_windows(shorter: str, longer: str) -> list[int]:
+    """Sorted candidate window starts for ``partial_ratio`` — the two
+    extremes (prefix-/suffix-aligned) plus anchor 8-grams sampled at 5
+    fixed offsets of the shorter string located via ``str.find``. Shared
+    by the per-pair kernel below and the numpy batch path
+    (``pipeline.kernels_batch``) so both score the SAME window set."""
+    ls, ll = len(shorter), len(longer)
+    starts = {0, ll - ls}
+    for off in (0, ls // 4, ls // 2, (3 * ls) // 4, max(ls - 8, 0)):
+        gram = shorter[off : off + 8]
+        pos = longer.find(gram)
+        if pos >= 0:
+            starts.add(min(max(pos - off, 0), ll - ls))
+    return sorted(starts)
+
+
 def partial_ratio(a: str, b: str) -> float:
     """Best-window ratio of the shorter string inside the longer — a
     SPEC'd bounded-window kernel (this docstring IS the definition; the
@@ -125,7 +141,7 @@ def partial_ratio(a: str, b: str) -> float:
 
     difflib-based block discovery costs O(n*m) on long similar strings
     (measured 44 ms/pair at ~1.3k chars — the scoring hot-path killer);
-    instead, candidate window starts come from:
+    instead, candidate window starts come from ``partial_windows``:
       * the two extremes (prefix-aligned, suffix-aligned), and
       * anchor 8-grams sampled at 5 fixed offsets of the shorter string,
         located in the longer via str.find (C-speed).
@@ -142,14 +158,8 @@ def partial_ratio(a: str, b: str) -> float:
     if ls == ll:
         return indel_ratio(shorter, longer)
 
-    starts = {0, ll - ls}
-    for off in (0, ls // 4, ls // 2, (3 * ls) // 4, max(ls - 8, 0)):
-        gram = shorter[off : off + 8]
-        pos = longer.find(gram)
-        if pos >= 0:
-            starts.add(min(max(pos - off, 0), ll - ls))
     best = 0.0
-    for start in sorted(starts):
+    for start in partial_windows(shorter, longer):
         window = longer[start : start + ls]
         score = indel_ratio(shorter, window)
         if score > best:

@@ -126,15 +126,23 @@ def blocking_pairs_pd(
     )
     keyed = keyed[keep]
 
-    # per-(family,key) pair generation with the ordered pair cap
-    pairs: set[tuple[str, str]] = set()
-    for (_fam, _key), grp in keyed.groupby(["family", "key"]):
+    # per-(family,key) pair generation with the ordered, star-preserving
+    # pair cap (twin of candidate_pairs: rn <= cap OR a == key minimum —
+    # lexicographic pair order lists every (min, .) pair first, so past
+    # the cap only min-left pairs survive) + the per-pair family set
+    # (twin of collect_set(family) — score_pairs_pd uses len(families)
+    # for the quality n_families term)
+    pair_fams: dict[tuple[str, str], set[int]] = {}
+    for (fam, _key), grp in keyed.groupby(["family", "key"]):
         members = sorted(grp["conv_id"])
         for n_emitted, (a, b) in enumerate(combinations(members, 2)):
-            if n_emitted >= cfg.pairs_per_key_cap:
+            if n_emitted >= cfg.pairs_per_key_cap and a != members[0]:
                 break
-            pairs.add((a, b))
-    out = pd.DataFrame(sorted(pairs), columns=["conv_id_a", "conv_id_b"])
+            pair_fams.setdefault((a, b), set()).add(int(fam))
+    out = pd.DataFrame(
+        [(a, b, sorted(fams)) for (a, b), fams in sorted(pair_fams.items())],
+        columns=["conv_id_a", "conv_id_b", "families"],
+    )
     return out
 
 

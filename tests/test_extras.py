@@ -253,3 +253,83 @@ def test_multimodal_strict_stub():
 
     with pytest.raises(NotImplementedError):
         _decode_image(b"xx", strict=True)
+
+
+def test_pair_cap_preserves_large_group_connectivity(spark):
+    """120 identical docs with pairs_per_bucket_cap=20 and NO member cap:
+    the star-preserving pair cap must keep every member connected to the
+    bucket minimum, so the transitive dedup component covers all 120
+    (round-2 ADVICE: a plain first-K lexicographic cap orphaned members
+    beyond K+1)."""
+    from pipeline.extras.dedup import minhash_lsh_pairs
+
+    rows = [(i, "the very same boilerplate body in every single document here")
+            for i in range(120)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = minhash_lsh_pairs(
+        df, jaccard_threshold=0.5, bucket_cap=1000, pairs_per_bucket_cap=20
+    ).toPandas()
+    # union-find over the emitted pairs
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs[["doc_id_a", "doc_id_b"]].values:
+        parent[find(int(a))] = find(int(b))
+    roots = {find(i) for i in range(120)}
+    assert len(roots) == 1, f"split into {len(roots)} components"
+
+
+def test_pair_cap_audit_reports_drops(spark):
+    from pipeline.extras.dedup import _bucket_pair_cap
+
+    rows = [("k", a, b) for a in range(30) for b in range(a + 1, 30)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["bucket", "doc_id_a", "doc_id_b"])
+    )
+    kept, audit = _bucket_pair_cap(df, ["bucket"], 10, return_audit=True)
+    kept_pd = kept.toPandas()
+    audit_pd = audit.toPandas()
+    # star to min member (29 pairs with a=0) + first 10 clique pairs
+    assert len(kept_pd) == 29 + 10 - 10  # first 10 in order ARE a=0 pairs
+    assert set(kept_pd[kept_pd["doc_id_a"] == 0]["doc_id_b"]) == set(range(1, 30))
+    assert audit_pd.iloc[0]["pairs_total"] == 30 * 29 / 2
+    assert audit_pd.iloc[0]["pairs_kept"] == len(kept_pd)
+
+
+def test_ivf_index_materialized_and_reused(spark, tmp_path, monkeypatch):
+    """Two query sets against the same index_dir: the KMeans quantizer
+    fits ONCE; the second call resumes from the committed cell/centroid
+    tables (round-2 VERDICT 'what's missing' #3)."""
+    import numpy as np
+
+    from pipeline.extras import similarity as sim
+
+    rng = np.random.default_rng(4)
+    vecs = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(80)]
+    v = spark.createDataFrame(pd.DataFrame(vecs, columns=["vec_id", "embedding"]))
+
+    fits = []
+    orig = sim.ivf_fit_cells
+
+    def spy(*a, **k):
+        fits.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sim, "ivf_fit_cells", spy)
+
+    idx = str(tmp_path / "ivf_index")
+    q1 = v.where("vec_id < 5")
+    q2 = v.where("vec_id >= 5 and vec_id < 10")
+    out1 = sim.ivf_topk(v, q1, k=3, n_lists=4, index_dir=idx).toPandas()
+    assert len(fits) == 1 and len(out1) > 0
+    out2 = sim.ivf_topk(v, q2, k=3, n_lists=4, index_dir=idx).toPandas()
+    assert len(fits) == 1, "second query set must NOT refit the quantizer"
+    assert len(out2) > 0
+    # changed quantizer config -> fingerprint mismatch -> refit
+    sim.ivf_topk(v, q1, k=3, n_lists=8, index_dir=idx)
+    assert len(fits) == 2

@@ -68,3 +68,60 @@ def test_list_tables(spark, tmp_path):
     runner.run("tbl_a", lambda: spark.range(3))
     names = list_tables(spark, str(tmp_path))
     assert "tbl_a" in names
+
+
+def test_stage_runner_iceberg_mode_stubbed(spark, monkeypatch, tmp_path):
+    """Iceberg-mode StageRunner skip logic against a stubbed catalog:
+    first run writes (createOrReplace seam) and records the fingerprint;
+    second run with the same fingerprint SKIPS; a changed fingerprint
+    rebuilds (replace — never append/duplicate)."""
+    from pipeline import io as pio
+
+    catalog: dict[str, dict] = {}  # ident -> {"fingerprint", "writes"}
+
+    def fake_write(df, ident, fingerprint):
+        ent = catalog.setdefault(ident, {"writes": 0})
+        ent["fingerprint"] = fingerprint
+        ent["writes"] = ent["writes"] + 1
+        # materialize to parquet so read_table's stub can serve it
+        df.write.mode("overwrite").parquet(str(tmp_path / ident.replace(".", "_")))
+
+    def fake_fp(spark_, ident):
+        return catalog.get(ident, {}).get("fingerprint")
+
+    def fake_read(spark_, ident, fmt="parquet"):
+        assert fmt == "iceberg"
+        return spark_.read.parquet(str(tmp_path / ident.replace(".", "_")))
+
+    monkeypatch.setattr(pio, "_iceberg_write", fake_write)
+    monkeypatch.setattr(pio, "_iceberg_fingerprint", fake_fp)
+    monkeypatch.setattr(pio, "read_table", fake_read)
+
+    builds = []
+
+    def mk():
+        builds.append(1)
+        return spark.range(5)
+
+    r = pio.StageRunner(spark, "cat.db", fingerprint="fp1", use_iceberg=True)
+    out1 = r.run("stage_a", mk)
+    assert out1.count() == 5
+    assert builds == [1]
+    assert catalog["cat.db.stage_a"] == {"writes": 1, "fingerprint": "fp1"}
+
+    out2 = r.run("stage_a", mk)  # same fingerprint -> resumed, no rebuild
+    assert out2.count() == 5
+    assert builds == [1]
+    assert r.metrics[-1]["resumed"] is True
+    assert catalog["cat.db.stage_a"]["writes"] == 1
+
+    r2 = pio.StageRunner(spark, "cat.db", fingerprint="fp2", use_iceberg=True)
+    r2.run("stage_a", mk)  # changed config -> REPLACE (writes=2, not append)
+    assert builds == [1, 1]
+    assert catalog["cat.db.stage_a"] == {"writes": 2, "fingerprint": "fp2"}
+
+
+def test_iceberg_fingerprint_missing_table_returns_none(spark):
+    from pipeline import io as pio
+
+    assert pio._iceberg_fingerprint(spark, "no_such_cat.db.t") is None
