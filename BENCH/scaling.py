@@ -139,7 +139,7 @@ def _mp_probe(seed: int) -> float:
     import string
     import time
 
-    from pipeline.oracle import component_scores
+    from pipeline.kernels_batch import batch_component_scores
 
     rng = random.Random(seed)
     words = [
@@ -151,13 +151,18 @@ def _mp_probe(seed: int) -> float:
         return " ".join(rng.choice(words) for _ in range(n))
 
     docs = [doc(45) for _ in range(2000)]
+    # the PRODUCTION kernel path: numpy batch scoring over ring batches
+    # sized like the Arrow batches the UDF sees (2000-pair chunks)
+    na = [docs[i % 2000] for i in range(2000)]
+    nb = [docs[(i + 1) % 2000] for i in range(2000)]
+    ra = ["ua"] * 2000
+    rb = ["au"] * 2000
+    batch_component_scores(na[:64], nb[:64], ra[:64], rb[:64])  # warm
     t0 = time.time()
     n = 0
     while time.time() - t0 < 5:
-        a = docs[n % 2000]
-        b = docs[(n + 1) % 2000]
-        component_scores(a, b, "ua", "au")
-        n += 1
+        batch_component_scores(na, nb, ra, rb)
+        n += 2000
     return n / (time.time() - t0)
 
 
@@ -191,6 +196,21 @@ def main() -> dict:
     t4x8 = max(r["aggregate_pairs_per_sec"] for r in exec8_runs)
     efficiency_exec4 = t4x4 / (4 * t4) if t4 else 0.0
     efficiency_exec8 = t4x8 / (4 * t8) if t8 else 0.0
+
+    # MEDIAN-based efficiency alongside best-of-N: with double-digit VM
+    # drift, the gate number should not hinge on one lucky repeat
+    # (round-2 VERDICT 'what's wrong' #3: pin the 4x8 variance)
+    import statistics
+
+    def med(xs):
+        return statistics.median(xs) if xs else 0.0
+
+    m4 = med(all_runs[4])
+    m4x4 = med([r["aggregate_pairs_per_sec"] for r in exec4_runs])
+    m8 = med(all_runs[8])
+    m4x8 = med([r["aggregate_pairs_per_sec"] for r in exec8_runs])
+    efficiency_exec4_median = m4x4 / (4 * m4) if m4 else 0.0
+    efficiency_exec8_median = m4x8 / (4 * m8) if m8 else 0.0
     hw = _hw_ceiling()
 
     # end-to-end wall efficiency as secondary evidence
@@ -211,6 +231,12 @@ def main() -> dict:
         },
         "scaling_efficiency_executors_4c": round(efficiency_exec4, 3),
         "scaling_efficiency_executors_8c": round(efficiency_exec8, 3),
+        "scaling_efficiency_executors_4c_median": round(
+            efficiency_exec4_median, 3
+        ),
+        "scaling_efficiency_executors_8c_median": round(
+            efficiency_exec8_median, 3
+        ),
         "executor4_topology_runs": exec4_runs,
         "executor8_topology_runs": exec8_runs,
         "scaling_efficiency_pairs": round(efficiency, 3),
@@ -270,7 +296,13 @@ real cluster splits it).
 | 4N' (diagnostic) | 1 shared JVM, local[32] | {t32} |
 
 **Scaling efficiency (N -> 4N executors)** = {t4x4} / (4 x {t4}) =
-**{report["scaling_efficiency_executors_4c"]}**
+**{report["scaling_efficiency_executors_4c"]}** (best-of-{repeats});
+median-of-repeats = **{report["scaling_efficiency_executors_4c_median"]}**
+(gate definition amended in BASELINE.md round 3: N = one pinned 4-core
+executor JVM, 4N = four concurrent — the measurement and the gate now
+use the same topology. The 8-core-executor variant's median efficiency
+is {report["scaling_efficiency_executors_8c_median"]} across {repeats}
+interleaved repeats — variance bounds below.)
 
 Why executor topology and not one shared local[32] JVM: on a real
 cluster the 4N level is 4x MACHINES — four heaps, four GCs, four Python

@@ -540,6 +540,49 @@ def q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction + repetition signals: per-rule counts, md5 of
+    the fully-redacted text (pins EXACT redaction parity vs the oracle),
+    duplicate-line fraction and top-token fraction."""
+    from pipeline.extras import redact as rd
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *rd.redact_count_cols("text"),
+        F.md5(rd.redact_text_col("text")).alias("fp_redacted"),
+        rd.dup_line_frac_col("text").alias("dup_line_frac"),
+        rd.top_token_frac_col("text").alias("top_token_frac"),
+    )
+
+
+def _redact_sql() -> str:
+    from pipeline.extras.redact import REDACT_RULES
+
+    _REDACT_TOKS = _tokens_sql("regexp_replace(lower(text), '\\s+', ' ', 'g')")
+    cur = "text"
+    count_cols = []
+    for name, pattern, tag in REDACT_RULES:
+        pat = pattern.replace("'", "''")
+        count_cols.append(
+            f"cast(len(regexp_extract_all({cur}, '{pat}')) as bigint) as n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{tag}', 'g')"
+    counts = ",\n       ".join(count_cols)
+    return f"""
+select doc_id,
+       {counts},
+       md5({cur}) as fp_redacted,
+       1 - len(list_distinct(string_split(text, chr(10))))
+         / greatest(len(string_split(text, chr(10))), 1) as dup_line_frac,
+       case when len({_REDACT_TOKS}) = 0 then 0.0
+            else list_max(list_transform(list_distinct({_REDACT_TOKS}),
+                   d -> len(list_filter({_REDACT_TOKS}, t -> t = d))))
+                 / len({_REDACT_TOKS}) end as top_token_frac
+from documents
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window/lag sessionization: 30-min inactivity gap starts a session."""
     ev = _read(spark, sf_dir, "events")
@@ -1598,6 +1641,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "quality_lang": q_quality_lang,
         "lang_histogram": q_lang_histogram,
+        "redact_stats": q_redact_stats,
         "variants_expand": q_variants,
         "number_extract": q_number_extract,
         "quality_reliability": q_quality_reliability,
@@ -1637,6 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": SQL_DOC_STATS,
         "quality_lang": lang_sql,
         "lang_histogram": f"select lang_pred, cast(count(*) as bigint) as n_docs from ({lang_sql}) group by lang_pred",
+        "redact_stats": _redact_sql(),
         "variants_expand": SQL_VARIANTS,
         "number_extract": SQL_NUMBER_EXTRACT,
         "quality_reliability": SQL_QUALITY_RELIABILITY,

@@ -112,10 +112,19 @@ def main() -> dict:
     # sized so the 32-core run is ~20s — long enough that per-stage
     # scheduling overhead (~2s) stops distorting the scaling ratio
     ring_k = max(1, 600_000 // max(n_docs, 1))
+    # MIXED role signatures (deterministic 4-way by doc_id): a constant
+    # roles_sig would let the struct channel always early-exit and
+    # flatter saturated pairs/sec vs the mixed-role production case
+    # (round-2 VERDICT 'what's wrong' #5)
+    roles_mix = F.array(
+        F.lit("ua"), F.lit("uaua"), F.lit("uauaua"), F.lit("au")
+    )
     dfeats = docs.select(
         F.col("doc_id").cast("string").alias("conv_id"),
         norm_text_col("text").alias("norm_text"),
-        F.lit("ua").alias("roles_sig"),
+        F.element_at(
+            roles_mix, F.pmod(F.col("doc_id"), F.lit(4)).cast("int") + 1
+        ).alias("roles_sig"),
     ).localCheckpoint(eager=True)
     ring = (
         dfeats.select(F.col("conv_id").cast("long").alias("i"))
@@ -147,6 +156,12 @@ def main() -> dict:
     extras["saturated_pairs_per_sec"] = round(
         sat_pairs / max(timings["q10_scoring_saturated"], 1e-9), 1
     )
+    # cold = the warmup pass itself (worker spawn + kernel-cache build
+    # included) — the like-for-like twin of round 1's single cold pass
+    extras["saturated_pairs_per_sec_cold"] = round(
+        sat_pairs / max(timings["q10_warmup_pass"], 1e-9), 1
+    )
+    extras["roles_mix"] = "deterministic 4-way by doc_id (ua/uaua/uauaua/au)"
 
     # ---- headline operator queries over the driver tables ----------------
     from pipeline.session import release_caches
@@ -198,6 +213,18 @@ def _write_regression_diff(report: dict) -> None:
         str(prev.get("sf")) == str(report["sf"])
         and prev.get("cpus") == report["cpus"]
     )
+    # COLD vs STEADY-STATE labels (round-2 VERDICT 'what's wrong' #2: a
+    # diff that compares a steady-state number to a cold one overstates
+    # the change). q10_warmup_pass = COLD first pass over the saturated
+    # ring (includes per-worker kernel-cache warmup); q10_scoring_
+    # saturated = STEADY-STATE best-of-2 after that warmup. Rounds 2+
+    # record both; round 1 recorded only a cold pass under the
+    # q10_scoring_saturated name — cross-round comparisons must match
+    # labels (r1 q10_scoring_saturated <-> r2+ q10_warmup_pass).
+    methodology = {
+        "q10_warmup_pass": "cold",
+        "q10_scoring_saturated": "steady",
+    }
     lines = [
         "# BENCH regression diff",
         "",
@@ -206,21 +233,34 @@ def _write_regression_diff(report: dict) -> None:
         + ("" if comparable else " — NOT comparable: sf/cpus differ")
         + ")",
         "",
-        "| query | prev s | now s | delta |",
-        "|---|---|---|---|",
+        "Labels: **cold** = first pass after worker start (includes "
+        "per-worker kernel-cache warmup); **steady** = best-of-2 after "
+        "one untimed warmup pass. Compare like with like: round 1 had "
+        "no warmup line, so its `q10_scoring_saturated` was a COLD "
+        "measurement (maps to `q10_warmup_pass` in rounds 2+).",
+        "",
+        "| query | kind | prev s | now s | delta |",
+        "|---|---|---|---|---|",
     ]
     for q, now in report["queries"].items():
+        kind = methodology.get(q, "cold-ish (first run in suite)")
         was = prev["queries"].get(q)
         if was is None:
-            lines.append(f"| {q} | — | {now} | new |")
+            lines.append(f"| {q} | {kind} | — | {now} | new |")
         else:
             pct = (now - was) / was * 100 if was else 0.0
-            lines.append(f"| {q} | {was} | {now} | {pct:+.1f}% |")
-    for metric in ("saturated_pairs_per_sec", "pairs_per_sec"):
+            lines.append(f"| {q} | {kind} | {was} | {now} | {pct:+.1f}% |")
+    metric_kind = {
+        "saturated_pairs_per_sec": "steady",
+        "saturated_pairs_per_sec_cold": "cold",
+        "pairs_per_sec": "cold-ish",
+    }
+    for metric, kind in metric_kind.items():
         was, now = prev.get(metric), report.get(metric)
         if was and now:
             lines.append(
-                f"| {metric} | {was} | {now} | {(now - was) / was * 100:+.1f}% |"
+                f"| {metric} | {kind} | {was} | {now} | "
+                f"{(now - was) / was * 100:+.1f}% |"
             )
     with open(os.path.join(repo, "BENCH", "regressions.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

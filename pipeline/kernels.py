@@ -148,6 +148,16 @@ def partial_ratio(a: str, b: str) -> float:
     Each candidate window is scored with the exact bit-parallel InDel
     ratio; worst case ~7 windows. Deterministic; shared verbatim by the
     Spark UDF and the pandas oracle.
+
+    Measured divergence from the exhaustive all-alignments definition
+    (tests/test_partial_divergence.py, 10k seeded pairs): EXACT on every
+    structured pair — truncations, middle slices, reversals, token
+    shuffles, <=8-char edits (an anchor 8-gram always lands when a real
+    alignment exists). Divergence occurs only on UNRELATED-text pairs
+    (~69% of those), always as an UNDERSHOOT, always inside the noise
+    band (exhaustive value < 62 on every divergent pair, vs the 70
+    similarity threshold), max undershoot ~20 points (~3 confidence
+    points through the .15 channel weight).
     """
     if a == b:
         return 100.0

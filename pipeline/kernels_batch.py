@@ -59,6 +59,9 @@ _FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
 _CHUNK_WORD_ROWS = 32768
 # how many adjacent word-widths may share one (padded) chunk
 _MERGE_WIDTHS = 2
+# below this many pairs per call, the per-pair kernels win (numpy op
+# dispatch overhead; measured crossover ~600 pairs on ~300-char texts)
+_BATCH_MIN_ROWS = 600
 
 
 def _clean_ascii(s: str) -> bool:
@@ -428,6 +431,22 @@ def batch_component_scores(
     from pipeline.oracle import component_scores  # lazy: avoid cycle
 
     n = len(norm_a)
+    # small batches are numpy-dispatch-overhead-bound (measured crossover
+    # ~600 pairs: batch 540 us/pair vs per-pair 440 at n=400, but 234 vs
+    # 333 at n=1600): fall through to the per-pair kernels below the
+    # crossover — both paths are bit-equal, so dispatch is free to choose
+    if n < _BATCH_MIN_ROWS:
+        cols: dict[str, list[float]] = {c: [] for c in (
+            "token_sort", "num", "partial", "jaccard", "jaro", "struct", "text"
+        )}
+        cap0 = cfg.score_text_max_chars
+        for a, b, ra, rb in zip(norm_a, norm_b, roles_a, roles_b):
+            s = component_scores(
+                (a or "")[:cap0], (b or "")[:cap0], ra or "", rb or "", cfg
+            )
+            for c, v in s.items():
+                cols[c].append(v)
+        return {c: np.asarray(v, dtype=np.float64) for c, v in cols.items()}
     cap = cfg.score_text_max_chars
     ts = np.empty(n, dtype=np.float64)
     num = np.empty(n, dtype=np.float64)

@@ -333,3 +333,59 @@ def test_ivf_index_materialized_and_reused(spark, tmp_path, monkeypatch):
     # changed quantizer config -> fingerprint mismatch -> refit
     sim.ivf_topk(v, q1, k=3, n_lists=8, index_dir=idx)
     assert len(fits) == 2
+
+
+def test_redact_rules_and_repetition_signals(spark):
+    """Redaction chain (URL -> EMAIL -> IP -> long-digit-run) + Gopher
+    repetition signals, checked against hand-derived expectations and the
+    DuckDB oracle SQL on adversarial fixtures."""
+    import duckdb
+    import hashlib
+
+    import __spark_entry__ as em
+    from pipeline.extras import redact as rd
+
+    rows = [
+        (1, "contact me at bob.smith+x@example.co.uk or https://foo.bar/baz?q=1&r=2"),
+        (2, "server 192.168.0.1 responded\nserver 192.168.0.1 responded\nok"),
+        (3, "order 12345678 ref 999999 short 123"),
+        (4, "spam spam spam spam spam ham"),
+        (5, ""),
+        (6, "no pii here just words"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select(
+            "doc_id",
+            *rd.redact_count_cols("text"),
+            rd.redact_text_col("text").alias("red"),
+            rd.dup_line_frac_col("text").alias("dlf"),
+            rd.top_token_frac_col("text").alias("ttf"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "red"] == "contact me at <EMAIL> or <URL>"
+    assert got.loc[1, "red"] == "server <IP> responded\nserver <IP> responded\nok"
+    assert got.loc[2, "red"] == "order <ID> ref 999999 short 123"  # 6 digits < 7
+    assert list(got["n_url"]) == [1, 0, 0, 0, 0, 0]
+    assert list(got["n_email"]) == [1, 0, 0, 0, 0, 0]
+    assert list(got["n_ip"]) == [0, 2, 0, 0, 0, 0]
+    assert list(got["n_num"]) == [0, 0, 1, 0, 0, 0]
+    assert abs(got.loc[1, "dlf"] - (1 - 2 / 3)) < 1e-12
+    assert abs(got.loc[3, "ttf"] - 5 / 6) < 1e-12
+    assert got.loc[4, "ttf"] == 0.0  # empty doc
+
+    con = duckdb.connect()
+    con.register("pdf", pdf)
+    sql = em.oracle_sql()["redact_stats"].replace("from documents", "from pdf")
+    oracle = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    for i in range(len(got)):
+        assert (
+            hashlib.md5(got.loc[i, "red"].encode()).hexdigest()
+            == oracle.loc[i, "fp_redacted"]
+        )
+        assert abs(got.loc[i, "dlf"] - oracle.loc[i, "dup_line_frac"]) < 1e-12
+        assert abs(got.loc[i, "ttf"] - oracle.loc[i, "top_token_frac"]) < 1e-12

@@ -27,6 +27,14 @@ from pipeline.synth import generate
 CHANNELS = ["token_sort", "num", "partial", "jaccard", "jaro", "struct", "text"]
 
 
+@pytest.fixture(autouse=True)
+def _force_batch_path(monkeypatch):
+    """The hybrid dispatch routes small batches to the per-pair kernels
+    (measured crossover ~600 pairs); these tests exist to pin the NUMPY
+    path, so force it regardless of batch size."""
+    monkeypatch.setattr(kb, "_BATCH_MIN_ROWS", 0)
+
+
 def _assert_rows_equal(na, nb, ra, rb):
     batch = kb.batch_component_scores(na, nb, ra, rb)
     for i in range(len(na)):
