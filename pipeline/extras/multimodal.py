@@ -67,15 +67,34 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+try:  # import-gated real decoder: used automatically when PIL exists
+    from PIL import Image as _PILImage
+except ImportError:  # not installed in this sandbox (documented)
+    _PILImage = None
+
+
 def _decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
-    """STUB decode. Real implementation would be e.g. PIL.Image.open +
-    resize + to-array; this container has no image libs (documented stub,
-    see module docstring). Deterministic fake: FEATURE_DIM floats derived
-    from a sha256 of the payload — stable across runs/executors."""
+    """Image decode kernel. With PIL installed (production), decodes the
+    payload, resizes to 4x4 grayscale and returns the 16 pixel
+    intensities in [0,1] — a real, deterministic thumbnail feature. In
+    this sandbox PIL is absent, so the fallback is a deterministic fake
+    (FEATURE_DIM floats from a sha256 of the payload — stable across
+    runs/executors) or, in strict mode, a loud NotImplementedError. The
+    Spark-side plumbing (schema, mapInPandas batching, partitioning) is
+    identical on every path."""
+    if _PILImage is not None:
+        import io
+
+        side = int(FEATURE_DIM**0.5)
+        img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((side, side))
+        return (
+            np.asarray(img, dtype=np.float32).reshape(FEATURE_DIM) / 255.0
+        )
     if strict:
         raise NotImplementedError(
             "media decode requires PIL/ffmpeg — not installed in this "
-            "environment; wire a real decoder here for production"
+            "environment; the import-try above wires the real decoder "
+            "in automatically where PIL exists"
         )
     h = hashlib.sha256(payload).digest()
     arr = np.frombuffer((h * ((4 * FEATURE_DIM) // len(h) + 1))[: 4 * FEATURE_DIM],
