@@ -178,9 +178,16 @@ def _chunk_indel_distance(
     t_b = np.empty((W, n), dtype=np.uint64)
     x_b = np.empty((W, n), dtype=np.uint64)
     s_b = np.empty(n, dtype=np.uint64)
-    cr_b = np.empty(n, dtype=np.uint64)
     c1_b = np.empty(n, dtype=bool)
     c2_b = np.empty(n, dtype=bool)
+    cr_b = np.empty(n, dtype=bool)
+    # NOTE on masking: only the TOP word has a partial mask (lower words
+    # are all-ones). Add-carry junk above ls in the top word propagates
+    # only UPWARD (never into significant low bits, never into another
+    # word — carry out of the top word is dropped), and char masks have
+    # no bits there, so the significant bits evolve exactly as if masked
+    # every iteration. Mask ONCE after the loop — saves a full [act, W]
+    # pass per character.
     for j in range(max_ll):
         act = int(acts[j])
         if act == 0:
@@ -209,15 +216,16 @@ def _chunk_indel_distance(
                 np.add(vw, tw, out=s)
                 np.less(s, vw, out=c1)
                 if w:
+                    # bool carry upcasts to uint64 in the add/compare
                     np.add(s, carry, out=s, casting="unsafe")
                     np.less(s, carry, out=c2)
-                    np.bitwise_or(c1, c2, out=c1)
+                    np.logical_or(c1, c2, out=carry)
+                else:
+                    carry[...] = c1
                 vw[...] = s
-                if w + 1 < W:
-                    np.add(c1, np.uint64(0), out=carry, casting="unsafe")
             np.bitwise_or(va, x, out=va)
-        np.bitwise_and(va, full[:, :act], out=va)
 
+    np.bitwise_and(v, full, out=v)
     # per-pair popcount over the W words (word-major layout)
     ones = _POP[v.view(np.uint8).reshape(W, n, 8)].sum(axis=(0, 2))
     lcs = ls_s - ones.astype(np.int64)

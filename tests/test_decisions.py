@@ -135,3 +135,71 @@ def test_best_match_unit_tiebreak(spark):
     best = best.set_index("conv_id")["partner_id"].to_dict()
     assert best["q"] == "b"
     assert best["z"] == "d"
+
+
+def test_random_configs_spark_matches_oracle(spark):
+    """Config-space pinning: the JVM decision layer (confidence caps,
+    tier, exact predicate, quality, warnings) equals the pandas oracle
+    BIT-FOR-BIT under randomized weight configurations and randomized
+    channel-score inputs — not just the default and strict configs the
+    contract queries exercise."""
+    import random
+
+    from pipeline import oracle
+    from pipeline.config import TIER_ADJUSTMENT
+
+    rng = random.Random(42)
+    for trial in range(4):
+        raw = [rng.randint(1, 100) for _ in range(6)]
+        # exact closed-form weights that sum to 1.0 in float (normalize,
+        # then absorb the residue into the first weight)
+        ws = [r / sum(raw) for r in raw]
+        ws[0] = 1.0 - sum(ws[1:])
+        cfg = MatchConfig(
+            w_token_sort=ws[0], w_num=ws[1], w_partial=ws[2],
+            w_jaccard=ws[3], w_jaro=ws[4], w_struct=ws[5],
+            match_tier_threshold=rng.choice([35.0, 55.0, 75.0]),
+            match_text_floor=rng.choice([0.0, 45.0, 60.0]),
+        )
+        rows = []
+        score_rows = []
+        for _ in range(120):
+            s = {c: rng.choice([0.0, 25.0, 49.9, 50.0, 69.9, 70.0, 79.9,
+                                80.0, 85.0, 89.9, 90.0, 95.0, 100.0])
+                 for c in CHANNELS}
+            na = rng.choice(["hello world", "x" * 12, "abc 123"])
+            nb = rng.choice(["hello world", "", "zz 9"])
+            ra = rng.choice(["ua", ""])
+            rb = rng.choice(["ua", "au"])
+            rows.append({**{f"s_{c}": s[c] for c in CHANNELS},
+                         "_norm_a": na, "_norm_b": nb,
+                         "_roles_a": ra, "_roles_b": rb})
+            score_rows.append((s, na, nb, ra, rb))
+        got = (
+            with_decisions(_pair_df(spark, rows), cfg)
+            .toPandas()
+        )
+        for i, (s, na, nb, ra, rb) in enumerate(score_rows):
+            gated = cfg.require_text and (not na or not nb)
+            if gated:
+                conf, tier = 0.0, "none"
+                quality = 0.0
+                warnings = ["empty_critical_feature"]
+            else:
+                conf = oracle.weighted_confidence(s, cfg)
+                tier = oracle.assign_tier(conf)
+                quality, _band, warnings = oracle.quality_warnings(
+                    s, conf, tier, na, nb, ra, rb, 1.0
+                )
+            r = got.iloc[i]
+            assert r["confidence"] == conf, (trial, i, s)
+            assert r["tier"] == tier
+            assert r["quality"] == quality, (trial, i, s, quality)
+            assert list(r["warnings"]) == warnings
+            adj = max(0.0, conf + TIER_ADJUSTMENT.get(tier, -80.0))
+            assert r["confidence_adjusted"] == adj
+            exp_match = (not gated) and conf >= cfg.match_tier_threshold \
+                and s["text"] >= cfg.match_text_floor
+            if gated:
+                exp_match = False
+            assert bool(r["is_match"]) == exp_match

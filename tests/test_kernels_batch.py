@@ -167,3 +167,28 @@ def test_chunk_boundary_grouping():
 def test_popcount_helper():
     v = np.array([[0, 1], [0xFFFFFFFFFFFFFFFF, 3]], dtype=np.uint64)
     assert list(kb._popcount(v)) == [1, 66]
+
+
+def test_driver_corpus_ring_bitwise_equal():
+    """Batch vs per-pair equality on the REAL driver documents table
+    (sf0.001) — catches alphabet/length-distribution issues synthetic
+    strings might miss (this is the bench's saturated-ring shape)."""
+    import duckdb
+
+    from pipeline.textnorm import normalize_py
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            "select text from read_parquet("
+            "'/root/testdata/sf0.001/documents.parquet') limit 400"
+        ).fetchall()
+    ]
+    norms = [normalize_py(t) for t in texts]
+    n = len(norms)
+    roles = ["ua", "uaua", "uauaua", "au"]
+    na = [norms[i] for i in range(n)]
+    nb = [norms[(i + 1) % n] for i in range(n)]
+    ra = [roles[i % 4] for i in range(n)]
+    rb = [roles[(i + 1) % 4] for i in range(n)]
+    _assert_rows_equal(na, nb, ra, rb)
