@@ -583,6 +583,85 @@ from documents
 """
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 10 docs per language,
+    chosen by seeded hash-coin rank (engine-reproducible)."""
+    from pipeline.extras.curation import sample_topn
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_topn(docs, "lang", 10).select("doc_id", "lang")
+
+
+def _sample_stratified_sql() -> str:
+    # built lazily: h60_sql is imported lower in the module
+    return f"""
+select doc_id, lang
+from (select doc_id, lang,
+             row_number() over (partition by lang
+               order by ({h60_sql("'sample'", "doc_id")}) % 1000000 asc,
+                        doc_id asc) as rnk
+      from documents)
+where rnk <= 10
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: running token offset in doc_id
+    order, 500-token bins."""
+    from pipeline.extras.curation import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, 500)
+
+
+SQL_PACK_SEQUENCES = """
+select doc_id, n_tokens, offset_tokens,
+       cast(floor(offset_tokens / 500) as bigint) as bin_id
+from (select doc_id, n_tokens,
+             cast(coalesce(sum(n_tokens) over (order by doc_id
+               rows between unbounded preceding and 1 preceding), 0)
+               as bigint) as offset_tokens
+      from (select doc_id,
+                   cast(len(list_filter(string_split(
+                     regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '')) as bigint) as n_tokens
+            from documents))
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap decontamination: hashed char-5-gram overlap of
+    every document against a broadcast benchmark set (stand-in: the 20
+    lowest-id docs)."""
+    from pipeline.extras.curation import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where("doc_id < 20")
+    return decontaminate(docs, bench, n=5, overlap_threshold=0.5)
+
+
+def _decontaminate_sql(n: int = 5, threshold: float = 0.5) -> str:
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(length(norm_text)-{n-1},1) + 1),"
+        f" i -> substring(norm_text, i, {n})))"
+    )
+    return f"""
+with nrm as ({_DOCS_NORM_SQL}),
+g as (select doc_id, unnest({shingles}) as gram from nrm),
+h as (select doc_id, {h60_sql('gram')} as hv from g),
+bset as (select distinct hv from h where doc_id < 20),
+agg as (select h.doc_id,
+               cast(count(*) as bigint) as n_grams,
+               cast(sum(case when hv in (select hv from bset) then 1 else 0 end)
+                    as bigint) as n_overlap
+        from h group by h.doc_id)
+select doc_id, n_grams, n_overlap,
+       n_overlap / n_grams as overlap_frac,
+       n_overlap / n_grams >= {threshold} as contaminated
+from agg
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window/lag sessionization: 30-min inactivity gap starts a session."""
     ev = _read(spark, sf_dir, "events")
@@ -1642,6 +1721,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lang": q_quality_lang,
         "lang_histogram": q_lang_histogram,
         "redact_stats": q_redact_stats,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "variants_expand": q_variants,
         "number_extract": q_number_extract,
         "quality_reliability": q_quality_reliability,
@@ -1682,6 +1764,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_lang": lang_sql,
         "lang_histogram": f"select lang_pred, cast(count(*) as bigint) as n_docs from ({lang_sql}) group by lang_pred",
         "redact_stats": _redact_sql(),
+        "sample_stratified": _sample_stratified_sql(),
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "decontaminate": _decontaminate_sql(),
         "variants_expand": SQL_VARIANTS,
         "number_extract": SQL_NUMBER_EXTRACT,
         "quality_reliability": SQL_QUALITY_RELIABILITY,

@@ -389,3 +389,67 @@ def test_redact_rules_and_repetition_signals(spark):
         )
         assert abs(got.loc[i, "dlf"] - oracle.loc[i, "dup_line_frac"]) < 1e-12
         assert abs(got.loc[i, "ttf"] - oracle.loc[i, "top_token_frac"]) < 1e-12
+
+
+def test_sample_rate_deterministic_and_unbiased(documents):
+    from pipeline.extras.curation import sample_rate
+
+    a = sample_rate(documents, 0.3).select("doc_id").toPandas()
+    b = sample_rate(documents, 0.3).select("doc_id").toPandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])  # reproducible
+    n = documents.count()
+    assert 0.2 * n < len(a) < 0.4 * n  # ~rate, not degenerate
+    # monotone in rate: smaller sample is a subset of the larger
+    small = sample_rate(documents, 0.1).select("doc_id").toPandas()
+    assert set(small["doc_id"]) <= set(a["doc_id"])
+
+
+def test_pack_sequences_bins_and_straddle(spark):
+    from pipeline.extras.curation import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in
+            enumerate([300, 300, 300, 100, 600])]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = pack_sequences(df, 500).toPandas().sort_values("doc_id")
+    assert list(out["n_tokens"]) == [300, 300, 300, 100, 600]
+    assert list(out["offset_tokens"]) == [0, 300, 600, 900, 1000]
+    assert list(out["bin_id"]) == [0, 0, 1, 1, 2]
+    # partitioned variant restarts offsets per shard
+    df2 = df.withColumn("shard", (F.col("doc_id") % 2).cast("int"))
+    out2 = pack_sequences(df2, 500, partition_col="shard").toPandas()
+    for _s, grp in out2.groupby("shard"):
+        assert grp.sort_values("doc_id").iloc[0]["offset_tokens"] == 0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from pipeline.extras.curation import decontaminate
+
+    bench_text = "the secret benchmark question about entity resolution systems"
+    rows = [
+        (0, bench_text),                             # benchmark member
+        (100, bench_text + " with a tiny suffix"),   # contaminated copy
+        (101, "completely unrelated text about cooking pasta at home"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        decontaminate(df.where("doc_id >= 100"), df.where("doc_id < 100"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[100, "contaminated"]) is True
+    assert out.loc[100, "overlap_frac"] > 0.7
+    assert bool(out.loc[101, "contaminated"]) is False
+    assert out.loc[101, "overlap_frac"] < 0.2
+
+
+def test_decontaminate_broadcasts_benchmark(spark, documents):
+    from pipeline.extras.curation import decontaminate
+
+    df = decontaminate(documents, documents.where("doc_id < 20"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
