@@ -201,12 +201,19 @@ def cap_hot_buckets(
 
 
 def candidate_pairs(
-    feats: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG
-) -> tuple[DataFrame, DataFrame]:
-    """feats -> (pairs, hot_key_audit).
+    feats: DataFrame,
+    cfg: MatchConfig = DEFAULT_CONFIG,
+    return_pair_audit: bool = False,
+):
+    """feats -> (pairs, hot_key_audit[, pair_cap_audit]).
 
     pairs: (conv_id_a, conv_id_b, block_key, families ARRAY<INT>) with
     conv_id_a < conv_id_b, deduplicated across families.
+
+    With ``return_pair_audit``, also returns (family, key, pairs_total,
+    pairs_kept) for keys where the star+cap pair rule dropped anything —
+    the per-key twin of the dedup layer's ``_bucket_pair_cap`` audit
+    (pairs_total counts post-member-cap pairs, i.e. C(kept_members, 2)).
     """
     kept, audit = capped_key_table(feats, cfg)
     # both self-join sides + (upstream) the frequency pass read this —
@@ -236,17 +243,29 @@ def candidate_pairs(
     # the star adds <= block_key_cap - 1 - cap extra pairs)
     w = Window.partitionBy("family", "key").orderBy("conv_id_a", "conv_id_b")
     wm = Window.partitionBy("family", "key")
-    capped = (
+    flagged = (
         raw.withColumn("_rn", F.row_number().over(w))
         .withColumn("_min_a", F.min("conv_id_a").over(wm))
-        .filter(
+        .withColumn(
+            "_keep",
             (F.col("_rn") <= cfg.pairs_per_key_cap)
-            | (F.col("conv_id_a") == F.col("_min_a"))
+            | (F.col("conv_id_a") == F.col("_min_a")),
         )
     )
+    capped = flagged.where("_keep")
 
     pairs = capped.groupBy("conv_id_a", "conv_id_b").agg(
         F.min("key").alias("block_key"),
         F.array_sort(F.collect_set("family")).alias("families"),
     )
-    return pairs, audit
+    if not return_pair_audit:
+        return pairs, audit
+    pair_audit = (
+        flagged.groupBy("family", "key")
+        .agg(
+            F.count(F.lit(1)).alias("pairs_total"),
+            F.sum(F.col("_keep").cast("long")).alias("pairs_kept"),
+        )
+        .where(F.col("pairs_kept") < F.col("pairs_total"))
+    )
+    return pairs, audit, pair_audit

@@ -120,8 +120,9 @@ def run_staged(
     feats = runner.run("features", lambda: featurize(docs, cfg))
 
     def _pairs() -> DataFrame:
-        p, hot = candidate_pairs(feats, cfg)
+        p, hot, pair_cap = candidate_pairs(feats, cfg, return_pair_audit=True)
         runner.run("hot_key_audit", lambda: hot)
+        runner.run("pair_cap_audit", lambda: pair_cap)
         return p
 
     pairs = runner.run("pairs", _pairs)

@@ -453,3 +453,26 @@ def test_decontaminate_broadcasts_benchmark(spark, documents):
     )
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_dedup_xxhash64_fast_path(spark):
+    """The config-gated xxhash64 hash (the fast non-oracle-verifiable
+    production path) still finds planted near-dups and respects caps."""
+    from pipeline.extras.dedup import minhash_lsh_pairs
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different content about spark dataframes and shuffles",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t.replace("the", "teh", 1)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = minhash_lsh_pairs(
+        df, jaccard_threshold=0.5, hash_impl="xxhash64"
+    ).toPandas()
+    found = set(map(tuple, got[["doc_id_a", "doc_id_b"]].values))
+    for i in range(len(base)):
+        assert (i * 10, i * 10 + 1) in found
+    assert all(a // 10 == b // 10 for a, b in found)

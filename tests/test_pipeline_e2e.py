@@ -124,3 +124,20 @@ def test_hot_key_capping(spark, hot_corpus):
     cap = DEFAULT_CONFIG.pairs_per_key_cap
     # far below the uncapped 90*89/2 = 4005
     assert 0 < n_hot_pairs <= cap * (3 + DEFAULT_CONFIG.minhash_bands)
+
+
+def test_pair_cap_audit_reports_drops(spark, hot_corpus):
+    """The blocking star+cap pair rule audits what it drops, per key —
+    the blocking twin of the dedup layer's pair-cap audit."""
+    turns = spark.createDataFrame(hot_corpus.turns)
+    feats = featurize(canonicalize(turns))
+    pairs, _hot, pair_audit = candidate_pairs(
+        feats, return_pair_audit=True
+    )
+    audit_pd = pair_audit.toPandas()
+    assert list(audit_pd.columns) == ["family", "key", "pairs_total", "pairs_kept"]
+    assert len(audit_pd) > 0  # 90 identical convs must trip the cap
+    assert (audit_pd["pairs_kept"] < audit_pd["pairs_total"]).all()
+    cap = DEFAULT_CONFIG.pairs_per_key_cap
+    star_max = DEFAULT_CONFIG.block_key_cap - 1
+    assert (audit_pd["pairs_kept"] <= cap + star_max).all()
