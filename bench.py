@@ -169,6 +169,21 @@ def main() -> dict:
     timed("q5_lev_tier_pairs", lambda: noop_write(em.q_lev_tier_pairs(spark, sf_dir)))
     timed("q6_minhash_dedup", lambda: noop_write(em.q_minhash_dedup(spark, sf_dir)))
     release_caches()  # dedup shingle tables — don't let loops accumulate
+
+    # the PRODUCTION hash path (xxhash64, non-oracle-verifiable): shows
+    # the measured cost of the engine-neutral md5 keys the contract
+    # queries pay for DuckDB verifiability (config-gated via
+    # MatchConfig.hash_impl)
+    def _minhash_fast():
+        from pipeline.extras.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        noop_write(
+            minhash_lsh_pairs(docs, jaccard_threshold=0.3, hash_impl="xxhash64")
+        )
+
+    timed("q6b_minhash_dedup_xxhash64", _minhash_fast)
+    release_caches()
     timed("q7_doc_stats", lambda: noop_write(em.q_doc_stats(spark, sf_dir)))
     timed("q8_knn_cosine", lambda: noop_write(em.q_knn_cosine(spark, sf_dir)))
     timed("q9_anchor_keys", lambda: noop_write(em.q_anchor_keys(spark, sf_dir)))
