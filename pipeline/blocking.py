@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from pipeline.config import DEFAULT_CONFIG, MatchConfig
 from pipeline.features import hash_fn, key_columns
+from pipeline.hashing import coin_col
 
 
 ANCHOR_FAMILY = 4
@@ -147,10 +148,7 @@ def capped_key_table(
     # deterministic hash coin in [0, 1): keep with prob cap/members.
     # Engine-neutral (hash_fn) so the pandas blocking twin and the DuckDB
     # oracle reproduce the SAME capped membership.
-    coin = (
-        F.pmod(hash_fn(cfg)(F.lit("coin"), "conv_id", "key"), F.lit(1_000_000))
-        / 1_000_000.0
-    )
+    coin = coin_col(hash_fn(cfg), "coin", "conv_id", "key")
     kept = joined.filter(
         F.col("members").isNull()
         | (coin < F.lit(float(cfg.block_key_cap)) / F.col("members"))
@@ -189,10 +187,7 @@ def cap_hot_buckets(
     hot = counts.filter(F.col("members") > cap)
     audit = hot.withColumn("est_kept", F.lit(cap).cast("long"))
     joined = keyed.join(F.broadcast(hot), key_cols, "left")
-    coin = (
-        F.pmod(H(F.lit("coin"), id_col, *key_cols), F.lit(1_000_000))
-        / 1_000_000.0
-    )
+    coin = coin_col(H, "coin", id_col, *key_cols)
     kept = joined.filter(
         F.col("members").isNull()
         | (coin < F.lit(float(cap)) / F.col("members"))
@@ -252,6 +247,14 @@ def candidate_pairs(
             | (F.col("conv_id_a") == F.col("_min_a")),
         )
     )
+    if return_pair_audit:
+        # the audit AND the pairs table both derive from flagged; without
+        # this cache a staged run pays the heaviest blocking shuffle (the
+        # self-join + two window passes) TWICE — once per materialized
+        # stage. MEMORY_AND_DISK persist, bounded by the member cap
+        # (<= C(block_key_cap, 2) rows/key), released with the other
+        # blocking caches via session.release_caches.
+        flagged = track_cache(flagged)
     capped = flagged.where("_keep")
 
     pairs = capped.groupBy("conv_id_a", "conv_id_b").agg(

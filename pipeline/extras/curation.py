@@ -32,16 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pipeline.hashing import h60_col
+from pipeline.hashing import coin_col, h60_col
 from pipeline.normalize import norm_text_col
 
 
 def _coin(seed: str, id_col: str):
-    """Deterministic uniform coin in [0, 1): pmod(h60(seed, id), 1e6)/1e6."""
-    return (
-        F.pmod(h60_col(F.lit(seed), F.col(id_col)), F.lit(1_000_000))
-        / 1_000_000.0
-    )
+    """Engine-neutral coin (shared idiom: ``pipeline.hashing.coin_col``)."""
+    return coin_col(h60_col, seed, F.col(id_col))
 
 
 def sample_rate(

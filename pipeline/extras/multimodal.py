@@ -73,20 +73,43 @@ except ImportError:  # not installed in this sandbox (documented)
     _PILImage = None
 
 
+def _fake_features(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in features: FEATURE_DIM floats from a sha256
+    of the payload — stable across runs/executors/environments."""
+    h = hashlib.sha256(payload).digest()
+    arr = np.frombuffer((h * ((4 * FEATURE_DIM) // len(h) + 1))[: 4 * FEATURE_DIM],
+                        dtype=np.uint32)
+    return (arr % 1000).astype(np.float32) / 1000.0
+
+
 def _decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
     """Image decode kernel. With PIL installed (production), decodes the
     payload, resizes to 4x4 grayscale and returns the 16 pixel
-    intensities in [0,1] — a real, deterministic thumbnail feature. In
-    this sandbox PIL is absent, so the fallback is a deterministic fake
-    (FEATURE_DIM floats from a sha256 of the payload — stable across
-    runs/executors) or, in strict mode, a loud NotImplementedError. The
-    Spark-side plumbing (schema, mapInPandas batching, partitioning) is
-    identical on every path."""
+    intensities in [0,1] — a real, deterministic thumbnail feature.
+    UNDECODABLE payloads (truncated/corrupt/non-image bytes — a mapInPandas
+    batch must never die on one bad row) fall back to the deterministic
+    sha256 fake, or raise ValueError in strict mode. That fallback also
+    means synthetic (non-image) corpora produce the SAME features whether
+    or not PIL happens to be importable. Without PIL (this sandbox) every
+    payload takes the fake path; strict mode raises NotImplementedError
+    loudly instead. The Spark-side plumbing (schema, mapInPandas batching,
+    partitioning) is identical on every path."""
     if _PILImage is not None:
         import io
 
         side = int(FEATURE_DIM**0.5)
-        img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((side, side))
+        try:
+            img = (
+                _PILImage.open(io.BytesIO(payload))
+                .convert("L")
+                .resize((side, side))
+            )
+        except Exception as e:
+            if strict:
+                raise ValueError(
+                    f"undecodable image payload ({len(payload)} bytes): {e}"
+                ) from e
+            return _fake_features(payload)
         return (
             np.asarray(img, dtype=np.float32).reshape(FEATURE_DIM) / 255.0
         )
@@ -96,10 +119,7 @@ def _decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
             "environment; the import-try above wires the real decoder "
             "in automatically where PIL exists"
         )
-    h = hashlib.sha256(payload).digest()
-    arr = np.frombuffer((h * ((4 * FEATURE_DIM) // len(h) + 1))[: 4 * FEATURE_DIM],
-                        dtype=np.uint32)
-    return (arr % 1000).astype(np.float32) / 1000.0
+    return _fake_features(payload)
 
 
 FEATURES_SCHEMA = (

@@ -222,6 +222,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_dir: str | None = None,
+    corpus_version: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans coarse quantizer
     (JVM, pyspark.ml) partitions the corpus into ``n_lists`` cells; each
@@ -231,20 +232,42 @@ def ivf_topk(
     query.
 
     With ``index_dir`` the cell assignment + centroid tables are
-    MATERIALIZED through ``pipeline.io.StageRunner`` (fingerprinted by
-    n_lists/seed): the quantizer fits once, and every later query set
-    against the same index_dir reuses the committed tables without a
-    refit — the production shape (assignments stored next to the
-    embeddings, clustered by cell id). Without it, the quantizer is fit
-    inline (one-shot usage).
+    MATERIALIZED through ``pipeline.io.StageRunner``: the quantizer fits
+    once, and every later query set against the same index_dir reuses
+    the committed tables without a refit — the production shape
+    (assignments stored next to the embeddings, clustered by cell id).
+    Without it, the quantizer is fit inline (one-shot usage).
+
+    The index fingerprint covers the CORPUS as well as the quantizer
+    params — by default a one-pass column-pruned agg over (id, vec)
+    (``count + bit_xor(xxhash64(id, vec))``, order-independent, no
+    overflow), so a changed/grown corpus invalidates the committed
+    assignments instead of being silently answered from stale cells.
+    That scan is cheap next to a KMeans refit but is still a corpus
+    read; callers that version their corpus externally pass
+    ``corpus_version`` (any stable string) to skip it.
     """
     if index_dir is not None:
         from pipeline.io import StageRunner
 
+        if corpus_version is None:
+            fp_row = (
+                vectors.select(
+                    F.xxhash64(F.col(id_col), F.col(vec_col)).alias("_h")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(_h)").alias("x"),
+                )
+                .first()
+            )
+            corpus_version = f"{fp_row['n']}:{fp_row['x']}"
         runner = StageRunner(
             vectors.sparkSession,
             index_dir,
-            fingerprint=f"ivf:{n_lists}:{seed}:{id_col}:{vec_col}",
+            fingerprint=(
+                f"ivf:{n_lists}:{seed}:{id_col}:{vec_col}:{corpus_version}"
+            ),
         )
         state: dict[str, DataFrame] = {}
 

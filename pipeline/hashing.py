@@ -47,6 +47,19 @@ def h60_col(*cols: Column | str) -> Column:
     return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
 
 
+def coin_col(hash_col_fn, seed: str, *cols: Column | str) -> Column:
+    """Deterministic uniform coin in [0, 1): ``pmod(hash(seed, cols...),
+    1e6) / 1e6`` — the ONE down-sampling idiom shared by the hot-key
+    caps, the hot-bucket caps and the curation samplers, so a change to
+    coin resolution or seeding lands everywhere at once and the
+    DuckDB/pandas twins stay in lockstep. ``hash_col_fn`` is ``h60_col``
+    (engine-neutral) or ``F.xxhash64`` (production fast path)."""
+    return (
+        F.pmod(hash_col_fn(F.lit(seed), *cols), F.lit(1_000_000))
+        / 1_000_000.0
+    )
+
+
 def h60_sql(*exprs: str) -> str:
     """DuckDB twin of ``h60_col``. Arguments are SQL expressions
     (quote literals yourself: ``h60_sql("'mh'", "g")``)."""

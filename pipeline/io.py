@@ -94,11 +94,22 @@ def _iceberg_write(df: DataFrame, ident: str, fingerprint: str | None) -> None:
 
 def _iceberg_fingerprint(spark: SparkSession, ident: str) -> str | None:
     """Iceberg seam: the committed fingerprint of ``ident`` or None if the
-    table doesn't exist / carries no fingerprint property."""
+    table doesn't exist / carries no fingerprint property.
+
+    Only TABLE_OR_VIEW_NOT_FOUND maps to None (= stage not committed,
+    rebuild). Any OTHER failure — misconfigured catalog, typo'd
+    namespace, transient connectivity — re-raises: swallowing it would
+    silently recompute a multi-hour committed stage on every run while
+    resume appears to 'work'."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.sql(f"SHOW TBLPROPERTIES {ident}").collect()
-    except Exception:  # AnalysisException: table not found / no catalog
-        return None
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", lambda: None)() or ""
+        if "TABLE_OR_VIEW_NOT_FOUND" in cond or "TABLE_OR_VIEW_NOT_FOUND" in str(e):
+            return None
+        raise
     for r in rows:
         if r["key"] == FINGERPRINT_PROP:
             return r["value"]

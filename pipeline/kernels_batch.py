@@ -96,12 +96,6 @@ def _lowmask(k: np.ndarray) -> np.ndarray:
     return np.where(k >= 64, _FULL, base)
 
 
-def _popcount(words: np.ndarray) -> np.ndarray:
-    """Per-row popcount of an [n, W] uint64 matrix."""
-    bytes_ = words.view(np.uint8).reshape(words.shape[0], -1)
-    return _POP[bytes_].sum(axis=1).astype(np.int64)
-
-
 def _chunk_indel_distance(
     shorts: list[str], longs: list[str], W: int
 ) -> np.ndarray:

@@ -255,6 +255,52 @@ def test_multimodal_strict_stub():
         _decode_image(b"xx", strict=True)
 
 
+def test_multimodal_decode_with_pil_handles_bad_payloads(monkeypatch):
+    """Simulated-PIL path (PIL absent in this sandbox): an undecodable
+    payload must NOT kill the mapInPandas batch — non-strict falls back
+    to the same deterministic sha256 features as the no-PIL environment,
+    strict raises ValueError (not an unhandled decoder internal)."""
+    import numpy as np
+
+    from pipeline.extras import multimodal as mm
+
+    class _RaisingPIL:
+        class _Img:
+            @staticmethod
+            def open(_buf):
+                raise OSError("cannot identify image file")
+
+        open = _Img.open
+
+    monkeypatch.setattr(mm, "_PILImage", _RaisingPIL)
+    fallback = mm._decode_image(b"not-an-image", strict=False)
+    assert np.array_equal(fallback, mm._fake_features(b"not-an-image"))
+    with pytest.raises(ValueError, match="undecodable image payload"):
+        mm._decode_image(b"not-an-image", strict=True)
+
+    class _DecodingPIL:
+        """Stub that 'decodes' to a constant 4x4 grayscale thumbnail."""
+
+        class _Img:
+            def convert(self, _mode):
+                return self
+
+            def resize(self, _wh):
+                return self
+
+            def __array__(self, dtype=None):
+                return np.full((4, 4), 128, dtype=dtype or np.uint8)
+
+        @staticmethod
+        def open(_buf):
+            return _DecodingPIL._Img()
+
+    monkeypatch.setattr(mm, "_PILImage", _DecodingPIL)
+    feats = mm._decode_image(b"whatever", strict=True)
+    assert feats.shape == (mm.FEATURE_DIM,)
+    assert np.allclose(feats, 128.0 / 255.0)
+
+
 def test_pair_cap_preserves_large_group_connectivity(spark):
     """120 identical docs with pairs_per_bucket_cap=20 and NO member cap:
     the star-preserving pair cap must keep every member connected to the
@@ -333,6 +379,16 @@ def test_ivf_index_materialized_and_reused(spark, tmp_path, monkeypatch):
     # changed quantizer config -> fingerprint mismatch -> refit
     sim.ivf_topk(v, q1, k=3, n_lists=8, index_dir=idx)
     assert len(fits) == 2
+    # changed CORPUS -> fingerprint mismatch -> refit (round-3 review:
+    # a grown/edited corpus must not be answered from stale assignments)
+    v2 = v.where("vec_id < 70")
+    sim.ivf_topk(v2, q1, k=3, n_lists=8, index_dir=idx)
+    assert len(fits) == 3, "changed corpus must invalidate the index"
+    # explicit corpus_version skips the corpus scan AND pins reuse
+    sim.ivf_topk(v2, q2, k=3, n_lists=8, index_dir=idx, corpus_version="v70")
+    assert len(fits) == 4, "new explicit version differs from the agg one"
+    sim.ivf_topk(v2, q1, k=3, n_lists=8, index_dir=idx, corpus_version="v70")
+    assert len(fits) == 4, "same explicit version must reuse the index"
 
 
 def test_redact_rules_and_repetition_signals(spark):

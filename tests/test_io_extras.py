@@ -124,4 +124,21 @@ def test_stage_runner_iceberg_mode_stubbed(spark, monkeypatch, tmp_path):
 def test_iceberg_fingerprint_missing_table_returns_none(spark):
     from pipeline import io as pio
 
-    assert pio._iceberg_fingerprint(spark, "no_such_cat.db.t") is None
+    # missing TABLE (resolvable catalog) -> not committed -> None
+    assert pio._iceberg_fingerprint(spark, "no_such_table_xyz") is None
+    assert (
+        pio._iceberg_fingerprint(spark, "spark_catalog.default.no_such_t")
+        is None
+    )
+
+
+def test_iceberg_fingerprint_bad_catalog_raises(spark):
+    # a misconfigured/typo'd catalog must SURFACE, not read as
+    # 'uncommitted' (which would silently rebuild a committed stage on
+    # every run while resume appears to work)
+    import pytest
+
+    from pipeline import io as pio
+
+    with pytest.raises(Exception, match="no_such_cat|NAMESPACE"):
+        pio._iceberg_fingerprint(spark, "no_such_cat.db.t")

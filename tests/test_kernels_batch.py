@@ -164,11 +164,6 @@ def test_chunk_boundary_grouping():
         kb._CHUNK_WORD_ROWS = old
 
 
-def test_popcount_helper():
-    v = np.array([[0, 1], [0xFFFFFFFFFFFFFFFF, 3]], dtype=np.uint64)
-    assert list(kb._popcount(v)) == [1, 66]
-
-
 def test_driver_corpus_ring_bitwise_equal():
     """Batch vs per-pair equality on the REAL driver documents table
     (sf0.001) — catches alphabet/length-distribution issues synthetic
