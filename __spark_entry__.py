@@ -1562,13 +1562,21 @@ def _twin_results_cached(sf_dir: str):
     import pyarrow.parquet as pq
 
     from pipeline.config import build_exact_match_config
-    from pipeline.twin import linkage_pd, turns_from_events_pd
+    from pipeline.twin import (
+        linkage_pd,
+        turns_from_documents_pd,
+        turns_from_events_pd,
+    )
 
     events = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
     turns = turns_from_events_pd(events)
+    documents = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
     out = {
         "default": linkage_pd(turns),
         "strict": linkage_pd(turns, build_exact_match_config()),
+        # documents-derived corpus: has REAL near-duplicates, so the
+        # match-only fast path has a non-empty set to certify against
+        "docs_default": linkage_pd(turns_from_documents_pd(documents)),
     }
     _TWIN_CACHE = (sf_dir, out)
     return out
@@ -1649,6 +1657,40 @@ def q_linkage_scored_pairs_strict(spark: SparkSession, sf_dir: str) -> DataFrame
     return plan["scored"].select(
         "conv_id_a", "conv_id_b", "confidence", "tier", "is_match"
     )
+
+
+def _turns_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document as a single-turn 'user' conversation (twin:
+    ``pipeline.twin.turns_from_documents_pd``). The documents corpus has
+    real near-duplicates, so linkage over it produces a non-empty match
+    set (the events-derived transcripts at correctness SF have none)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def q_linkage_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-only fast path (``score_pairs(match_only=True)``): a
+    codegen'd length-ratio upper bound on s_text prunes provably
+    sub-floor pairs BEFORE the Arrow kernel stage — the 100-TB edge
+    generation path. Runs on documents-derived transcripts (real
+    near-dups -> non-empty match set). Oracle: the twin's FULL scoring
+    filtered to is_match, so the driver hash-checks that pruning
+    changed nothing."""
+    from pipeline.linkage import build_plan
+    from pipeline.scoring import score_pairs
+
+    turns = _turns_from_documents(spark, sf_dir)
+    plan = build_plan(turns)
+    return score_pairs(
+        plan["features"], plan["pairs"], match_only=True
+    ).select("conv_id_a", "conv_id_b", "confidence", "tier", "is_match")
 
 
 def q_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1742,6 +1784,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "linkage_scored_pairs": q_linkage_scored_pairs,
         "linkage_scored_pairs_strict": q_linkage_scored_pairs_strict,
+        "linkage_match_pairs": q_linkage_match_pairs,
         "linkage_clusters": q_linkage_clusters,
     }
 
@@ -1790,5 +1833,11 @@ def oracle_sql() -> dict[str, str]:
         # independent second implementation of connected components)
         "linkage_scored_pairs": _linkage_scored_sql(),
         "linkage_scored_pairs_strict": _linkage_scored_sql("strict"),
+        # fast path vs FULL twin scoring + filter: equality proves the
+        # JVM length-ratio prune is sound (an upper bound, not a guess)
+        "linkage_match_pairs": (
+            "select * from "
+            f"({_linkage_scored_sql('docs_default')}) where is_match"
+        ),
         "linkage_clusters": _linkage_clusters_sql(),
     }

@@ -287,15 +287,57 @@ def with_decisions(
     return out.drop("_gated")
 
 
+def match_text_keep_col(cfg: MatchConfig = DEFAULT_CONFIG) -> Column:
+    """JVM-provable keep-condition for the match-only fast path.
+
+    ``is_match`` requires ``s_text >= cfg.match_text_floor``, and s_text
+    is the InDel ratio ``200 * LCS(a, b) / (la + lb)``.  Since
+    ``LCS <= min(la, lb)``,
+
+        s_text  <=  200 * min(la, lb) / (la + lb)
+
+    — an upper bound computable from the two lengths alone, whole-stage
+    codegen'd, no kernel work.  A pair whose bound is already below the
+    floor provably cannot be a match, so pruning it cannot change the
+    match set (equal texts score 100 and are kept explicitly; the
+    inequality is >= on the keep side, so boundary pairs are scored).
+    Written multiplicatively to avoid la + lb = 0 division."""
+    la = F.length(F.coalesce(F.col("_norm_a"), F.lit("")))
+    lb = F.length(F.coalesce(F.col("_norm_b"), F.lit("")))
+    return F.col("_norm_a").eqNullSafe(F.col("_norm_b")) | (
+        F.lit(200.0) * F.least(la, lb).cast("double")
+        >= F.lit(float(cfg.match_text_floor)) * (la + lb).cast("double")
+    )
+
+
 def score_pairs(
-    feats: DataFrame, pairs: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG
+    feats: DataFrame,
+    pairs: DataFrame,
+    cfg: MatchConfig = DEFAULT_CONFIG,
+    match_only: bool = False,
 ) -> DataFrame:
     """pairs + features -> scored pairs with decisions.
 
     Two equi-joins pull each side's (norm_text, roles_sig); then one
     narrow UDF stage + column arithmetic. On a bucketed production table
     both joins are shuffle-free (storage-partitioned on conv_id).
-    """
+
+    ``match_only=True`` is the 100-TB edge-generation fast path: when the
+    caller only consumes MATCH pairs (cluster edge lists — not the audit
+    histograms, which need every pair), a codegen'd length-ratio bound
+    (``match_text_keep_col``) prunes pairs that provably cannot clear the
+    s_text match floor BEFORE the Arrow stage, so the Python kernels
+    never see them, and the output is filtered to ``is_match``.  Result
+    set is IDENTICAL to ``score_pairs(...).where("is_match")`` — the
+    bound is an upper bound on s_text, never an estimate (pinned by
+    ``tests/test_decisions.py`` and the ``linkage_match_pairs`` contract
+    query vs the full-scoring DuckDB oracle).  The win is
+    corpus-dependent — it prunes exactly the cross-LENGTH candidate
+    collisions: measured 3.3% of blocked pairs on the sf0.1 documents
+    corpus and 0% on the length-homogeneous events transcripts; corpora
+    with headers/boilerplate stubs blocked against full documents prune
+    far more.  The filter itself is ~free (two LENGTH columns), so it is
+    never a regression."""
     fa = feats.select(
         F.col("conv_id").alias("conv_id_a"),
         F.col("norm_text").alias("_norm_a"),
@@ -321,6 +363,8 @@ def score_pairs(
         .join(fa, "conv_id_a")
         .join(fb, "conv_id_b")
     )
+    if match_only:
+        joined = joined.where(match_text_keep_col(cfg))
 
     udf = make_score_udf(cfg)
     scored = joined.withColumn(
@@ -330,6 +374,9 @@ def score_pairs(
         "conv_id_a", "conv_id_b", "block_key", "families",
         "_norm_a", "_norm_b", "_roles_a", "_roles_b", "_s.*",
     )
-    return with_decisions(scored, cfg).drop(
+    out = with_decisions(scored, cfg).drop(
         "_norm_a", "_norm_b", "_roles_a", "_roles_b"
     )
+    if match_only:
+        out = out.where("is_match")
+    return out

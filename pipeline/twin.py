@@ -53,6 +53,23 @@ def turns_from_events_pd(events: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def turns_from_documents_pd(documents: pd.DataFrame) -> pd.DataFrame:
+    """Twin of ``__spark_entry__._turns_from_documents``: each document is
+    a single-turn 'user' conversation (constant ts — documents carry no
+    event time)."""
+    return pd.DataFrame(
+        {
+            "conv_id": "d" + documents["doc_id"].astype(str),
+            "turn_idx": pd.Series(
+                [0] * len(documents), dtype="int32", index=documents.index
+            ),
+            "role": "user",
+            "text": documents["text"],
+            "ts": pd.Timestamp("2024-01-01"),
+        }
+    )
+
+
 def _doc_keys(norm: str, cfg: MatchConfig) -> list[tuple[int, int]]:
     """Families 0-3 for one doc — twin of ``features.featurize``."""
     tokens = [t for t in norm.split(" ") if t]

@@ -137,6 +137,88 @@ def test_best_match_unit_tiebreak(spark):
     assert best["z"] == "d"
 
 
+def test_match_text_bound_is_sound_vs_kernel():
+    """The match-only prune relies on s_text <= 200*min(la,lb)/(la+lb).
+    Pin the inequality against the real kernel on adversarial pairs so a
+    future s_text redefinition cannot silently break prune soundness."""
+    import itertools
+    import random
+
+    from pipeline import kernels
+
+    rng = random.Random(7)
+    strs = ["", "a", "ab" * 40, "hello world", "hello world " * 10,
+            "the quick brown fox", "xyz", "aaaa", "abab" * 25]
+    strs += [
+        "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 120)))
+        for _ in range(40)
+    ]
+    for a, b in itertools.combinations(strs, 2):
+        s = 100.0 if a == b else kernels.indel_ratio(a, b)
+        total = len(a) + len(b)
+        ub = 100.0 if (total == 0 or a == b) else 200.0 * min(len(a), len(b)) / total
+        assert s <= ub + 1e-9, (a[:30], b[:30], s, ub)
+
+
+def test_match_only_fast_path_equals_full_filter(spark):
+    """score_pairs(match_only=True) must return EXACTLY
+    score_pairs().where(is_match) — the length-ratio prune is provably
+    lossless — while actually pruning pairs before the kernel stage
+    (the corpus pairs same-token-set docs with 6x length skew)."""
+    base = "alpha beta gamma delta epsilon zeta theta kappa"
+    turns = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(8) for _ in (0, 1)],
+            "turn_idx": [0, 1] * 8,
+            "role": ["user", "assistant"] * 8,
+            # c0/c1: near-identical short docs (true match); c2..c7: the
+            # SAME token set as c0 but 6x longer (blocked together via
+            # token-set keys, provably sub-floor on length ratio)
+            "text": sum(
+                [
+                    [base, "ack"],
+                    [base + " x", "ack"],
+                ]
+                + [[(base + " ") * 6, "ack"] for _ in range(6)],
+                [],
+            ),
+            "tool": [None] * 16,
+            "ts": pd.to_datetime(["2024-01-01"] * 16),
+        }
+    )
+    from pipeline.scoring import match_text_keep_col, score_pairs
+
+    feats = featurize(canonicalize(spark.createDataFrame(turns)))
+    pairs, _ = candidate_pairs(feats)
+
+    full = score_pairs(feats, pairs).where("is_match")
+    fast = score_pairs(feats, pairs, match_only=True)
+    cols = ["conv_id_a", "conv_id_b", "confidence", "tier", "is_match"]
+    pd.testing.assert_frame_equal(
+        full.select(cols).orderBy(cols[:2]).toPandas(),
+        fast.select(cols).orderBy(cols[:2]).toPandas(),
+    )
+
+    # the prune must actually drop work: some blocked pair fails the bound
+    fa = feats.select(F.col("conv_id").alias("conv_id_a"),
+                      F.col("norm_text").alias("_norm_a"))
+    fb = feats.select(F.col("conv_id").alias("conv_id_b"),
+                      F.col("norm_text").alias("_norm_b"))
+    joined = pairs.join(fa, "conv_id_a").join(fb, "conv_id_b")
+    n_pruned = joined.where(~match_text_keep_col(DEFAULT_CONFIG)).count()
+    assert n_pruned > 0, "fixture produced no prunable pairs"
+
+    # and the prune sits BELOW the Arrow stage in the physical plan
+    # (filter on the join output, kernels never see pruned rows)
+    plan = fast._jdf.queryExecution().executedPlan().toString().lower()
+    arrow_pos = plan.find("arrowevalpython")
+    filter_pos = plan.find("least(length")
+    assert arrow_pos != -1 and filter_pos != -1, plan[:2000]
+    # physical plans print top-down: the prune filter must be BELOW
+    # (= printed after) the Arrow stage, so kernels never see pruned rows
+    assert filter_pos > arrow_pos, "length-bound filter not below Arrow stage"
+
+
 def test_random_configs_spark_matches_oracle(spark):
     """Config-space pinning: the JVM decision layer (confidence caps,
     tier, exact predicate, quality, warnings) equals the pandas oracle
