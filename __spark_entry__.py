@@ -1575,11 +1575,38 @@ def _twin_results_cached(sf_dir: str):
         "default": linkage_pd(turns),
         "strict": linkage_pd(turns, build_exact_match_config()),
         # documents-derived corpus: has REAL near-duplicates, so the
-        # match-only fast path has a non-empty set to certify against
-        "docs_default": linkage_pd(turns_from_documents_pd(documents)),
+        # match-only fast path has a non-empty set to certify against.
+        # Cap-free config: the kept subset under a binding pair cap is
+        # population-dependent BY DESIGN (skew protection), so the
+        # incremental == batch equality theorem is only exact cap-free —
+        # the docs corpus has cap drops even at sf0.001, hence the raised
+        # cap on BOTH the twin and the Spark queries that use this mode.
+        "docs_nocap": linkage_pd(
+            turns_from_documents_pd(documents), _nocap_config()
+        ),
     }
     _TWIN_CACHE = (sf_dir, out)
     return out
+
+
+def _nocap_config():
+    """Population-independent candidate generation: caps raised and the
+    anchor family disabled (anchor_max_df=1 is unsatisfiable with the
+    df >= 2 floor). Both mechanisms keep population-dependent subsets BY
+    DESIGN (cap coins rank/key-count against the live population; anchor
+    df-ranges shift as the corpus grows), so the incremental == batch
+    equality theorem — and therefore the twin oracle for these contract
+    queries — is stated over the doc-local families 0-3 (exact,
+    token-set, prefix, minhash). Production incremental runs keep
+    anchors by computing them against a FROZEN df snapshot (a committed
+    stage), which restores population independence."""
+    from dataclasses import replace
+
+    from pipeline.config import DEFAULT_CONFIG
+
+    return replace(
+        DEFAULT_CONFIG, pairs_per_key_cap=1_000_000, anchor_max_df=1
+    )
 
 
 def _sql_str(s: str) -> str:
@@ -1603,8 +1630,8 @@ def _linkage_scored_sql(mode: str = "default") -> str:
     )
 
 
-def _linkage_clusters_sql() -> str:
-    twin = _twin_results()["strict"]
+def _linkage_clusters_sql(mode: str = "strict") -> str:
+    twin = _twin_results()[mode]
     scored, docs = twin["scored"], twin["docs"]
     nodes = ",".join(f"({_sql_str(c)})" for c in sorted(docs["conv_id"]))
     edges = scored[scored["is_match"]]
@@ -1686,11 +1713,37 @@ def q_linkage_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline.linkage import build_plan
     from pipeline.scoring import score_pairs
 
+    cfg = _nocap_config()
     turns = _turns_from_documents(spark, sf_dir)
-    plan = build_plan(turns)
+    plan = build_plan(turns, cfg)
     return score_pairs(
-        plan["features"], plan["pairs"], match_only=True
+        plan["features"], plan["pairs"], cfg, match_only=True
     ).select("conv_id_a", "conv_id_b", "confidence", "tier", "is_match")
+
+
+def q_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity resolution: even-doc_id documents are
+    batch-linked (the committed state), odd-doc_id documents arrive as
+    an increment and are linked via ``pipeline.incremental`` — new-keys
+    ⋈ key-table join (no corpus self-join), match-only scoring,
+    contracted CC, broadcast entity relabel. Oracle: DuckDB
+    recursive-CTE CC over the twin's FULL-batch match edges, so the
+    driver hash-checks incremental == batch (cap-free on this corpus —
+    the audits are empty, see tests/test_incremental.py)."""
+    from pipeline.incremental import incremental_link
+    from pipeline.linkage import build_plan, cluster_edges
+
+    cfg = _nocap_config()
+    turns = _turns_from_documents(spark, sf_dir)
+    parity = F.expr("cast(substring(conv_id, 2) as int) % 2")
+    base_plan = build_plan(turns.where(parity == 0), cfg)
+    base_clusters, _ = cluster_edges(
+        base_plan["edges"], base_plan["features"]
+    )
+    out = incremental_link(
+        base_plan["features"], base_clusters, turns.where(parity == 1), cfg
+    )
+    return out["clusters"]
 
 
 def q_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1785,6 +1838,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_scored_pairs": q_linkage_scored_pairs,
         "linkage_scored_pairs_strict": q_linkage_scored_pairs_strict,
         "linkage_match_pairs": q_linkage_match_pairs,
+        "incremental_linkage": q_incremental_linkage,
         "linkage_clusters": q_linkage_clusters,
     }
 
@@ -1837,7 +1891,10 @@ def oracle_sql() -> dict[str, str]:
         # JVM length-ratio prune is sound (an upper bound, not a guess)
         "linkage_match_pairs": (
             "select * from "
-            f"({_linkage_scored_sql('docs_default')}) where is_match"
+            f"({_linkage_scored_sql('docs_nocap')}) where is_match"
         ),
+        # incremental (base batch + increment) vs the twin's FULL-batch
+        # clusters: equality proves the incremental update is lossless
+        "incremental_linkage": _linkage_clusters_sql("docs_nocap"),
         "linkage_clusters": _linkage_clusters_sql(),
     }

@@ -231,13 +231,28 @@ def candidate_pairs(
         )
     )
 
-    # per-(family,key) pair cap — deterministic AND star-preserving: the
-    # first cap pairs in (a, b) order PLUS every pair whose left side is
-    # the key's minimum member, so all members of a capped key stay
-    # reachable from its minimum (a key has <= block_key_cap members, so
-    # the star adds <= block_key_cap - 1 - cap extra pairs)
+    if not return_pair_audit:
+        return star_capped_pairs(raw, cfg), audit
+    pairs, pair_audit = star_capped_pairs(raw, cfg, return_audit=True)
+    return pairs, audit, pair_audit
+
+
+def star_capped_pairs(
+    raw: DataFrame, cfg: MatchConfig, return_audit: bool = False
+):
+    """(family, key, conv_id_a, conv_id_b) -> deduplicated capped pairs.
+
+    Per-(family,key) pair cap — deterministic AND star-preserving: the
+    first cap pairs in (a, b) order PLUS every pair whose left side is
+    the key's minimum member, so all members of a capped key stay
+    reachable from its minimum (a key has <= block_key_cap members, so
+    the star adds <= block_key_cap - 1 - cap extra pairs). Shared by the
+    batch self-join (``candidate_pairs``) and the incremental restricted
+    join (``pipeline.incremental``)."""
     w = Window.partitionBy("family", "key").orderBy("conv_id_a", "conv_id_b")
     wm = Window.partitionBy("family", "key")
+    from pipeline.session import track_cache
+
     flagged = (
         raw.withColumn("_rn", F.row_number().over(w))
         .withColumn("_min_a", F.min("conv_id_a").over(wm))
@@ -247,7 +262,7 @@ def candidate_pairs(
             | (F.col("conv_id_a") == F.col("_min_a")),
         )
     )
-    if return_pair_audit:
+    if return_audit:
         # the audit AND the pairs table both derive from flagged; without
         # this cache a staged run pays the heaviest blocking shuffle (the
         # self-join + two window passes) TWICE — once per materialized
@@ -261,8 +276,8 @@ def candidate_pairs(
         F.min("key").alias("block_key"),
         F.array_sort(F.collect_set("family")).alias("families"),
     )
-    if not return_pair_audit:
-        return pairs, audit
+    if not return_audit:
+        return pairs
     pair_audit = (
         flagged.groupBy("family", "key")
         .agg(
@@ -271,4 +286,4 @@ def candidate_pairs(
         )
         .where(F.col("pairs_kept") < F.col("pairs_total"))
     )
-    return pairs, audit, pair_audit
+    return pairs, pair_audit

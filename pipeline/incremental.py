@@ -1,0 +1,195 @@
+"""Incremental linkage — link a NEW batch against committed cluster state.
+
+Production entity resolution at 100 TB is incremental: a daily increment
+of new conversations must be linked against billions of already-clustered
+docs without rescoring the corpus. The reference works one query at a
+time against a committed index (README.md:7-13 single/batch lookup;
+SURVEY.md §2.1 S1/S2); the set-oriented recast restricts candidate
+generation to pairs touching >= 1 NEW doc and contracts existing
+components to their entity label before clustering.
+
+Algorithm (all lazy DataFrame composition):
+
+1. featurize the new turns; union with the committed features table.
+2. capped key table over the UNION (same member caps as batch); candidate
+   pairs = NEW-side keys equi-joined against the full key table. The big
+   key table is streamed ONCE against the (broadcast-able) new-key table,
+   so join cost scales with the increment, not corpus²: no corpus
+   self-join anywhere. Pair dedup + the same star-preserving per-key pair
+   cap as the batch path (``blocking.star_capped_pairs``).
+3. score ONLY those pairs — via the ``match_only`` fast path (a cluster
+   update needs edges, not audit histograms).
+4. contract: each existing endpoint -> its entity_id, each new endpoint
+   -> itself; connected components on the contracted graph (tiny: only
+   affected components + new docs); broadcast-relabel touched entities,
+   assign new docs, leave untouched entity rows alone (they never enter
+   a shuffle or a kernel).
+
+Equivalence: when no member/pair cap binds (both audits empty), the
+result is IDENTICAL to a full batch run over the union corpus —
+``entity_id`` is the min conv_id of a component, an existing entity
+label is already the min of its old component, and the contracted CC
+takes mins over merged components, so the global min falls out.  Pinned
+by ``tests/test_incremental.py`` (base + increment == full batch on a
+synth corpus) and the ``incremental_linkage`` contract query, whose
+DuckDB oracle recomputes full-batch clusters from the twin's scored
+edges with a recursive CTE.  When caps DO bind, batch and incremental
+may keep different capped pair subsets (the member-cap coin depends on
+the key's population size, which differs between runs); both stay
+star-connected per key, but exact label equality is only guaranteed
+cap-free — the returned audits make that condition observable.
+
+The same caveat applies to the ANCHOR key family (family 4): its
+df-range membership and rarest-token selection are computed against the
+live population, so a rare-token pair anchored in the base corpus can
+exceed ``anchor_max_df`` in the union and vice versa. The equality
+theorem is therefore stated over the doc-local families 0-3 (exact,
+token-set, prefix, minhash) — production incremental runs keep anchors
+by computing them against a FROZEN df snapshot (a committed stage),
+which restores population independence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipeline.blocking import capped_key_table, star_capped_pairs
+from pipeline.canonicalize import canonicalize
+from pipeline.cluster import connected_components
+from pipeline.config import DEFAULT_CONFIG, MatchConfig
+from pipeline.features import featurize
+from pipeline.scoring import score_pairs
+from pipeline.session import track_cache
+
+
+def incremental_candidate_pairs(
+    feats_all: DataFrame,
+    new_ids: DataFrame,
+    cfg: MatchConfig = DEFAULT_CONFIG,
+    broadcast_new: bool = True,
+):
+    """Candidate pairs restricted to those touching >= 1 new doc.
+
+    ``feats_all``: features for existing ∪ new docs (the key table must
+    see the union so member caps match a batch run). ``new_ids``: one
+    column ``conv_id``. Returns (pairs, hot_key_audit, pair_cap_audit).
+
+    Scale shape: keys(new) ⋈ keys(all) — with a small increment the new
+    side broadcasts and the corpus key table streams through map-side,
+    no shuffle of the big side and never a corpus self-join. A new-new
+    pair appears from both sides of the join; the least/greatest
+    normalization + the group-by inside ``star_capped_pairs`` dedups it.
+    """
+    kept, hot_audit = capped_key_table(feats_all, cfg)
+    kept = track_cache(kept)
+
+    new_keys = kept.join(new_ids.select("conv_id"), "conv_id")
+    if broadcast_new:
+        new_keys = F.broadcast(new_keys)
+    raw = (
+        new_keys.alias("a")
+        .join(kept.alias("b"), ["family", "key"])
+        .where(F.col("a.conv_id") != F.col("b.conv_id"))
+        .select(
+            "family",
+            "key",
+            F.least("a.conv_id", "b.conv_id").alias("conv_id_a"),
+            F.greatest("a.conv_id", "b.conv_id").alias("conv_id_b"),
+        )
+        .distinct()
+    )
+    pairs, pair_audit = star_capped_pairs(raw, cfg, return_audit=True)
+    return pairs, hot_audit, pair_audit
+
+
+def incremental_link(
+    existing_feats: DataFrame,
+    existing_clusters: DataFrame,
+    new_turns: DataFrame,
+    cfg: MatchConfig = DEFAULT_CONFIG,
+    broadcast_new: bool = True,
+) -> dict[str, DataFrame]:
+    """Link ``new_turns`` against committed (features, clusters) state.
+
+    Returns dict with ``features`` (union, the next committed state),
+    ``scored`` (match pairs touching the increment), ``clusters``
+    (updated full labeling), ``hot_key_audit`` / ``pair_cap_audit``
+    (empty == batch-equivalence guaranteed), and ``cc_metrics``.
+    """
+    new_feats = track_cache(featurize(canonicalize(new_turns), cfg))
+    new_ids = new_feats.select("conv_id")
+    feats_all = existing_feats.unionByName(new_feats)
+
+    pairs, hot_audit, pair_audit = incremental_candidate_pairs(
+        feats_all, new_ids, cfg, broadcast_new
+    )
+    pairs = track_cache(pairs)
+    # Scoring only needs features for docs that actually appear in a
+    # candidate pair (bounded by 2x the restricted pair count — tiny for
+    # a small increment). The broadcast semi-join prunes the corpus
+    # map-side BEFORE score_pairs' text joins, so the step's scoring
+    # stage shuffles pair-touched rows, never the corpus.
+    touched = (
+        pairs.select(F.col("conv_id_a").alias("conv_id"))
+        .union(pairs.select(F.col("conv_id_b").alias("conv_id")))
+        .distinct()
+    )
+    feats_scoring = feats_all.join(F.broadcast(touched), "conv_id", "semi")
+    scored = score_pairs(feats_scoring, pairs, cfg, match_only=True)
+
+    # contract existing endpoints to their entity label (new docs map to
+    # themselves). The label join is against the full clusters table —
+    # an equi-join on conv_id; on bucketed committed state it is
+    # shuffle-free, and only MATCH edges flow through it.
+    lab = existing_clusters.select(
+        F.col("conv_id").alias("_cid"), F.col("entity_id").alias("_ent")
+    )
+    edges = (
+        scored.select("conv_id_a", "conv_id_b")
+        .join(lab.withColumnRenamed("_cid", "conv_id_a"), "conv_id_a", "left")
+        .withColumnRenamed("_ent", "_ent_a")
+        .join(lab.withColumnRenamed("_cid", "conv_id_b"), "conv_id_b", "left")
+        .withColumnRenamed("_ent", "_ent_b")
+        .select(
+            F.coalesce("_ent_a", "conv_id_a").alias("src"),
+            F.coalesce("_ent_b", "conv_id_b").alias("dst"),
+        )
+    )
+
+    comp, cc_metrics = connected_components(edges, all_nodes=new_ids)
+
+    # touched existing entities that must be relabeled (tiny; broadcast)
+    merge_map = (
+        comp.join(
+            existing_clusters.select(F.col("entity_id").alias("conv_id")).distinct(),
+            "conv_id",
+        )
+        .where(F.col("entity_id") != F.col("conv_id"))
+        .select(
+            F.col("conv_id").alias("_old_ent"),
+            F.col("entity_id").alias("_new_ent"),
+        )
+    )
+    existing_updated = (
+        existing_clusters.join(
+            F.broadcast(merge_map),
+            existing_clusters["entity_id"] == merge_map["_old_ent"],
+            "left",
+        )
+        .select(
+            "conv_id",
+            F.coalesce("_new_ent", "entity_id").alias("entity_id"),
+        )
+    )
+    new_assign = comp.join(new_ids, "conv_id").select("conv_id", "entity_id")
+    clusters = existing_updated.unionByName(new_assign)
+
+    return {
+        "features": feats_all,
+        "scored": scored,
+        "clusters": clusters,
+        "hot_key_audit": hot_audit,
+        "pair_cap_audit": pair_audit,
+        "cc_metrics": cc_metrics,
+    }

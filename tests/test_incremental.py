@@ -1,0 +1,141 @@
+"""Incremental linkage: base + increment must equal the full batch run
+(cap-free — the audits make the condition observable), entity merges via
+a bridging new doc must relabel committed clusters, and the restricted
+key join must broadcast the increment side (no corpus self-join)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline.incremental import incremental_candidate_pairs, incremental_link
+from pipeline.linkage import build_plan, cluster_edges
+
+
+def _clusters_pd(df) -> pd.DataFrame:
+    return (
+        df.select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": [0] * len(rows),
+                "role": ["user"] * len(rows),
+                "text": [r[1] for r in rows],
+                "tool": [None] * len(rows),
+                "ts": pd.to_datetime(["2024-01-01"] * len(rows)),
+            }
+        )
+    )
+
+
+def test_incremental_equals_batch(spark, turns_df):
+    """Split the synth corpus by conv_id hash parity (duplicate partners
+    land on both sides — the interesting case) and check the incremental
+    labeling is IDENTICAL to one batch run over the union.
+
+    Population-independent config on BOTH runs: a binding pair cap keeps
+    a population-dependent subset by design (the batch run ranks a key's
+    full pair list, the incremental run only the new-touching subset),
+    and the anchor family's df-range shifts as the corpus grows (a
+    rare-token pair anchored in the base corpus can exceed max_df in the
+    union — observed on this very fixture: base found edge d-e that the
+    full-corpus run never blocked). Exact equality is a theorem over the
+    doc-local families 0-3 with caps unbound; with default config this
+    fixture diverges on ~1% of labels, which is the behavior the module
+    docstring documents."""
+    from dataclasses import replace
+
+    from pipeline.config import DEFAULT_CONFIG
+
+    cfg = replace(
+        DEFAULT_CONFIG, pairs_per_key_cap=1_000_000, anchor_max_df=1
+    )
+    parity = F.crc32(F.col("conv_id").cast("binary")) % 2
+    base_turns = turns_df.where(parity == 0)
+    inc_turns = turns_df.where(parity == 1)
+    # both sides must be non-trivial or the fixture proves nothing
+    assert base_turns.select("conv_id").distinct().count() > 20
+    assert inc_turns.select("conv_id").distinct().count() > 20
+
+    full_plan = build_plan(turns_df, cfg)
+    full_clusters, _ = cluster_edges(
+        full_plan["edges"], full_plan["features"]
+    )
+
+    base_plan = build_plan(base_turns, cfg)
+    base_clusters, _ = cluster_edges(
+        base_plan["edges"], base_plan["features"]
+    )
+    out = incremental_link(
+        base_plan["features"], base_clusters, inc_turns, cfg
+    )
+
+    # equivalence needs cap-free; the audits make that observable
+    assert out["hot_key_audit"].count() == 0
+    assert out["pair_cap_audit"].count() == 0
+
+    pd.testing.assert_frame_equal(
+        _clusters_pd(full_clusters), _clusters_pd(out["clusters"])
+    )
+
+
+def test_incremental_merges_committed_entities(spark):
+    """a1 and b1 share no key family (disjoint vocab) -> two committed
+    entities; the increment's c1 = a1-text + b1-text matches BOTH
+    (verified: conf 60/fuzzy/s_text ~66 each) -> one merged entity
+    labeled by the global min conv_id, exactly as a batch run labels it."""
+    A = "alpha beta gamma delta kappa lambda"
+    B = "epsilon zeta eta theta sigma omega"
+    base = _turns(spark, [("a1", A), ("b1", B)])
+    inc = _turns(spark, [("c1", A + " " + B)])
+
+    base_plan = build_plan(base)
+    base_clusters, _ = cluster_edges(
+        base_plan["edges"], base_plan["features"]
+    )
+    assert _clusters_pd(base_clusters)["entity_id"].tolist() == ["a1", "b1"]
+
+    out = incremental_link(base_plan["features"], base_clusters, inc)
+    got = _clusters_pd(out["clusters"])
+    assert got["conv_id"].tolist() == ["a1", "b1", "c1"]
+    assert got["entity_id"].tolist() == ["a1", "a1", "a1"]
+
+    # batch over the union agrees
+    full_plan = build_plan(base.unionByName(inc))
+    full_clusters, _ = cluster_edges(
+        full_plan["edges"], full_plan["features"]
+    )
+    pd.testing.assert_frame_equal(got, _clusters_pd(full_clusters))
+
+    # the scoring stage prunes the corpus to pair-touched ids via a
+    # BROADCAST semi-join (map-side; the step never shuffles the corpus
+    # features into scoring)
+    plan = out["scored"]._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_incremental_key_join_broadcasts_new_side(spark, turns_df):
+    """The restricted candidate join must broadcast the (small) new-key
+    side — the corpus key table streams map-side, no corpus self-join
+    and no shuffle of the big side."""
+    from pipeline.canonicalize import canonicalize
+    from pipeline.features import featurize
+
+    parity = F.crc32(F.col("conv_id").cast("binary")) % 2
+    feats_all = featurize(canonicalize(turns_df))
+    new_ids = (
+        featurize(canonicalize(turns_df.where(parity == 1)))
+        .select("conv_id")
+    )
+    pairs, _, _ = incremental_candidate_pairs(feats_all, new_ids)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
