@@ -42,7 +42,27 @@ from pipeline.hashing import coin_col
 ANCHOR_FAMILY = 4
 
 
-def anchor_key_table(feats: DataFrame, cfg: MatchConfig) -> DataFrame:
+def token_df(feats: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(token, df) document-frequency snapshot over the gated corpus —
+    the statistic ``anchor_key_table`` anchors on. Committing this next
+    to the features stage and passing it back as ``anchor_df`` PINS the
+    anchor family across runs: each doc's anchors then depend only on
+    (its own tokens, the snapshot), which makes family 4 population-
+    independent and extends the incremental == batch theorem to it
+    (``tests/test_incremental.py``)."""
+    gated = feats.where(required_feature_gate(cfg))
+    return (
+        gated.select(
+            "conv_id", F.explode(F.array_distinct("tokens")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def anchor_key_table(
+    feats: DataFrame, cfg: MatchConfig, df_table: DataFrame | None = None
+) -> DataFrame:
     """Rare-token anchor keys (family 4) — keyword-tier analogue
     (UAM:740-758 extracts rare keywords; desperate/keyword cascade levels
     probe them, UAM:894-905).
@@ -54,16 +74,26 @@ def anchor_key_table(feats: DataFrame, cfg: MatchConfig) -> DataFrame:
     its surviving rare tokens with its source (df >= 2 precisely because
     both docs contain them).
 
+    ``df_table``: an externally-pinned (token, df) snapshot
+    (``token_df``) — anchors are then computed against FROZEN statistics
+    instead of the live corpus (the incremental-linkage production
+    pattern). None = compute df from ``feats`` (batch default).
+
     Cost at scale: one explode + word-count aggregation (classic map-side
     partial agg) + one shuffle join back on token — the same shape as a
-    TF-IDF document-frequency pass.
+    TF-IDF document-frequency pass; with a snapshot the aggregation is
+    skipped entirely.
     """
     doc_tokens = feats.select(
         "conv_id", F.explode(F.array_distinct("tokens")).alias("token")
     )
-    df_table = doc_tokens.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
-    ).where((F.col("df") >= 2) & (F.col("df") <= cfg.anchor_max_df))
+    if df_table is None:
+        df_table = doc_tokens.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+    df_table = df_table.where(
+        (F.col("df") >= 2) & (F.col("df") <= cfg.anchor_max_df)
+    )
 
     ranked = (
         doc_tokens.join(df_table, "token")
@@ -104,7 +134,9 @@ def rejected_docs(feats: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG) -> DataFr
     )
 
 
-def _key_table(feats: DataFrame, cfg: MatchConfig) -> DataFrame:
+def _key_table(
+    feats: DataFrame, cfg: MatchConfig, anchor_df: DataFrame | None = None
+) -> DataFrame:
     """Long table (family, key, conv_id) over all key families.
     Gated docs (empty critical features) are excluded up front."""
     feats = feats.where(required_feature_gate(cfg))
@@ -119,18 +151,22 @@ def _key_table(feats: DataFrame, cfg: MatchConfig) -> DataFrame:
     ).select(
         F.col("fk.family").alias("family"), F.col("fk.key").alias("key"), "conv_id"
     )
-    return per_row.unionByName(anchor_key_table(feats, cfg))
+    return per_row.unionByName(anchor_key_table(feats, cfg, anchor_df))
 
 
 def capped_key_table(
-    feats: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG
+    feats: DataFrame,
+    cfg: MatchConfig = DEFAULT_CONFIG,
+    anchor_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (kept_keys, hot_key_audit).
 
     kept_keys: (family, key, conv_id) with hot keys down-sampled.
     hot_key_audit: (family, key, members, est_kept) for keys over the cap.
+    ``anchor_df``: optional frozen (token, df) snapshot for the anchor
+    family (see ``token_df``).
     """
-    keys = _key_table(feats, cfg)
+    keys = _key_table(feats, cfg, anchor_df)
     counts = keys.groupBy("family", "key").agg(
         F.count(F.lit(1)).alias("members")
     )
@@ -199,6 +235,7 @@ def candidate_pairs(
     feats: DataFrame,
     cfg: MatchConfig = DEFAULT_CONFIG,
     return_pair_audit: bool = False,
+    anchor_df: DataFrame | None = None,
 ):
     """feats -> (pairs, hot_key_audit[, pair_cap_audit]).
 
@@ -209,8 +246,9 @@ def candidate_pairs(
     pairs_kept) for keys where the star+cap pair rule dropped anything —
     the per-key twin of the dedup layer's ``_bucket_pair_cap`` audit
     (pairs_total counts post-member-cap pairs, i.e. C(kept_members, 2)).
+    ``anchor_df``: frozen (token, df) snapshot for family 4 (``token_df``).
     """
-    kept, audit = capped_key_table(feats, cfg)
+    kept, audit = capped_key_table(feats, cfg, anchor_df)
     # both self-join sides + (upstream) the frequency pass read this —
     # cache so the explode/cap work happens once; tracked for
     # session.release_caches (no persist leaks in long-lived sessions)

@@ -39,14 +39,16 @@ the key's population size, which differs between runs); both stay
 star-connected per key, but exact label equality is only guaranteed
 cap-free — the returned audits make that condition observable.
 
-The same caveat applies to the ANCHOR key family (family 4): its
-df-range membership and rarest-token selection are computed against the
-live population, so a rare-token pair anchored in the base corpus can
-exceed ``anchor_max_df`` in the union and vice versa. The equality
-theorem is therefore stated over the doc-local families 0-3 (exact,
-token-set, prefix, minhash) — production incremental runs keep anchors
-by computing them against a FROZEN df snapshot (a committed stage),
-which restores population independence.
+The same caveat applies to the ANCHOR key family (family 4) under LIVE
+statistics: its df-range membership and rarest-token selection are
+computed against the current population, so a rare-token pair anchored
+in the base corpus can exceed ``anchor_max_df`` in the union and vice
+versa. Cap-free, the equality theorem covers the doc-local families 0-3
+(exact, token-set, prefix, minhash) unconditionally, and family 4 as
+well WHEN anchors are pinned to a committed (token, df) snapshot: pass
+``blocking.token_df``'s output as ``anchor_df`` to both the batch and
+incremental runs (the production pattern — df stats are a committed
+stage refreshed on a rebuild cadence, not per increment).
 """
 
 from __future__ import annotations
@@ -68,12 +70,16 @@ def incremental_candidate_pairs(
     new_ids: DataFrame,
     cfg: MatchConfig = DEFAULT_CONFIG,
     broadcast_new: bool = True,
+    anchor_df: DataFrame | None = None,
 ):
     """Candidate pairs restricted to those touching >= 1 new doc.
 
     ``feats_all``: features for existing ∪ new docs (the key table must
     see the union so member caps match a batch run). ``new_ids``: one
-    column ``conv_id``. Returns (pairs, hot_key_audit, pair_cap_audit).
+    column ``conv_id``. ``anchor_df``: the committed (token, df)
+    snapshot (``blocking.token_df``) that pins the anchor family —
+    see ``incremental_link``. Returns (pairs, hot_key_audit,
+    pair_cap_audit).
 
     Scale shape: keys(new) ⋈ keys(all) — with a small increment the new
     side broadcasts and the corpus key table streams through map-side,
@@ -81,7 +87,7 @@ def incremental_candidate_pairs(
     pair appears from both sides of the join; the least/greatest
     normalization + the group-by inside ``star_capped_pairs`` dedups it.
     """
-    kept, hot_audit = capped_key_table(feats_all, cfg)
+    kept, hot_audit = capped_key_table(feats_all, cfg, anchor_df)
     kept = track_cache(kept)
 
     new_keys = kept.join(new_ids.select("conv_id"), "conv_id")
@@ -109,8 +115,18 @@ def incremental_link(
     new_turns: DataFrame,
     cfg: MatchConfig = DEFAULT_CONFIG,
     broadcast_new: bool = True,
+    anchor_df: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Link ``new_turns`` against committed (features, clusters) state.
+
+    ``anchor_df``: the committed (token, df) snapshot
+    (``blocking.token_df``) — with it, the anchor family is computed
+    against FROZEN statistics, making family 4 population-independent
+    and extending the incremental == batch theorem to all five key
+    families (pass the SAME snapshot to the batch run being compared;
+    ``tests/test_incremental.py::test_frozen_df_extends_theorem_to_anchors``).
+    Without it, anchors float with the live population (documented
+    caveat above).
 
     Returns dict with ``features`` (union, the next committed state),
     ``scored`` (match pairs touching the increment), ``clusters``
@@ -122,7 +138,7 @@ def incremental_link(
     feats_all = existing_feats.unionByName(new_feats)
 
     pairs, hot_audit, pair_audit = incremental_candidate_pairs(
-        feats_all, new_ids, cfg, broadcast_new
+        feats_all, new_ids, cfg, broadcast_new, anchor_df
     )
     pairs = track_cache(pairs)
     # Scoring only needs features for docs that actually appear in a

@@ -25,7 +25,9 @@ from pipeline.scoring import score_pairs
 
 
 def build_plan(
-    turns: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG
+    turns: DataFrame,
+    cfg: MatchConfig = DEFAULT_CONFIG,
+    anchor_df: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Lazy end-to-end plan. Clustering needs actions (iterative), so the
     returned ``edges`` is the match edge list; call
@@ -42,7 +44,7 @@ def build_plan(
 
     docs = canonicalize(turns)
     feats = track_cache(featurize(docs, cfg))
-    pairs, hot_audit = candidate_pairs(feats, cfg)
+    pairs, hot_audit = candidate_pairs(feats, cfg, anchor_df=anchor_df)
     pairs = track_cache(pairs)
     scored = score_pairs(feats, pairs, cfg)
     edges = scored.where("is_match").select(

@@ -88,6 +88,59 @@ def test_incremental_equals_batch(spark, turns_df):
     )
 
 
+def test_frozen_df_extends_theorem_to_anchors(spark, turns_df):
+    """With anchors PINNED to a committed (token, df) snapshot, the
+    incremental == batch equality covers all five key families — the
+    anchor family becomes doc-local given the snapshot. Same split as
+    test_incremental_equals_batch, but anchors ENABLED and both runs fed
+    the base corpus's token_df snapshot."""
+    from dataclasses import replace
+
+    from pipeline.blocking import token_df
+    from pipeline.canonicalize import canonicalize
+    from pipeline.config import DEFAULT_CONFIG
+    from pipeline.features import featurize
+    from pipeline.session import track_cache
+
+    cfg = replace(DEFAULT_CONFIG, pairs_per_key_cap=1_000_000)  # anchors ON
+    parity = F.crc32(F.col("conv_id").cast("binary")) % 2
+    base_turns = turns_df.where(parity == 0)
+    inc_turns = turns_df.where(parity == 1)
+
+    snapshot = track_cache(
+        token_df(featurize(canonicalize(base_turns), cfg), cfg)
+    )
+
+    full_plan = build_plan(turns_df, cfg, anchor_df=snapshot)
+    full_clusters, _ = cluster_edges(
+        full_plan["edges"], full_plan["features"]
+    )
+
+    base_plan = build_plan(base_turns, cfg, anchor_df=snapshot)
+    base_clusters, _ = cluster_edges(
+        base_plan["edges"], base_plan["features"]
+    )
+    out = incremental_link(
+        base_plan["features"], base_clusters, inc_turns, cfg,
+        anchor_df=snapshot,
+    )
+    assert out["hot_key_audit"].count() == 0
+    assert out["pair_cap_audit"].count() == 0
+
+    # anchors must actually contribute keys under the snapshot, or this
+    # test silently degenerates to the families-0-3 case
+    from pipeline.blocking import ANCHOR_FAMILY, anchor_key_table
+
+    n_anchor_keys = anchor_key_table(
+        full_plan["features"], cfg, snapshot
+    ).count()
+    assert n_anchor_keys > 0, "snapshot produced no anchor keys"
+
+    pd.testing.assert_frame_equal(
+        _clusters_pd(full_clusters), _clusters_pd(out["clusters"])
+    )
+
+
 def test_incremental_merges_committed_entities(spark):
     """a1 and b1 share no key family (disjoint vocab) -> two committed
     entities; the increment's c1 = a1-text + b1-text matches BOTH
