@@ -204,14 +204,16 @@ def main() -> dict:
     # 19) arriving against the committed 95% — the base build is
     # deliberately outside the timer: it IS the committed state. Same
     # population-independent config both sides (the regime where
-    # incremental == batch is exact). Honest caveat: at sandbox SF the
-    # step/batch ratio understates the production win — fixed Spark
-    # overheads (CC rounds, job setup) and the union key-frequency pass
-    # (production: committed counts + delta) dominate a 5k-doc corpus,
-    # while the structural wins (broadcast new-key join, pair-bounded
-    # scoring via the touched-ids semi-join) are plan-asserted in
-    # tests/test_incremental.py and only pay off when the corpus dwarfs
-    # the increment.
+    # incremental == batch is exact). The step consumes COMMITTED
+    # blocking state (key table + counts, built outside the timer), so
+    # it never re-explodes or re-counts the corpus. Honest caveat: at
+    # sandbox SF the step/batch ratio still understates the production
+    # win — fixed Spark overheads (CC rounds, job setup) dominate a
+    # 5k-doc corpus, while the structural wins (broadcast new-key join,
+    # committed-state counts merge, pair-bounded scoring via the
+    # touched-ids semi-join) are equality- and plan-asserted in
+    # tests/test_incremental.py and pay off when the corpus dwarfs the
+    # increment.
     from pipeline.incremental import incremental_link
     from pipeline.linkage import build_plan, cluster_edges
 
@@ -227,17 +229,24 @@ def main() -> dict:
     timed("q11_linkage_batch_docs", _batch_docs)
     release_caches()
 
+    from pipeline.blocking import key_table_with_counts
+
     base_plan = build_plan(doc_turns.where(slot != 19), nocap)
     base_clusters, _ = cluster_edges(base_plan["edges"], base_plan["features"])
     base_feats = base_plan["features"]
     # materialize the committed state outside the timer (it IS committed
-    # state in production; localCheckpoint returns the pinned frame)
+    # state in production: features + clusters + blocking key table +
+    # key counts; localCheckpoint returns the pinned frame)
     base_feats.count()
     base_clusters = base_clusters.localCheckpoint(eager=True)
+    base_keys, base_counts = key_table_with_counts(base_feats, nocap)
+    base_keys = base_keys.localCheckpoint(eager=True)
+    base_counts = base_counts.localCheckpoint(eager=True)
 
     def _incremental_step():
         out = incremental_link(
-            base_feats, base_clusters, doc_turns.where(slot == 19), nocap
+            base_feats, base_clusters, doc_turns.where(slot == 19), nocap,
+            existing_keys=base_keys, existing_key_counts=base_counts,
         )
         noop_write(out["clusters"])
 

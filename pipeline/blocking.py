@@ -192,6 +192,70 @@ def capped_key_table(
     return kept, audit
 
 
+def key_table_with_counts(
+    feats: DataFrame,
+    cfg: MatchConfig = DEFAULT_CONFIG,
+    anchor_df: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The committable blocking state for incremental runs: the exploded
+    key table (family, key, conv_id) and its per-key member counts
+    (family, key, members). A batch run commits both next to the
+    features stage (bucketed by key — the count merge below is then
+    co-partitioned); ``capped_key_table_from_state`` consumes them so an
+    increment never re-explodes or re-counts the corpus."""
+    keys = _key_table(feats, cfg, anchor_df)
+    counts = keys.groupBy("family", "key").agg(
+        F.count(F.lit(1)).alias("members")
+    )
+    return keys, counts
+
+
+def capped_key_table_from_state(
+    existing_keys: DataFrame,
+    existing_counts: DataFrame,
+    new_feats: DataFrame,
+    cfg: MatchConfig = DEFAULT_CONFIG,
+    anchor_df: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``capped_key_table`` over (committed state ∪ increment) WITHOUT
+    touching the corpus: keys(new) come from ``new_feats`` alone, and
+    union member counts are committed counts + increment counts (key
+    families are doc-local — anchors must be pinned via ``anchor_df`` —
+    so per-key counts simply add). Output is EXACTLY what
+    ``capped_key_table(union_feats, ...)`` returns, INCLUDING when hot
+    keys bind: the coin depends only on (conv_id, key) and the merged
+    members equal the union count (pinned by
+    ``tests/test_incremental.py::test_committed_key_state_matches_union``).
+
+    Scale shape: the only corpus-sized inputs are streamed — the
+    committed key table (map-side coin filter against a broadcast hot
+    list) and the committed counts (narrow (family, key, members) rows;
+    bucketed-by-key storage makes the merge co-partitioned, and the
+    increment side of it is tiny)."""
+    new_keys, new_counts = key_table_with_counts(new_feats, cfg, anchor_df)
+    keys = existing_keys.unionByName(new_keys)
+    counts = (
+        existing_counts.unionByName(new_counts)
+        .groupBy("family", "key")
+        .agg(F.sum("members").alias("members"))
+    )
+    hot = counts.filter(F.col("members") > cfg.block_key_cap)
+    audit = hot.withColumn(
+        "est_kept", F.lit(cfg.block_key_cap).cast("long")
+    )
+    joined = keys.join(
+        F.broadcast(hot.select("family", "key", "members")),
+        ["family", "key"],
+        "left",
+    )
+    coin = coin_col(hash_fn(cfg), "coin", "conv_id", "key")
+    kept = joined.filter(
+        F.col("members").isNull()
+        | (coin < F.lit(float(cfg.block_key_cap)) / F.col("members"))
+    ).select("family", "key", "conv_id")
+    return kept, audit
+
+
 def cap_hot_buckets(
     keyed: DataFrame,
     key_cols: list[str],

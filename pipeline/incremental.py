@@ -56,7 +56,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pipeline.blocking import capped_key_table, star_capped_pairs
+from pipeline.blocking import (
+    capped_key_table,
+    capped_key_table_from_state,
+    star_capped_pairs,
+)
 from pipeline.canonicalize import canonicalize
 from pipeline.cluster import connected_components
 from pipeline.config import DEFAULT_CONFIG, MatchConfig
@@ -71,6 +75,9 @@ def incremental_candidate_pairs(
     cfg: MatchConfig = DEFAULT_CONFIG,
     broadcast_new: bool = True,
     anchor_df: DataFrame | None = None,
+    existing_keys: DataFrame | None = None,
+    existing_counts: DataFrame | None = None,
+    new_feats: DataFrame | None = None,
 ):
     """Candidate pairs restricted to those touching >= 1 new doc.
 
@@ -81,13 +88,29 @@ def incremental_candidate_pairs(
     see ``incremental_link``. Returns (pairs, hot_key_audit,
     pair_cap_audit).
 
+    With ``existing_keys`` + ``existing_counts`` (the committed blocking
+    state from ``blocking.key_table_with_counts``) and ``new_feats``,
+    the union key table is committed-state ∪ increment-keys and member
+    counts are merged narrow aggregates — the corpus is never
+    re-exploded or re-counted (``capped_key_table_from_state``).
+
     Scale shape: keys(new) ⋈ keys(all) — with a small increment the new
     side broadcasts and the corpus key table streams through map-side,
     no shuffle of the big side and never a corpus self-join. A new-new
     pair appears from both sides of the join; the least/greatest
     normalization + the group-by inside ``star_capped_pairs`` dedups it.
     """
-    kept, hot_audit = capped_key_table(feats_all, cfg, anchor_df)
+    if existing_keys is not None:
+        if existing_counts is None or new_feats is None:
+            raise ValueError(
+                "committed-state mode needs existing_keys, "
+                "existing_counts AND new_feats together"
+            )
+        kept, hot_audit = capped_key_table_from_state(
+            existing_keys, existing_counts, new_feats, cfg, anchor_df
+        )
+    else:
+        kept, hot_audit = capped_key_table(feats_all, cfg, anchor_df)
     kept = track_cache(kept)
 
     new_keys = kept.join(new_ids.select("conv_id"), "conv_id")
@@ -116,8 +139,15 @@ def incremental_link(
     cfg: MatchConfig = DEFAULT_CONFIG,
     broadcast_new: bool = True,
     anchor_df: DataFrame | None = None,
+    existing_keys: DataFrame | None = None,
+    existing_key_counts: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Link ``new_turns`` against committed (features, clusters) state.
+
+    ``existing_keys`` / ``existing_key_counts``: the committed blocking
+    state (``blocking.key_table_with_counts`` from the base run) — with
+    them the step never re-explodes or re-counts the corpus key table
+    (its output is bit-identical either way, hot caps included).
 
     ``anchor_df``: the committed (token, df) snapshot
     (``blocking.token_df``) — with it, the anchor family is computed
@@ -138,7 +168,8 @@ def incremental_link(
     feats_all = existing_feats.unionByName(new_feats)
 
     pairs, hot_audit, pair_audit = incremental_candidate_pairs(
-        feats_all, new_ids, cfg, broadcast_new, anchor_df
+        feats_all, new_ids, cfg, broadcast_new, anchor_df,
+        existing_keys, existing_key_counts, new_feats,
     )
     pairs = track_cache(pairs)
     # Scoring only needs features for docs that actually appear in a

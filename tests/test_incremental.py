@@ -176,6 +176,48 @@ def test_incremental_merges_committed_entities(spark):
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan[:2000]
 
 
+def test_committed_key_state_matches_union(spark, hot_corpus):
+    """capped_key_table_from_state(committed base keys+counts, increment)
+    must return EXACTLY capped_key_table(union) — including when hot-key
+    caps BIND (the hot_corpus fixture plants 90 hot-key convs): the coin
+    depends only on (conv_id, key) and merged counts equal union counts.
+    Anchors disabled: live-df anchors are the one non-doc-local family
+    (covered by the frozen-df theorem test)."""
+    from dataclasses import replace
+
+    from pipeline.blocking import (
+        capped_key_table,
+        capped_key_table_from_state,
+        key_table_with_counts,
+    )
+    from pipeline.canonicalize import canonicalize
+    from pipeline.config import DEFAULT_CONFIG
+    from pipeline.features import featurize
+
+    cfg = replace(DEFAULT_CONFIG, anchor_max_df=1)
+    turns = spark.createDataFrame(hot_corpus.turns)
+    parity = F.crc32(F.col("conv_id").cast("binary")) % 2
+    feats_all = featurize(canonicalize(turns), cfg)
+    base_feats = featurize(canonicalize(turns.where(parity == 0)), cfg)
+    new_feats = featurize(canonicalize(turns.where(parity == 1)), cfg)
+
+    kept_u, audit_u = capped_key_table(feats_all, cfg)
+    ek, ec = key_table_with_counts(base_feats, cfg)
+    kept_s, audit_s = capped_key_table_from_state(ek, ec, new_feats, cfg)
+
+    def _norm(df):
+        return (
+            df.toPandas()
+            .sort_values(list(df.columns))
+            .reset_index(drop=True)
+        )
+
+    a_u, a_s = _norm(audit_u), _norm(audit_s)
+    assert len(a_u) > 0, "fixture produced no hot keys — caps never bound"
+    pd.testing.assert_frame_equal(a_u, a_s)
+    pd.testing.assert_frame_equal(_norm(kept_u), _norm(kept_s))
+
+
 def test_incremental_key_join_broadcasts_new_side(spark, turns_df):
     """The restricted candidate join must broadcast the (small) new-key
     side — the corpus key table streams map-side, no corpus self-join
