@@ -1590,22 +1590,28 @@ def _twin_results_cached(sf_dir: str):
 
 
 def _nocap_config():
-    """Population-independent candidate generation: caps raised and the
-    anchor family disabled (anchor_max_df=1 is unsatisfiable with the
-    df >= 2 floor). Both mechanisms keep population-dependent subsets BY
-    DESIGN (cap coins rank/key-count against the live population; anchor
-    df-ranges shift as the corpus grows), so the incremental == batch
-    equality theorem — and therefore the twin oracle for these contract
-    queries — is stated over the doc-local families 0-3 (exact,
-    token-set, prefix, minhash). Production incremental runs keep
-    anchors by computing them against a FROZEN df snapshot (a committed
-    stage), which restores population independence."""
+    """Population-independent candidate generation: BOTH caps raised
+    (member cap and pair cap — a member cap left at its default would
+    re-introduce population-dependent coin drops on any SF with keys
+    over 64 members) and the anchor family disabled (anchor_max_df=1 is
+    unsatisfiable with the df >= 2 floor). All three mechanisms keep
+    population-dependent subsets BY DESIGN (cap coins and pair rankings
+    run against the live population; anchor df-ranges shift as the
+    corpus grows), so the incremental == batch equality theorem — and
+    therefore the twin oracle for these contract queries — is stated
+    over the doc-local families 0-3 (exact, token-set, prefix, minhash)
+    with caps unbound. Production incremental runs keep anchors by
+    computing them against a FROZEN df snapshot (``blocking.token_df``
+    as ``anchor_df``), which restores population independence."""
     from dataclasses import replace
 
     from pipeline.config import DEFAULT_CONFIG
 
     return replace(
-        DEFAULT_CONFIG, pairs_per_key_cap=1_000_000, anchor_max_df=1
+        DEFAULT_CONFIG,
+        pairs_per_key_cap=1_000_000,
+        block_key_cap=1_000_000,
+        anchor_max_df=1,
     )
 
 

@@ -154,22 +154,14 @@ def _key_table(
     return per_row.unionByName(anchor_key_table(feats, cfg, anchor_df))
 
 
-def capped_key_table(
-    feats: DataFrame,
-    cfg: MatchConfig = DEFAULT_CONFIG,
-    anchor_df: DataFrame | None = None,
+def _cap_members(
+    keys: DataFrame, counts: DataFrame, cfg: MatchConfig
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns (kept_keys, hot_key_audit).
-
-    kept_keys: (family, key, conv_id) with hot keys down-sampled.
-    hot_key_audit: (family, key, members, est_kept) for keys over the cap.
-    ``anchor_df``: optional frozen (token, df) snapshot for the anchor
-    family (see ``token_df``).
-    """
-    keys = _key_table(feats, cfg, anchor_df)
-    counts = keys.groupBy("family", "key").agg(
-        F.count(F.lit(1)).alias("members")
-    )
+    """The ONE member-cap rule: down-sample keys whose member count
+    exceeds ``block_key_cap`` with the deterministic engine-neutral coin,
+    audit the hot keys. Shared by the batch path (``capped_key_table``)
+    and the committed-state path (``capped_key_table_from_state``) so the
+    cap rule cannot drift between them."""
     hot = counts.filter(F.col("members") > cfg.block_key_cap)
     audit = hot.withColumn(
         "est_kept", F.lit(cfg.block_key_cap).cast("long")
@@ -192,6 +184,22 @@ def capped_key_table(
     return kept, audit
 
 
+def capped_key_table(
+    feats: DataFrame,
+    cfg: MatchConfig = DEFAULT_CONFIG,
+    anchor_df: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (kept_keys, hot_key_audit).
+
+    kept_keys: (family, key, conv_id) with hot keys down-sampled.
+    hot_key_audit: (family, key, members, est_kept) for keys over the cap.
+    ``anchor_df``: optional frozen (token, df) snapshot for the anchor
+    family (see ``token_df``).
+    """
+    keys, counts = key_table_with_counts(feats, cfg, anchor_df)
+    return _cap_members(keys, counts, cfg)
+
+
 def key_table_with_counts(
     feats: DataFrame,
     cfg: MatchConfig = DEFAULT_CONFIG,
@@ -210,6 +218,26 @@ def key_table_with_counts(
     return keys, counts
 
 
+def merge_key_state(
+    existing_keys: DataFrame,
+    existing_counts: DataFrame,
+    new_keys: DataFrame,
+    new_counts: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(committed keys+counts) ∪ (increment keys+counts) -> the NEXT
+    committed state. Key families are doc-local (anchors must be pinned
+    via a frozen df snapshot), so per-key member counts simply add.
+    Bucketed-by-key committed storage makes the count merge
+    co-partitioned; the increment side of it is tiny."""
+    keys = existing_keys.unionByName(new_keys)
+    counts = (
+        existing_counts.unionByName(new_counts)
+        .groupBy("family", "key")
+        .agg(F.sum("members").alias("members"))
+    )
+    return keys, counts
+
+
 def capped_key_table_from_state(
     existing_keys: DataFrame,
     existing_counts: DataFrame,
@@ -219,41 +247,23 @@ def capped_key_table_from_state(
 ) -> tuple[DataFrame, DataFrame]:
     """``capped_key_table`` over (committed state ∪ increment) WITHOUT
     touching the corpus: keys(new) come from ``new_feats`` alone, and
-    union member counts are committed counts + increment counts (key
-    families are doc-local — anchors must be pinned via ``anchor_df`` —
-    so per-key counts simply add). Output is EXACTLY what
+    union member counts are committed counts + increment counts
+    (``merge_key_state``). Output is EXACTLY what
     ``capped_key_table(union_feats, ...)`` returns, INCLUDING when hot
-    keys bind: the coin depends only on (conv_id, key) and the merged
-    members equal the union count (pinned by
+    keys bind: the coin depends only on (conv_id, key), the merged
+    members equal the union count, and both paths share the literal
+    ``_cap_members`` rule (pinned by
     ``tests/test_incremental.py::test_committed_key_state_matches_union``).
 
     Scale shape: the only corpus-sized inputs are streamed — the
     committed key table (map-side coin filter against a broadcast hot
-    list) and the committed counts (narrow (family, key, members) rows;
-    bucketed-by-key storage makes the merge co-partitioned, and the
-    increment side of it is tiny)."""
+    list) and the committed counts (narrow (family, key, members) rows,
+    co-partitioned merge on bucketed storage)."""
     new_keys, new_counts = key_table_with_counts(new_feats, cfg, anchor_df)
-    keys = existing_keys.unionByName(new_keys)
-    counts = (
-        existing_counts.unionByName(new_counts)
-        .groupBy("family", "key")
-        .agg(F.sum("members").alias("members"))
+    keys, counts = merge_key_state(
+        existing_keys, existing_counts, new_keys, new_counts
     )
-    hot = counts.filter(F.col("members") > cfg.block_key_cap)
-    audit = hot.withColumn(
-        "est_kept", F.lit(cfg.block_key_cap).cast("long")
-    )
-    joined = keys.join(
-        F.broadcast(hot.select("family", "key", "members")),
-        ["family", "key"],
-        "left",
-    )
-    coin = coin_col(hash_fn(cfg), "coin", "conv_id", "key")
-    kept = joined.filter(
-        F.col("members").isNull()
-        | (coin < F.lit(float(cfg.block_key_cap)) / F.col("members"))
-    ).select("family", "key", "conv_id")
-    return kept, audit
+    return _cap_members(keys, counts, cfg)
 
 
 def cap_hot_buckets(

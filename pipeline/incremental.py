@@ -35,9 +35,13 @@ synth corpus) and the ``incremental_linkage`` contract query, whose
 DuckDB oracle recomputes full-batch clusters from the twin's scored
 edges with a recursive CTE.  When caps DO bind, batch and incremental
 may keep different capped pair subsets (the member-cap coin depends on
-the key's population size, which differs between runs); both stay
+the key's population size, and a batch run ranks each key's FULL pair
+list while this run ranks only the new-touching subset); both stay
 star-connected per key, but exact label equality is only guaranteed
-cap-free — the returned audits make that condition observable.
+cap-free. That condition is observable through the returned
+``hot_key_audit`` and ``cap_risk_audit`` (conservative: flags every key
+whose full pair population could cap in any of the three rankings —
+the restricted ``pair_cap_audit`` alone is NOT sufficient evidence).
 
 The same caveat applies to the ANCHOR key family (family 4) under LIVE
 statistics: its df-range membership and rarest-token selection are
@@ -57,8 +61,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pipeline.blocking import (
-    capped_key_table,
-    capped_key_table_from_state,
+    _cap_members,
+    key_table_with_counts,
+    merge_key_state,
     star_capped_pairs,
 )
 from pipeline.canonicalize import canonicalize
@@ -86,13 +91,23 @@ def incremental_candidate_pairs(
     column ``conv_id``. ``anchor_df``: the committed (token, df)
     snapshot (``blocking.token_df``) that pins the anchor family —
     see ``incremental_link``. Returns (pairs, hot_key_audit,
-    pair_cap_audit).
+    pair_cap_audit, cap_risk_audit, union_keys, union_counts) — the last
+    two are the NEXT run's committed blocking state, produced at zero
+    extra compute.
+
+    ``cap_risk_audit``: keys whose FULL pair population C(members, 2)
+    exceeds ``pairs_per_key_cap``. The restricted ``pair_cap_audit`` can
+    be empty while a batch ranking of the same key WOULD cap (the batch
+    ranks the full pair list, this run only the new-touching subset), so
+    cross-run equivalence must be gated on this conservative audit: when
+    it is empty, no per-key pair cap can bind in the batch, base OR
+    incremental ranking (members only grow base -> union).
 
     With ``existing_keys`` + ``existing_counts`` (the committed blocking
     state from ``blocking.key_table_with_counts``) and ``new_feats``,
     the union key table is committed-state ∪ increment-keys and member
     counts are merged narrow aggregates — the corpus is never
-    re-exploded or re-counted (``capped_key_table_from_state``).
+    re-exploded or re-counted.
 
     Scale shape: keys(new) ⋈ keys(all) — with a small increment the new
     side broadcasts and the corpus key table streams through map-side,
@@ -106,12 +121,30 @@ def incremental_candidate_pairs(
                 "committed-state mode needs existing_keys, "
                 "existing_counts AND new_feats together"
             )
-        kept, hot_audit = capped_key_table_from_state(
-            existing_keys, existing_counts, new_feats, cfg, anchor_df
+        nk, nc = key_table_with_counts(new_feats, cfg, anchor_df)
+        union_keys, union_counts = merge_key_state(
+            existing_keys, existing_counts, nk, nc
         )
     else:
-        kept, hot_audit = capped_key_table(feats_all, cfg, anchor_df)
+        union_keys, union_counts = key_table_with_counts(
+            feats_all, cfg, anchor_df
+        )
+    kept, hot_audit = _cap_members(union_keys, union_counts, cfg)
     kept = track_cache(kept)
+
+    # conservative cross-run pair-cap risk (see docstring): derived from
+    # the counts table — a filter on an already-aggregated narrow frame,
+    # no extra shuffle
+    cap_risk = (
+        union_counts.where(
+            F.col("members") * (F.col("members") - 1) / 2
+            > F.lit(float(cfg.pairs_per_key_cap))
+        )
+        .withColumn(
+            "potential_pairs",
+            (F.col("members") * (F.col("members") - 1) / 2).cast("long"),
+        )
+    )
 
     new_keys = kept.join(new_ids.select("conv_id"), "conv_id")
     if broadcast_new:
@@ -129,7 +162,7 @@ def incremental_candidate_pairs(
         .distinct()
     )
     pairs, pair_audit = star_capped_pairs(raw, cfg, return_audit=True)
-    return pairs, hot_audit, pair_audit
+    return pairs, hot_audit, pair_audit, cap_risk, union_keys, union_counts
 
 
 def incremental_link(
@@ -158,18 +191,28 @@ def incremental_link(
     Without it, anchors float with the live population (documented
     caveat above).
 
-    Returns dict with ``features`` (union, the next committed state),
-    ``scored`` (match pairs touching the increment), ``clusters``
-    (updated full labeling), ``hot_key_audit`` / ``pair_cap_audit``
-    (empty == batch-equivalence guaranteed), and ``cc_metrics``.
+    Returns dict with the NEXT committed state — ``features`` (union),
+    ``keys`` / ``key_counts`` (union blocking state, so a daily-cadence
+    caller chains increments without ever re-deriving the corpus) —
+    plus ``scored`` (match pairs touching the increment), ``clusters``
+    (updated full labeling), ``cc_metrics``, and three audits:
+    ``hot_key_audit``, ``pair_cap_audit`` (drops within THIS run) and
+    ``cap_risk_audit`` (keys whose full pair population could cap in ANY
+    ranking — batch, base or incremental). Batch-equivalence is
+    guaranteed when ``hot_key_audit`` and ``cap_risk_audit`` are both
+    empty AND anchors are pinned/disabled: hot members and C(members, 2)
+    only grow from base to union, so empty union-side audits cover the
+    base run's caps as well.
     """
     new_feats = track_cache(featurize(canonicalize(new_turns), cfg))
     new_ids = new_feats.select("conv_id")
     feats_all = existing_feats.unionByName(new_feats)
 
-    pairs, hot_audit, pair_audit = incremental_candidate_pairs(
-        feats_all, new_ids, cfg, broadcast_new, anchor_df,
-        existing_keys, existing_key_counts, new_feats,
+    pairs, hot_audit, pair_audit, cap_risk, union_keys, union_counts = (
+        incremental_candidate_pairs(
+            feats_all, new_ids, cfg, broadcast_new, anchor_df,
+            existing_keys, existing_key_counts, new_feats,
+        )
     )
     pairs = track_cache(pairs)
     # Scoring only needs features for docs that actually appear in a
@@ -234,9 +277,12 @@ def incremental_link(
 
     return {
         "features": feats_all,
+        "keys": union_keys,
+        "key_counts": union_counts,
         "scored": scored,
         "clusters": clusters,
         "hot_key_audit": hot_audit,
         "pair_cap_audit": pair_audit,
+        "cap_risk_audit": cap_risk,
         "cc_metrics": cc_metrics,
     }

@@ -291,19 +291,25 @@ def match_text_keep_col(cfg: MatchConfig = DEFAULT_CONFIG) -> Column:
     """JVM-provable keep-condition for the match-only fast path.
 
     ``is_match`` requires ``s_text >= cfg.match_text_floor``, and s_text
-    is the InDel ratio ``200 * LCS(a, b) / (la + lb)``.  Since
-    ``LCS <= min(la, lb)``,
+    is the InDel ratio ``200 * LCS(a', b') / (la' + lb')`` where a', b'
+    are the KERNEL-TRUNCATED texts (``cfg.score_text_max_chars``, the
+    documented cost guard applied by both the batch and oracle kernels)
+    — so the bound must use the truncated lengths:
 
-        s_text  <=  200 * min(la, lb) / (la + lb)
+        s_text  <=  200 * min(la', lb') / (la' + lb'),
+        lx' = min(lx, score_text_max_chars)
 
-    — an upper bound computable from the two lengths alone, whole-stage
+    An upper bound computable from the two lengths alone, whole-stage
     codegen'd, no kernel work.  A pair whose bound is already below the
     floor provably cannot be a match, so pruning it cannot change the
-    match set (equal texts score 100 and are kept explicitly; the
+    match set (equal texts score 100 and are kept explicitly; when both
+    sides exceed the truncation cap the clamped bound is 100, so pairs
+    that only become equal AFTER truncation are always kept; the
     inequality is >= on the keep side, so boundary pairs are scored).
     Written multiplicatively to avoid la + lb = 0 division."""
-    la = F.length(F.coalesce(F.col("_norm_a"), F.lit("")))
-    lb = F.length(F.coalesce(F.col("_norm_b"), F.lit("")))
+    cap = F.lit(int(cfg.score_text_max_chars))
+    la = F.least(F.length(F.coalesce(F.col("_norm_a"), F.lit(""))), cap)
+    lb = F.least(F.length(F.coalesce(F.col("_norm_b"), F.lit(""))), cap)
     return F.col("_norm_a").eqNullSafe(F.col("_norm_b")) | (
         F.lit(200.0) * F.least(la, lb).cast("double")
         >= F.lit(float(cfg.match_text_floor)) * (la + lb).cast("double")

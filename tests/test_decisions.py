@@ -219,6 +219,41 @@ def test_match_only_fast_path_equals_full_filter(spark):
     assert filter_pos > arrow_pos, "length-bound filter not below Arrow stage"
 
 
+def test_match_only_prune_respects_kernel_truncation(spark):
+    """The kernels truncate texts to score_text_max_chars (2048) before
+    scoring, so a pair that is EQUAL after truncation scores s_text=100
+    even with wildly different full lengths. The prune bound must use
+    the truncated lengths — with full lengths this true match would be
+    pruned (round-3 review finding: 2700 vs ~17k chars gives a raw
+    length bound of ~26 < floor 45)."""
+    from pipeline.scoring import score_pairs
+
+    base = ("lorem ipsum dolor sit amet " * 100).strip()  # ~2700 chars
+    long_b = base + " tail" * 3000                        # ~+15k chars
+    turns = pd.DataFrame(
+        {
+            "conv_id": ["shortdoc", "longdoc"],
+            "turn_idx": [0, 0],
+            "role": ["user", "user"],
+            "text": [base, long_b],
+            "tool": [None, None],
+            "ts": pd.to_datetime(["2024-01-01"] * 2),
+        }
+    )
+    feats = featurize(canonicalize(spark.createDataFrame(turns)))
+    pairs, _ = candidate_pairs(feats)
+    assert pairs.count() == 1, "prefix family should block the pair"
+
+    cols = ["conv_id_a", "conv_id_b", "confidence", "tier", "is_match"]
+    full = score_pairs(feats, pairs).where("is_match").select(cols).toPandas()
+    fast = score_pairs(feats, pairs, match_only=True).select(cols).toPandas()
+    assert len(full) == 1, "pair must be a true match (equal after truncation)"
+    pd.testing.assert_frame_equal(
+        full.sort_values(cols[:2]).reset_index(drop=True),
+        fast.sort_values(cols[:2]).reset_index(drop=True),
+    )
+
+
 def test_random_configs_spark_matches_oracle(spark):
     """Config-space pinning: the JVM decision layer (confidence caps,
     tier, exact predicate, quality, warnings) equals the pandas oracle

@@ -79,12 +79,58 @@ def test_incremental_equals_batch(spark, turns_df):
         base_plan["features"], base_clusters, inc_turns, cfg
     )
 
-    # equivalence needs cap-free; the audits make that observable
+    # equivalence needs cap-free; hot_key_audit + cap_risk_audit are the
+    # sufficient observable (the restricted pair_cap_audit alone is NOT —
+    # a batch ranking can cap where the new-touching subset does not)
     assert out["hot_key_audit"].count() == 0
-    assert out["pair_cap_audit"].count() == 0
+    assert out["cap_risk_audit"].count() == 0
 
     pd.testing.assert_frame_equal(
         _clusters_pd(full_clusters), _clusters_pd(out["clusters"])
+    )
+
+
+def test_chained_increments_match_batch(spark, turns_df):
+    """Daily cadence: two successive increments, each consuming the
+    PREVIOUS step's returned committed state (features + keys +
+    key_counts — the corpus is never re-derived), must equal one batch
+    run over everything."""
+    from dataclasses import replace
+
+    from pipeline.blocking import key_table_with_counts
+    from pipeline.config import DEFAULT_CONFIG
+
+    cfg = replace(
+        DEFAULT_CONFIG,
+        pairs_per_key_cap=1_000_000,
+        block_key_cap=1_000_000,
+        anchor_max_df=1,
+    )
+    slot = F.crc32(F.col("conv_id").cast("binary")) % 3
+    t0, t1, t2 = (turns_df.where(slot == i) for i in range(3))
+
+    full_plan = build_plan(turns_df, cfg)
+    full_clusters, _ = cluster_edges(
+        full_plan["edges"], full_plan["features"]
+    )
+
+    base_plan = build_plan(t0, cfg)
+    base_clusters, _ = cluster_edges(
+        base_plan["edges"], base_plan["features"]
+    )
+    k0, c0 = key_table_with_counts(base_plan["features"], cfg)
+    step1 = incremental_link(
+        base_plan["features"], base_clusters, t1, cfg,
+        existing_keys=k0, existing_key_counts=c0,
+    )
+    step2 = incremental_link(
+        step1["features"], step1["clusters"], t2, cfg,
+        existing_keys=step1["keys"], existing_key_counts=step1["key_counts"],
+    )
+    assert step2["hot_key_audit"].count() == 0
+    assert step2["cap_risk_audit"].count() == 0
+    pd.testing.assert_frame_equal(
+        _clusters_pd(full_clusters), _clusters_pd(step2["clusters"])
     )
 
 
@@ -125,7 +171,7 @@ def test_frozen_df_extends_theorem_to_anchors(spark, turns_df):
         anchor_df=snapshot,
     )
     assert out["hot_key_audit"].count() == 0
-    assert out["pair_cap_audit"].count() == 0
+    assert out["cap_risk_audit"].count() == 0
 
     # anchors must actually contribute keys under the snapshot, or this
     # test silently degenerates to the families-0-3 case
@@ -231,6 +277,6 @@ def test_incremental_key_join_broadcasts_new_side(spark, turns_df):
         featurize(canonicalize(turns_df.where(parity == 1)))
         .select("conv_id")
     )
-    pairs, _, _ = incremental_candidate_pairs(feats_all, new_ids)
+    pairs = incremental_candidate_pairs(feats_all, new_ids)[0]
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
