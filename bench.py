@@ -241,14 +241,23 @@ def main() -> dict:
     # key counts; localCheckpoint returns the pinned frame)
     base_feats.count()
     base_clusters = base_clusters.localCheckpoint(eager=True)
-    base_keys, base_counts = key_table_with_counts(base_feats, DEFAULT_CONFIG)
+    # committed-state mode requires pinned anchors (doc-local keys): the
+    # production pattern is a frozen df snapshot committed with the base
+    from pipeline.blocking import token_df
+
+    base_anchor_df = token_df(base_feats, DEFAULT_CONFIG).localCheckpoint(
+        eager=True
+    )
+    base_keys, base_counts = key_table_with_counts(
+        base_feats, DEFAULT_CONFIG, base_anchor_df
+    )
     base_keys = base_keys.localCheckpoint(eager=True)
     base_counts = base_counts.localCheckpoint(eager=True)
 
     def _incremental_step():
         out = incremental_link(
             base_feats, base_clusters, doc_turns.where(slot == 19),
-            DEFAULT_CONFIG,
+            DEFAULT_CONFIG, anchor_df=base_anchor_df,
             existing_keys=base_keys, existing_key_counts=base_counts,
         )
         noop_write(out["clusters"])
@@ -321,6 +330,12 @@ def _write_regression_diff(report: dict) -> None:
         "one untimed warmup pass. Compare like with like: round 1 had "
         "no warmup line, so its `q10_scoring_saturated` was a COLD "
         "measurement (maps to `q10_warmup_pass` in rounds 2+).",
+        "",
+        "This table is ONE run on a VM with double-digit run-to-run "
+        "drift (identical code measured 62.6k-81.4k saturated pairs/s "
+        "across three round-3 runs): treat deltas under ~25%, and any "
+        "delta on a sub-second line, as noise. Cross-round claims use "
+        "the interleaved best-of-N methodology in BENCH/BASELINE.md.",
         "",
         "| query | kind | prev s | now s | delta |",
         "|---|---|---|---|---|",
