@@ -1141,6 +1141,47 @@ where rn = 1
 #    generated below from the same parameters ------------------------------
 
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicated-span detection (exact-substring dedup
+    via content-defined fingerprint sampling — pure JVM, no pair join;
+    `pipeline/extras/dedup.py:repeated_substring_spans`)."""
+    from pipeline.extras.dedup import repeated_substring_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return repeated_substring_spans(docs, k=40, sample_mod=4)
+
+
+def _substring_spans_sql(
+    k: int = 40, sample_mod: int = 4, min_docs: int = 2, gap: int = 80
+) -> str:
+    from pipeline.hashing import h60_sql
+
+    h = h60_sql("'ss'", f"substr(text, pos + 1, {k})")
+    return f"""
+with d as (select doc_id, text from documents where length(text) >= {k}),
+g as (select doc_id, unnest(range(0, length(text) - {k} + 1)) as pos, text from d),
+hsh as (select doc_id, pos, {h} as h from g),
+s as (select * from hsh where h % {sample_mod} = 0),
+rep as (select h from s group by h having count(distinct doc_id) >= {min_docs}),
+hits as (select s.doc_id, s.pos from s join rep using (h)),
+m as (select doc_id, pos,
+        case when lag(pos) over (partition by doc_id order by pos) is null
+               or pos - lag(pos) over (partition by doc_id order by pos) > {gap}
+             then 1 else 0 end as nw
+      from hits),
+sp as (select doc_id, pos,
+         sum(nw) over (partition by doc_id order by pos
+                       rows unbounded preceding) as span
+       from m)
+select doc_id,
+       min(pos)                      as span_start,
+       max(pos) + {k}                as span_end,
+       max(pos) + {k} - min(pos)     as span_len,
+       cast(count(*) as bigint)      as n_fingerprints
+from sp group by doc_id, span
+"""
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline.extras.dedup import minhash_lsh_pairs
 
@@ -1837,6 +1878,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roles_histogram": q_roles_histogram,
         "source_stats": q_source_stats,
         "top_event_users": q_top_event_users,
+        "substring_spans": q_substring_spans,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1884,6 +1926,7 @@ def oracle_sql() -> dict[str, str]:
         "top_event_users": SQL_TOP_EVENT_USERS,
         # LSH/ANN operators: engine-neutral md5 keys make the full
         # bucketing + verify pipelines DuckDB-expressible (round-2)
+        "substring_spans": _substring_spans_sql(),
         "minhash_dedup": _minhash_sql(),
         "simhash_dedup": _simhash_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),

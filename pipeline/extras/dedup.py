@@ -40,6 +40,111 @@ def _H(hash_impl: str):
     return F.xxhash64 if hash_impl == "xxhash64" else h60_col
 
 
+def repeated_substring_spans(
+    docs: DataFrame,
+    k: int = 40,
+    sample_mod: int = 4,
+    min_docs: int = 2,
+    merge_gap: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """Substring-LEVEL duplicated-span detection — the exact-substring
+    dedup of training-data curation (Lee et al. 2022 do it with suffix
+    arrays; a distributed suffix array is the wrong tool on Spark), as
+    content-defined fingerprint sampling, entirely JVM-side:
+
+      1. every k-char gram of every doc is hashed (posexplode of a
+         sequence + substring — whole-stage codegen; the unsampled grams
+         die in the same stage, nothing shuffles at stride 1);
+      2. a gram is a FINGERPRINT iff ``hash % sample_mod == 0`` —
+         selection depends only on content, so two docs sharing a
+         substring select the same fingerprints inside it regardless of
+         alignment (the content-defined-chunking trick);
+      3. fingerprints repeated across >= ``min_docs`` distinct docs are
+         hits; per doc, hits within ``merge_gap`` (default 2k) chars of
+         each other merge into one span.
+
+    Returns (doc_id, span_start, span_end, span_len, n_fingerprints):
+    character ranges [span_start, span_end) likely duplicated verbatim
+    elsewhere in the corpus — the actionable artifact (cut the spans, or
+    drop docs whose spans cover most of their length).
+
+    Detection is probabilistic with a quantifiable miss rate: a shared
+    substring of length L >= k contains L - k + 1 fingerprint candidates,
+    each sampled with prob 1/sample_mod, so P(miss) = (1 - 1/sample_mod)
+    ** (L - k + 1) — for L = 200, k = 40, mod = 4 that is ~9e-21; short
+    repeats near k chars are the blind spot (document, don't hide).
+    Span BOUNDARIES are fingerprint positions, so a span understates the
+    true repeat by < k + sample_mod chars on each side in expectation.
+
+    Scale: the only shuffles are (a) sampled fingerprints (~len/mod rows
+    per doc, narrow), (b) the per-hash distinct-doc count (map-side
+    partial agg), (c) a per-doc window over that doc's HITS. Hot
+    boilerplate hashes produce big hit groups but never a pair join —
+    this operator is linear in hits, there is no candidate-pair stage.
+    """
+    if merge_gap is None:
+        merge_gap = 2 * k
+    H = _H(hash_impl)
+    grams = (
+        docs.where(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.length("_t") - F.lit(k))
+            ).alias("pos"),
+            F.col("_t"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            H(
+                F.lit("ss"), F.expr(f"substring(_t, pos + 1, {k})")
+            ).alias("h"),
+        )
+    )
+    sampled = grams.where(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
+    rep = (
+        sampled.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    hits = sampled.join(rep, "h")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "_new",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > merge_gap),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_span", F.sum("_new").over(w))
+        .groupBy("doc_id", "_span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+            "n_fingerprints",
+        )
+    )
+    return spans
+
+
 def _bucket_pair_cap(
     cand: DataFrame,
     key_cols: list[str],

@@ -301,6 +301,41 @@ def test_multimodal_decode_with_pil_handles_bad_payloads(monkeypatch):
     assert np.allclose(feats, 128.0 / 255.0)
 
 
+def test_repeated_substring_spans_planted_boilerplate(spark):
+    """Two docs share a planted 240-char boilerplate block at DIFFERENT
+    offsets (content-defined sampling must find it regardless of
+    alignment); a third unique doc must produce no span. Span bounds may
+    under-cover the true repeat by < k + sample_mod per side."""
+    import random
+
+    from pipeline.extras.dedup import repeated_substring_spans
+
+    rng = random.Random(3)
+
+    def noise(n):
+        return "".join(rng.choice("abcdefghij klmnop") for _ in range(n))
+
+    boiler = ("SUBSCRIBE TO OUR NEWSLETTER " * 10)[:240]
+    d0 = noise(100) + boiler + noise(150)
+    d1 = noise(37) + boiler + noise(80)
+    d2 = noise(400)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [d0, d1, d2]})
+    )
+    k, mod = 40, 4
+    spans = repeated_substring_spans(docs, k=k, sample_mod=mod).toPandas()
+    assert set(spans["doc_id"]) == {0, 1}, spans
+    for doc_id, off in [(0, 100), (1, 37)]:
+        row = spans[spans["doc_id"] == doc_id]
+        assert len(row) == 1, row
+        r = row.iloc[0]
+        # the span must sit inside the planted region and cover most of it
+        assert off <= r["span_start"] < off + k + mod * 2
+        assert off + 240 - (k + mod * 2) < r["span_end"] <= off + 240
+        assert r["span_len"] > 240 - 2 * (k + mod * 2)
+        assert r["n_fingerprints"] >= 2
+
+
 def test_pair_cap_preserves_large_group_connectivity(spark):
     """120 identical docs with pairs_per_bucket_cap=20 and NO member cap:
     the star-preserving pair cap must keep every member connected to the
