@@ -1182,6 +1182,42 @@ from sp group by doc_id, span
 """
 
 
+def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-cut: repeated spans removed from each document
+    (``cut_spans`` splice is one JVM F.aggregate over the sorted span
+    array — no UDF)."""
+    from pipeline.extras.dedup import cut_spans, repeated_substring_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    spans = repeated_substring_spans(docs, k=40, sample_mod=4)
+    return cut_spans(docs, spans)
+
+
+def _substring_clean_sql() -> str:
+    return f"""
+with sp as ({_substring_spans_sql()}),
+seg as (select doc_id, span_start, span_end,
+        lag(span_end, 1, 0) over (partition by doc_id order by span_start)
+          as prev_end
+        from sp),
+pieces as (select g.doc_id, d.text,
+           substr(d.text, g.prev_end + 1, g.span_start - g.prev_end) as piece,
+           g.span_start, g.span_end
+           from seg g join documents d using (doc_id)),
+agg as (select doc_id,
+        string_agg(piece, '' order by span_start)
+          || substr(text, max(span_end) + 1) as text_clean,
+        cast(sum(span_end - span_start) as bigint) as chars_removed,
+        cast(count(*) as int) as n_cut
+        from pieces group by doc_id, text)
+select d.doc_id,
+       coalesce(a.text_clean, d.text) as text_clean,
+       coalesce(a.chars_removed, 0)   as chars_removed,
+       coalesce(a.n_cut, 0)           as n_cut
+from documents d left join agg a using (doc_id)
+"""
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline.extras.dedup import minhash_lsh_pairs
 
@@ -1879,6 +1915,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "top_event_users": q_top_event_users,
         "substring_spans": q_substring_spans,
+        "substring_dedup_clean": q_substring_dedup_clean,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1927,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         # LSH/ANN operators: engine-neutral md5 keys make the full
         # bucketing + verify pipelines DuckDB-expressible (round-2)
         "substring_spans": _substring_spans_sql(),
+        "substring_dedup_clean": _substring_clean_sql(),
         "minhash_dedup": _minhash_sql(),
         "simhash_dedup": _simhash_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),

@@ -145,6 +145,72 @@ def repeated_substring_spans(
     return spans
 
 
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove [span_start, span_end) character ranges from each doc —
+    the consumer step of ``repeated_substring_spans`` (detect -> cut).
+
+    Returns (id_col, text_clean, chars_removed, n_cut); docs with no
+    span pass through verbatim with 0/0. Precondition: a doc's spans do
+    not overlap (``repeated_substring_spans`` guarantees it via the
+    merge-gap rule); spans are sorted here so input order is free.
+
+    All JVM: spans collect per doc (bounded — spans per doc <=
+    len/merge_gap), and the splice is one ``F.aggregate`` over the
+    sorted span array building the kept text left-to-right. No UDF, no
+    shuffle beyond the one groupBy/join on doc id (co-located on
+    bucketed storage)."""
+    sp = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            )
+        ).alias("_spans")
+    )
+    joined = docs.select(id_col, text_col).join(
+        sp, F.col(id_col) == F.col("_sid"), "left"
+    )
+    t = F.col(text_col)
+    spliced = F.aggregate(
+        "_spans",
+        F.struct(
+            F.lit(0).cast("int").alias("last"), F.lit("").alias("txt")
+        ),
+        lambda acc, s: F.struct(
+            s["e"].cast("int").alias("last"),
+            F.concat(
+                acc["txt"],
+                F.substring(t, acc["last"] + 1, s["s"] - acc["last"]),
+            ).alias("txt"),
+        ),
+        lambda acc: F.concat(
+            acc["txt"], F.substring(t, acc["last"] + 1, F.length(t))
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.when(F.col("_spans").isNull(), t)
+        .otherwise(spliced)
+        .alias("text_clean"),
+        F.coalesce(
+            F.aggregate(
+                "_spans",
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + (s["e"] - s["s"]).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("chars_removed"),
+        F.coalesce(F.size("_spans"), F.lit(0)).cast("int").alias("n_cut"),
+    )
+
+
 def _bucket_pair_cap(
     cand: DataFrame,
     key_cols: list[str],

@@ -336,6 +336,43 @@ def test_repeated_substring_spans_planted_boilerplate(spark):
         assert r["n_fingerprints"] >= 2
 
 
+def test_cut_spans_exact_splice(spark):
+    """Head cut, tail cut, middle cut, no-span passthrough, full-doc
+    cut — the F.aggregate splice must be character-exact."""
+    from pipeline.extras.dedup import cut_spans
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["HEADBODYTAIL", "XXABCYY", "CLEANDOC", "CUTMEALL"],
+            }
+        )
+    )
+    spans = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 1, 2, 4],
+                "span_start": [0, 8, 2, 0],
+                "span_end": [4, 12, 5, 8],
+            }
+        )
+    )
+    out = (
+        cut_spans(docs, spans)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "text_clean"] == "BODY"
+    assert out.loc[1, "chars_removed"] == 8 and out.loc[1, "n_cut"] == 2
+    assert out.loc[2, "text_clean"] == "XXYY"
+    assert out.loc[3, "text_clean"] == "CLEANDOC"
+    assert out.loc[3, "chars_removed"] == 0 and out.loc[3, "n_cut"] == 0
+    assert out.loc[4, "text_clean"] == ""
+    assert out.loc[4, "chars_removed"] == 8
+
+
 def test_pair_cap_preserves_large_group_connectivity(spark):
     """120 identical docs with pairs_per_bucket_cap=20 and NO member cap:
     the star-preserving pair cap must keep every member connected to the
