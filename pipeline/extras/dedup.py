@@ -109,7 +109,12 @@ def repeated_substring_spans(
             ).alias("h"),
         )
     )
-    sampled = grams.where(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
+    # the fingerprint table feeds BOTH the repeat-count agg and the hits
+    # join — cache it or the full stride-1 gram hashing pass runs twice
+    # (released via session.release_caches, same pattern as blocking)
+    sampled = track_cache(
+        grams.where(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
+    )
     rep = (
         sampled.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
