@@ -1152,10 +1152,17 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _substring_spans_sql(
-    k: int = 40, sample_mod: int = 4, min_docs: int = 2, gap: int = 80
+    k: int = 40,
+    sample_mod: int = 4,
+    min_docs: int = 2,
+    gap: int | None = None,
 ) -> str:
     from pipeline.hashing import h60_sql
 
+    # mirror repeated_substring_spans' merge_gap=None -> 2*k default so a
+    # future k change cannot silently diverge Spark and oracle semantics
+    if gap is None:
+        gap = 2 * k
     h = h60_sql("'ss'", f"substr(text, pos + 1, {k})")
     return f"""
 with d as (select doc_id, text from documents where length(text) >= {k}),

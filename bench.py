@@ -203,10 +203,12 @@ def main() -> dict:
     # q11b = the incremental STEP alone: a 5% increment (doc_id % 20 ==
     # 19) arriving against the committed 95% — the base build is
     # deliberately outside the timer: it IS the committed state. Both
-    # sides run the PRODUCTION default config (caps + live anchors —
-    # this is a timing benchmark; label-exact equivalence is the
-    # contract query's job and needs the population-independent nocap
-    # config instead). The step consumes COMMITTED blocking state (key
+    # sides run the PRODUCTION default caps (this is a timing benchmark;
+    # label-exact equivalence is the contract query's job and needs the
+    # population-independent nocap config instead). Anchor modes differ
+    # by design: the batch side computes live df stats (what a rebuild
+    # does), the step joins the base run's frozen token_df snapshot
+    # (what an increment does). The step consumes COMMITTED blocking state (key
     # table + counts, built outside the timer), so it never re-explodes
     # or re-counts the corpus. Honest caveat: at
     # sandbox SF the step/batch ratio still understates the production

@@ -76,8 +76,13 @@ def repeated_substring_spans(
     each sampled with prob 1/sample_mod, so P(miss) = (1 - 1/sample_mod)
     ** (L - k + 1) — for L = 200, k = 40, mod = 4 that is ~9e-21; short
     repeats near k chars are the blind spot (document, don't hide).
-    Span BOUNDARIES are fingerprint positions, so a span understates the
-    true repeat by < k + sample_mod chars on each side in expectation.
+    Span bounds are approximate in BOTH directions: boundaries are
+    fingerprint positions, so a span understates the true repeat by
+    < k + sample_mod chars per side in expectation, AND two distinct
+    repeats whose fingerprints sit within ``merge_gap`` of each other
+    merge into one span that can include up to ``merge_gap`` chars of
+    unique text between them (``cut_spans`` would delete it — size
+    merge_gap to taste before cutting aggressively).
 
     Scale: the only shuffles are (a) sampled fingerprints (~len/mod rows
     per doc, narrow), (b) the per-hash distinct-doc count (map-side
@@ -163,13 +168,16 @@ def cut_spans(
     span pass through verbatim with 0/0. Precondition: a doc's spans do
     not overlap (``repeated_substring_spans`` guarantees it via the
     merge-gap rule); spans are sorted here so input order is free.
+    ``spans`` always carries its id as ``doc_id`` (every operator in
+    this module normalizes to that name); ``id_col`` renames only the
+    DOCS side.
 
     All JVM: spans collect per doc (bounded — spans per doc <=
     len/merge_gap), and the splice is one ``F.aggregate`` over the
     sorted span array building the kept text left-to-right. No UDF, no
     shuffle beyond the one groupBy/join on doc id (co-located on
     bucketed storage)."""
-    sp = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+    sp = spans.groupBy(F.col("doc_id").alias("_sid")).agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
