@@ -1385,6 +1385,37 @@ _COSINE_SQL = """
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup groups: transitive closure over the
+    embedding near-dup pairs, keeper = group-min id
+    (`pipeline/extras/similarity.py:semantic_dedup_groups`)."""
+    from pipeline.extras.similarity import semantic_dedup_groups
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup_groups(
+        emb, n_dims=EMB_DIMS, cosine_threshold=0.4, n_bits=6, n_tables=4
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    # transitive closure of the near-dup pair oracle via recursive CTE —
+    # the same independent second-CC pattern as the linkage clusters
+    return f"""
+with recursive
+p as ({_embedding_near_dup_sql()}),
+nodes as (select vec_id from embeddings),
+edges as (select doc_id_a as s, doc_id_b as d from p
+          union select doc_id_b as s, doc_id_a as d from p),
+reach(node, r) as (
+    select vec_id, vec_id from nodes
+    union
+    select reach.node, e.d from reach join edges e on e.s = reach.r
+)
+select node as vec_id, min(r) as group_id, (node = min(r)) as is_keeper
+from reach group by node
+"""
+
+
 def _embedding_near_dup_sql(threshold: float = 0.4, n_bits: int = 6,
                             n_tables: int = 4, cap: int = 1024,
                             pair_cap: int = 200) -> str:
@@ -1926,6 +1957,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "ivf_topk": q_ivf_topk,
         "linkage_scored_pairs": q_linkage_scored_pairs,
         "linkage_scored_pairs_strict": q_linkage_scored_pairs_strict,
@@ -1975,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_sql(),
         "simhash_dedup": _simhash_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "ivf_topk": _ivf_fixed_sql(),
         # kernel-based linkage: single-node pandas+hashlib twin inlined as
         # VALUES; clusters re-derived by DuckDB recursive-CTE CC (an

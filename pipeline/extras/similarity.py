@@ -451,3 +451,47 @@ def embedding_near_dup_pairs(
         .drop("_va", "_vb")
     )
     return (out, audit) if return_audit else out
+
+
+def semantic_dedup_groups(
+    vectors: DataFrame,
+    n_dims: int,
+    cosine_threshold: float = 0.95,
+    n_bits: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 1024,
+    pairs_per_bucket_cap: int = 200,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023 cluster
+    by embedding similarity and keep one exemplar per semantic group):
+    near-dup pairs from the LSH + exact-cosine leg
+    (``embedding_near_dup_pairs`` — bucketed, capped, audited) become
+    edges, connected components makes the groups TRANSITIVE (a ~ b ~ c
+    groups a with c even when cos(a, c) is below threshold — the
+    standard dedup-group semantics), and the keeper is the group's
+    minimum id (deterministic; join on group_id to swap in any
+    quality-scored keeper policy downstream).
+
+    Returns (vec_id, group_id, is_keeper); singletons keep themselves.
+    Scale: edges only enter the CC loop (the corpus never does), and CC
+    is the O(log n) large-star/small-star of the linkage pipeline.
+    """
+    from pipeline.cluster import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        vectors, n_dims, cosine_threshold, n_bits, n_tables,
+        id_col, vec_col, bucket_cap, pairs_per_bucket_cap, hash_impl,
+    )
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    nodes = vectors.select(F.col(id_col).alias("conv_id"))
+    comp, _ = connected_components(edges, all_nodes=nodes)
+    return comp.select(
+        F.col("conv_id").alias("vec_id"),
+        F.col("entity_id").alias("group_id"),
+        (F.col("conv_id") == F.col("entity_id")).alias("is_keeper"),
+    )

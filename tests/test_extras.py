@@ -336,6 +336,38 @@ def test_repeated_substring_spans_planted_boilerplate(spark):
         assert r["n_fingerprints"] >= 2
 
 
+def test_semantic_dedup_groups_transitive(spark):
+    """a~b and b~c clear the cosine threshold but a~c does NOT
+    (cos(a,c) ~= 0.93 < 0.95): the group must still be transitive
+    {a, b, c} with keeper = min id; an orthogonal singleton keeps
+    itself."""
+    import math
+
+    from pipeline.extras.similarity import semantic_dedup_groups
+
+    def unit(x, y):
+        n = math.sqrt(x * x + y * y)
+        return [x / n, y / n, 0.0, 0.0]
+
+    rows = [
+        (1, unit(1.0, 0.0)),
+        (2, unit(1.0, 0.2)),
+        (3, unit(1.0, 0.4)),
+        (9, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (
+        semantic_dedup_groups(
+            vecs, n_dims=4, cosine_threshold=0.95, n_bits=2, n_tables=4
+        )
+        .orderBy("vec_id")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert list(out["group_id"]) == [1, 1, 1, 9], out
+    assert list(out["is_keeper"]) == [True, False, False, True]
+
+
 def test_cut_spans_exact_splice(spark):
     """Head cut, tail cut, middle cut, no-span passthrough, full-doc
     cut — the F.aggregate splice must be character-exact."""
