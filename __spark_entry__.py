@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pipeline.config import STOPWORDS
 from pipeline.extras.textstats import LANG_MARKERS
 from pipeline.normalize import norm_sql_duckdb, norm_text_col
+from pipeline.textnorm import ASCII_WS
 
 SEP = "\x1e"
 
@@ -462,7 +463,8 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SW_LIST = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
-_WS_COLLAPSED = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+# explicit ASCII_WS class, not \s: RE2's \s omits \x0B (round-3 ADVICE)
+_WS_COLLAPSED = f"regexp_replace(lower(text), '[{ASCII_WS}]+', ' ', 'g')"
 _TOKS_SQL = _tokens_sql(_WS_COLLAPSED)
 
 SQL_DOC_STATS = f"""
@@ -471,7 +473,7 @@ with t as (select doc_id, text,
            from documents)
 select doc_id,
        cast(len(toks) as bigint) as n_tokens,
-       cast(len(regexp_extract_all(text, '[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9\\s]')) as bigint) as n_subwords,
+       cast(len(regexp_extract_all(text, '[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9{ASCII_WS}]')) as bigint) as n_subwords,
        cast(length(text) as bigint) as n_chars,
        length(regexp_replace(text, '[^.,;:!?''"]', '', 'g'))
          / greatest(length(text), 1) as punct_ratio,
@@ -559,7 +561,9 @@ def q_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _redact_sql() -> str:
     from pipeline.extras.redact import REDACT_RULES
 
-    _REDACT_TOKS = _tokens_sql("regexp_replace(lower(text), '\\s+', ' ', 'g')")
+    _REDACT_TOKS = _tokens_sql(
+        f"regexp_replace(lower(text), '[{ASCII_WS}]+', ' ', 'g')"
+    )
     cur = "text"
     count_cols = []
     for name, pattern, tag in REDACT_RULES:
@@ -614,7 +618,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, 500)
 
 
-SQL_PACK_SEQUENCES = """
+SQL_PACK_SEQUENCES = f"""
 select doc_id, n_tokens, offset_tokens,
        cast(floor(offset_tokens / 500) as bigint) as bin_id
 from (select doc_id, n_tokens,
@@ -623,7 +627,7 @@ from (select doc_id, n_tokens,
                as bigint) as offset_tokens
       from (select doc_id,
                    cast(len(list_filter(string_split(
-                     regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                     regexp_replace(text, '[{ASCII_WS}]+', ' ', 'g'), ' '),
                      x -> x <> '')) as bigint) as n_tokens
             from documents))
 """
@@ -840,7 +844,9 @@ def q_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sorted_tokens = F.array_join(F.array_sort(toks), " ")
     no_digits = F.trim(
-        F.regexp_replace(F.regexp_replace("norm_text", r"\d+", " "), r"\s+", " ")
+        F.regexp_replace(
+            F.regexp_replace("norm_text", r"\d+", " "), rf"[{ASCII_WS}]+", " "
+        )
     )
     digits_only = F.array_join(
         F.regexp_extract_all(F.col("norm_text"), F.lit(r"\d+"), 0), " "
@@ -897,7 +903,7 @@ v as (
   union all
   select doc_id, 3, 'no_digits',
          trim(regexp_replace(regexp_replace(norm_text, '\\d+', ' ', 'g'),
-                             '\\s+', ' ', 'g'))
+                             '[{ASCII_WS}]+', ' ', 'g'))
   from n
   union all
   select doc_id, 4, 'digits_only',

@@ -371,6 +371,13 @@ def _write_regression_diff(report: dict) -> None:
                 f"| {metric} | {kind} | {was} | {now} | "
                 f"{(now - was) / was * 100:+.1f}% |"
             )
+    # carry the cross-round kernel A/B verdict (BENCH/ab_kernels.py —
+    # round-3 VERDICT task 1) so the judge-read regressions table always
+    # includes the code-state-vs-code-state evidence, not just run diffs
+    ab_md = os.path.join(repo, "BENCH", "ab_kernels.md")
+    if os.path.exists(ab_md):
+        with open(ab_md) as f:
+            lines += ["", "---", ""] + f.read().splitlines()
     with open(os.path.join(repo, "BENCH", "regressions.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from pipeline.hashing import coin_col, h60_col
 from pipeline.normalize import norm_text_col
+from pipeline.textnorm import ASCII_WS
 
 
 def _coin(seed: str, id_col: str):
@@ -92,7 +93,10 @@ def pack_sequences(
     parallel and matches per-worker batch sharding.
     """
     toks = F.size(
-        F.array_remove(F.split(F.regexp_replace(F.col(text_col), r"\s+", " "), " "), "")
+        F.array_remove(
+        F.split(F.regexp_replace(F.col(text_col), rf"[{ASCII_WS}]+", " "), " "),
+        "",
+    )
     )
     if partition_col is None:
         w = Window.orderBy(F.col(id_col).asc())

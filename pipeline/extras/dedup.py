@@ -92,6 +92,12 @@ def repeated_substring_spans(
     """
     if merge_gap is None:
         merge_gap = 2 * k
+    # cut_spans' non-overlap guarantee needs merge_gap >= k: two hits
+    # closer than k chars produce spans [p1, p1+k) and [p2, p2+k) that
+    # OVERLAP unless they merge, and they only merge when gap <= merge_gap
+    # (round-3 ADVICE). Clamp rather than raise — a smaller gap has no
+    # legitimate semantics, the spans always extend k past the last hit.
+    merge_gap = max(merge_gap, k)
     H = _H(hash_impl)
     grams = (
         docs.where(F.length(text_col) >= k)

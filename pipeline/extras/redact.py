@@ -21,10 +21,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from pipeline.textnorm import ASCII_WS
+
 # (name, pattern, tag) — applied IN ORDER; patterns are Java/RE2/Python
-# common-subset (greedy quantifiers only, no alternation, no lookaround)
+# common-subset (greedy quantifiers only, no alternation, no lookaround).
+# Whitespace is the explicit ASCII_WS class, not \s: Java's \s includes
+# \x0B, RE2's does not, so \s would diverge Spark vs the DuckDB oracle on
+# a document containing a vertical tab (round-3 ADVICE).
 REDACT_RULES: list[tuple[str, str, str]] = [
-    ("url", r"https?://[^\s]+", "<URL>"),
+    ("url", rf"https?://[^{ASCII_WS}]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("num", r"\b\d{7,}\b", "<ID>"),
@@ -71,7 +76,11 @@ def top_token_frac_col(text_col: str = "text") -> Column:
     tokens); a corpus of pathological million-token docs should compute
     this via explode + groupBy instead."""
     toks = F.array_remove(
-        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "), ""
+        F.split(
+            F.regexp_replace(F.lower(F.col(text_col)), rf"[{ASCII_WS}]+", " "),
+            " ",
+        ),
+        "",
     )
     counts = F.transform(
         F.array_distinct(toks),

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pipeline.config import STOPWORDS
+from pipeline.textnorm import ASCII_WS
 
 # tiny deterministic marker lists (language-ID heuristic; not a model)
 LANG_MARKERS = {
@@ -30,7 +31,11 @@ LANG_MARKERS = {
 
 def tokens_col(text_col: str = "text") -> Column:
     return F.array_remove(
-        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "), ""
+        F.split(
+            F.regexp_replace(F.lower(F.col(text_col)), rf"[{ASCII_WS}]+", " "),
+            " ",
+        ),
+        ""
     )
 
 
@@ -44,7 +49,7 @@ def subword_count_col(text_col: str = "text") -> Column:
     regex token class (approximates a byte-level BPE pre-tokenizer)."""
     return F.size(
         F.regexp_extract_all(
-            F.col(text_col), F.lit(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"), 0
+            F.col(text_col), F.lit(rf"[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9{ASCII_WS}]"), 0
         )
     )
 

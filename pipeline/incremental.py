@@ -174,6 +174,7 @@ def incremental_link(
     anchor_df: DataFrame | None = None,
     existing_keys: DataFrame | None = None,
     existing_key_counts: DataFrame | None = None,
+    assume_disjoint_ids: bool = False,
 ) -> dict[str, DataFrame]:
     """Link ``new_turns`` against committed (features, clusters) state.
 
@@ -191,6 +192,11 @@ def incremental_link(
     Without it, anchors float with the live population (documented
     caveat above).
 
+    ``assume_disjoint_ids``: increment conv_ids already present in the
+    committed corpus are dropped by an ids-only anti-join before any
+    state merge (re-delivery safety); set True to skip that pass when
+    the ingest path already guarantees exactly-once ids.
+
     Returns dict with the NEXT committed state — ``features`` (union),
     ``keys`` / ``key_counts`` (union blocking state, so a daily-cadence
     caller chains increments without ever re-deriving the corpus) —
@@ -204,7 +210,19 @@ def incremental_link(
     only grow from base to union, so empty union-side audits cover the
     base run's caps as well.
     """
-    new_feats = track_cache(featurize(canonicalize(new_turns), cfg))
+    new_feats = featurize(canonicalize(new_turns), cfg)
+    # A RE-DELIVERED conv_id (at-least-once upstream delivery) would
+    # silently duplicate feature rows and double-count key members in
+    # merge_key_state, corrupting member caps with no audit signal
+    # (round-3 ADVICE) — drop increment rows whose id is already
+    # committed. Ids-only anti-join: the corpus side is a narrow
+    # column-pruned projection; callers that guarantee disjoint ids
+    # (e.g. a dedup'd ingest log) skip the pass via assume_disjoint_ids.
+    if not assume_disjoint_ids:
+        new_feats = new_feats.join(
+            existing_feats.select("conv_id"), "conv_id", "left_anti"
+        )
+    new_feats = track_cache(new_feats)
     new_ids = new_feats.select("conv_id")
     feats_all = existing_feats.unionByName(new_feats)
 

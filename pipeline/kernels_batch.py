@@ -367,8 +367,19 @@ def _batch_jaro_counts(
 
 
 def batch_jaro_winkler(a_list: list[str], b_list: list[str]) -> np.ndarray:
-    """Jaro-Winkler x1 for <=128-char ASCII pairs; float formulas in
-    ``kernels.jaro`` / ``kernels.jaro_winkler``'s exact op order."""
+    """Jaro-Winkler x1 for ASCII pairs; float formulas in
+    ``kernels.jaro`` / ``kernels.jaro_winkler``'s exact op order.
+
+    Inputs are truncated to ``_JARO_PREFIX`` (128) chars INSIDE this
+    function: the two-word bitmask layout in ``_batch_jaro_counts`` is
+    silently wrong past 128 chars, and 128 is exactly the prefix the
+    per-pair oracle kernel scores (``oracle.JARO_PREFIX``) — so the
+    public function is safe at any length and stays the oracle's twin
+    (round-3 ADVICE)."""
+    a_list = [s[:_JARO_PREFIX] if s and len(s) > _JARO_PREFIX else s
+              for s in a_list]
+    b_list = [s[:_JARO_PREFIX] if s and len(s) > _JARO_PREFIX else s
+              for s in b_list]
     n = len(a_list)
     out = np.empty(n, dtype=np.float64)
     if n == 0:

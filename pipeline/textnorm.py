@@ -39,15 +39,23 @@ MULTI_FOLDS: list[tuple[str, str]] = [
     ("ß", "ss"),
 ]
 
+# Explicit ASCII-whitespace character list (the INNER part of a character
+# class — use as f"[{ASCII_WS}]"). Java regex \s is [ \t\n\x0B\f\r] and
+# Python re.ASCII \s matches it, but RE2 (DuckDB) \s omits \x0B — so any
+# pattern shared across the three engines must spell the class out
+# (round-3 ADVICE). All three parse the \t \n \r \f \x0B escapes.
+ASCII_WS = r" \t\n\r\f\x0B"
+
 # Ordered regex steps applied AFTER fold+lower. Tuples are
 # (java_and_re2_compatible_pattern, replacement). Patterns restricted to the
 # common subset of Java regex (Spark), RE2 (DuckDB) and Python re.
 REGEX_STEPS: list[tuple[str, str]] = [
     # replace everything outside word chars, whitespace, -, #, / with a
-    # space (optimized.py:284)
-    (r"[^\w\s\-#/]", " "),
+    # space (optimized.py:284). Whitespace is the explicit ASCII_WS class,
+    # not \s — RE2's \s omits \x0B (round-3 ADVICE)
+    (rf"[^\w{ASCII_WS}\-#/]", " "),
     # collapse whitespace (optimized.py:285)
-    (r"\s+", " "),
+    (rf"[{ASCII_WS}]+", " "),
     # collapse ordinal suffixes incl. the reference's typo set
     # (optimized.py:295)
     (r"\b(\d+)[-_]?(st|nd|rd|th|ht|tt|thh|ndd|rdd|h|t)\b", "$1"),

@@ -222,6 +222,42 @@ def test_incremental_merges_committed_entities(spark):
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan[:2000]
 
 
+def test_redelivered_ids_are_dropped_not_duplicated(spark):
+    """At-least-once upstream delivery: the increment re-delivers a1
+    (already committed) alongside a genuinely new c1. The re-delivered
+    rows must be DROPPED (anti-join, round-3 ADVICE) — the result equals
+    delivering only c1: no duplicate feature rows, no double-counted key
+    members, identical clusters."""
+    A = "alpha beta gamma delta kappa lambda"
+    B = "epsilon zeta eta theta sigma omega"
+    base = _turns(spark, [("a1", A), ("b1", B)])
+    base_plan = build_plan(base)
+    base_clusters, _ = cluster_edges(
+        base_plan["edges"], base_plan["features"]
+    )
+
+    inc_clean = _turns(spark, [("c1", A + " extra tail")])
+    inc_redeliver = inc_clean.unionByName(_turns(spark, [("a1", A)]))
+
+    out_clean = incremental_link(
+        base_plan["features"], base_clusters, inc_clean
+    )
+    out_re = incremental_link(
+        base_plan["features"], base_clusters, inc_redeliver
+    )
+    # features stay duplicate-free and identical
+    fr = out_re["features"].groupBy("conv_id").count()
+    assert fr.where("count > 1").count() == 0
+    assert out_re["features"].count() == out_clean["features"].count()
+    # key-member counts did not double-count a1
+    kc_re = out_re["key_counts"].agg(F.sum("members")).collect()[0][0]
+    kc_clean = out_clean["key_counts"].agg(F.sum("members")).collect()[0][0]
+    assert kc_re == kc_clean
+    pd.testing.assert_frame_equal(
+        _clusters_pd(out_re["clusters"]), _clusters_pd(out_clean["clusters"])
+    )
+
+
 def test_committed_key_state_matches_union(spark, hot_corpus):
     """capped_key_table_from_state(committed base keys+counts, increment)
     must return EXACTLY capped_key_table(union) — including when hot-key

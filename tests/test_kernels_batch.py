@@ -130,6 +130,24 @@ def test_batch_jaro_matches_kernels():
         assert jw[i] == kernels.jaro_winkler(a, b), (a, b)
 
 
+def test_batch_jaro_truncates_long_inputs_like_oracle():
+    """Public-function guard (round-3 ADVICE): >128-char inputs must be
+    sliced to _JARO_PREFIX inside batch_jaro_winkler — the two-word
+    bitmask is silently wrong past 128 — and equal the per-pair kernel
+    on the same truncated pair (the oracle's JARO_PREFIX semantics)."""
+    rng = random.Random(7)
+    alpha = "abcdef 012"
+    al, bl = [], []
+    for _ in range(100):
+        al.append("".join(rng.choice(alpha) for _ in range(rng.randint(129, 400))))
+        bl.append("".join(rng.choice(alpha) for _ in range(rng.randint(0, 400))))
+    jw = kb.batch_jaro_winkler(al, bl)
+    for i, (a, b) in enumerate(zip(al, bl)):
+        assert jw[i] == kernels.jaro_winkler(
+            a[: kb._JARO_PREFIX], b[: kb._JARO_PREFIX]
+        ), (a, b)
+
+
 @settings(max_examples=300, deadline=None)
 @given(
     st.text(alphabet="ab1 -", max_size=200),
