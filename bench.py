@@ -70,9 +70,40 @@ def main() -> dict:
     def noop_write(df):
         df.write.format("noop").mode("overwrite").save()
 
+    # ---- q0: fixed calibration workload (drift meter) --------------------
+    # A NEVER-CHANGING JVM-only job (no input tables, no Python workers):
+    # hash+aggregate a constant 400M-row range. Its wall time moves ONLY
+    # with the VM (turbo, noisy neighbors), never with pipeline code — so
+    # cross-round diffs can normalize every other line by the calibration
+    # ratio instead of arguing drift per round (round-3 VERDICT 'what's
+    # wrong' #4). Warm pass + best-of-2 (a sub-second single shot would
+    # itself be noise). DO NOT EDIT this workload; editing it invalidates
+    # cross-round normalization.
+    def _calibration():
+        noop_write(
+            spark.range(0, 400_000_000, 1, cpus * 2)
+            .select(F.xxhash64("id").alias("h"))
+            .groupBy(F.pmod("h", F.lit(97)).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x"))
+        )
+
+    _calibration()  # warm the JVM once, untimed
+    timed("q0_calibration", _calibration)
+    t_cal1 = timings["q0_calibration"]
+    timed("q0_calibration_r2", _calibration)
+    timings["q0_calibration"] = min(t_cal1, timings.pop("q0_calibration_r2"))
+    extras["calibration_s"] = timings["q0_calibration"]
+
     # ---- linkage pipeline, stage by stage (the flagship) -----------------
+    # PRODUCTION_CONFIG (xxhash64 keys) — the production default main.py
+    # now runs (round-3 VERDICT task 3); contract queries keep md5 for the
+    # DuckDB oracle. First measured here in r4: q1/q2/q11/q11b lines drop
+    # vs r3's md5 numbers partly from the hash flip (q6 vs q6b bounds the
+    # hash effect at ~21% on the dedup family).
+    from pipeline.config import PRODUCTION_CONFIG
+
     turns = em._turns_from_events(spark, sf_dir)
-    plan = build_plan(turns)
+    plan = build_plan(turns, PRODUCTION_CONFIG)
 
     feats = plan["features"].localCheckpoint(eager=False)
     timed("q1_canonicalize_featurize", lambda: noop_write(feats))
@@ -82,7 +113,7 @@ def main() -> dict:
 
     from pipeline.scoring import score_pairs
 
-    scored = score_pairs(feats, pairs).localCheckpoint(eager=False)
+    scored = score_pairs(feats, pairs, PRODUCTION_CONFIG).localCheckpoint(eager=False)
     timed("q3_pair_scoring", lambda: noop_write(scored))
     extras["pairs_scored"] = n_pairs
     extras["pairs_per_sec"] = round(
@@ -227,7 +258,6 @@ def main() -> dict:
     # touched-ids semi-join) are equality- and plan-asserted in
     # tests/test_incremental.py and pay off when the corpus dwarfs the
     # increment.
-    from pipeline.config import DEFAULT_CONFIG
     from pipeline.incremental import incremental_link
     from pipeline.linkage import build_plan, cluster_edges
 
@@ -235,7 +265,7 @@ def main() -> dict:
     slot = F.expr("cast(substring(conv_id, 2) as int) % 20")
 
     def _batch_docs():
-        plan = build_plan(doc_turns, DEFAULT_CONFIG)
+        plan = build_plan(doc_turns, PRODUCTION_CONFIG)
         clusters, _ = cluster_edges(plan["edges"], plan["features"])
         noop_write(clusters)
 
@@ -244,7 +274,7 @@ def main() -> dict:
 
     from pipeline.blocking import key_table_with_counts
 
-    base_plan = build_plan(doc_turns.where(slot != 19), DEFAULT_CONFIG)
+    base_plan = build_plan(doc_turns.where(slot != 19), PRODUCTION_CONFIG)
     base_clusters, _ = cluster_edges(base_plan["edges"], base_plan["features"])
     base_feats = base_plan["features"]
     # materialize the committed state outside the timer (it IS committed
@@ -256,11 +286,11 @@ def main() -> dict:
     # production pattern is a frozen df snapshot committed with the base
     from pipeline.blocking import token_df
 
-    base_anchor_df = token_df(base_feats, DEFAULT_CONFIG).localCheckpoint(
+    base_anchor_df = token_df(base_feats, PRODUCTION_CONFIG).localCheckpoint(
         eager=True
     )
     base_keys, base_counts = key_table_with_counts(
-        base_feats, DEFAULT_CONFIG, base_anchor_df
+        base_feats, PRODUCTION_CONFIG, base_anchor_df
     )
     base_keys = base_keys.localCheckpoint(eager=True)
     base_counts = base_counts.localCheckpoint(eager=True)
@@ -268,7 +298,7 @@ def main() -> dict:
     def _incremental_step():
         out = incremental_link(
             base_feats, base_clusters, doc_turns.where(slot == 19),
-            DEFAULT_CONFIG, anchor_df=base_anchor_df,
+            PRODUCTION_CONFIG, anchor_df=base_anchor_df,
             existing_keys=base_keys, existing_key_counts=base_counts,
         )
         noop_write(out["clusters"])
@@ -325,6 +355,7 @@ def _write_regression_diff(report: dict) -> None:
     # q10_scoring_saturated name — cross-round comparisons must match
     # labels (r1 q10_scoring_saturated <-> r2+ q10_warmup_pass).
     methodology = {
+        "q0_calibration": "steady (fixed drift meter)",
         "q10_warmup_pass": "cold",
         "q10_scoring_saturated": "steady",
     }
@@ -348,17 +379,50 @@ def _write_regression_diff(report: dict) -> None:
         "delta on a sub-second line, as noise. Cross-round claims use "
         "the interleaved best-of-N methodology in BENCH/BASELINE.md.",
         "",
-        "| query | kind | prev s | now s | delta |",
-        "|---|---|---|---|---|",
     ]
+    # Drift normalization (round-3 VERDICT 'what's wrong' #4): q0 is a
+    # FIXED JVM-only workload whose time moves only with the machine.
+    # cal-adj delta divides each line's ratio by the calibration ratio, so
+    # a uniform VM slowdown reads ~0% instead of flagging every query.
+    cal_prev = (prev.get("calibration_s") or
+                prev.get("queries", {}).get("q0_calibration"))
+    cal_now = report.get("calibration_s")
+    cal_factor = (cal_now / cal_prev) if (cal_prev and cal_now) else None
+    if cal_factor is not None:
+        lines += [
+            f"Calibration (q0, fixed workload): prev {cal_prev}s, now "
+            f"{cal_now}s — time ratio {cal_factor:.2f} (>1 = this VM is "
+            "slower than when the recorded round ran). **cal-adj delta** "
+            "divides out that machine factor; it is the column to read "
+            "for code-attributable change.",
+            "",
+        ]
+    else:
+        lines += [
+            "No calibration line in the recorded round (first round with "
+            "q0): raw deltas only.",
+            "",
+        ]
+    hdr_extra = " cal-adj delta |" if cal_factor is not None else ""
+    lines += [
+        f"| query | kind | prev s | now s | delta |{hdr_extra}",
+        "|---|---|---|---|---|" + ("---|" if cal_factor is not None else ""),
+    ]
+
+    def _row(q: str, kind: str, was, now) -> str:
+        if was is None:
+            tail = " — |" if cal_factor is not None else ""
+            return f"| {q} | {kind} | — | {now} | new |{tail}"
+        pct = (now - was) / was * 100 if was else 0.0
+        row = f"| {q} | {kind} | {was} | {now} | {pct:+.1f}% |"
+        if cal_factor is not None:
+            adj = ((now / was) / cal_factor - 1) * 100 if was else 0.0
+            row += f" {adj:+.1f}% |"
+        return row
+
     for q, now in report["queries"].items():
         kind = methodology.get(q, "cold-ish (first run in suite)")
-        was = prev["queries"].get(q)
-        if was is None:
-            lines.append(f"| {q} | {kind} | — | {now} | new |")
-        else:
-            pct = (now - was) / was * 100 if was else 0.0
-            lines.append(f"| {q} | {kind} | {was} | {now} | {pct:+.1f}% |")
+        lines.append(_row(q, kind, prev["queries"].get(q), now))
     metric_kind = {
         "saturated_pairs_per_sec": "steady",
         "saturated_pairs_per_sec_cold": "cold",
@@ -367,10 +431,15 @@ def _write_regression_diff(report: dict) -> None:
     for metric, kind in metric_kind.items():
         was, now = prev.get(metric), report.get(metric)
         if was and now:
-            lines.append(
+            row = (
                 f"| {metric} | {kind} | {was} | {now} | "
                 f"{(now - was) / was * 100:+.1f}% |"
             )
+            if cal_factor is not None:
+                # throughput: higher is better, so MULTIPLY by the factor
+                adj = ((now / was) * cal_factor - 1) * 100
+                row += f" {adj:+.1f}% |"
+            lines.append(row)
     # carry the cross-round kernel A/B verdict (BENCH/ab_kernels.py —
     # round-3 VERDICT task 1) so the judge-read regressions table always
     # includes the code-state-vs-code-state evidence, not just run diffs

@@ -223,6 +223,16 @@ class MatchConfig:
 
 DEFAULT_CONFIG = MatchConfig()
 
+# PRODUCTION defaults: identical match semantics, Spark-native xxhash64
+# for every blocking/bucketing key instead of the engine-neutral 60-bit
+# md5 (pipeline.hashing). Key hashing only affects WHICH bucket a row
+# lands in, never a score — but md5 keys cost ~21% on the dedup family
+# (measured, bench q6 vs q6b), so production runs (main.py) take the
+# fast hash and md5 stays the ORACLE config: contract queries pin
+# DEFAULT_CONFIG so every operator remains DuckDB-verifiable
+# (round-3 VERDICT task 3).
+PRODUCTION_CONFIG = MatchConfig(hash_impl="xxhash64")
+
 
 def build_exact_match_config() -> MatchConfig:
     """Strict-mode config — the reference's ``build_exact_match_config``
