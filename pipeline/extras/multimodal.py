@@ -3,12 +3,19 @@ columns with typed metadata.
 
 The Spark-side machinery — schemas, partition-sized Arrow batches,
 ``mapInPandas`` signatures, deterministic synthesis — is real and tested.
-The actual media decode (PIL/ffmpeg/torchaudio) is NOT available in this
-container, so the decode kernel is stubbed behind ``_decode_image``: it
-either raises ``NotImplementedError`` (strict mode) or produces a
-deterministic fake feature vector derived from the bytes (test mode).
-Swapping in a real decoder changes ONE function; the distributed plan is
-unchanged.
+Decode coverage (round-3 VERDICT task 5):
+
+  * **PPM (P5/P6) and 24-bpp BMP decode for real, in pure numpy** —
+    uncompressed formats need no codec library, so the decode kernel
+    actually runs on real bytes in this sandbox (header parse ->
+    pixel array -> Rec.601 luma -> 4x4 block-average thumbnail).
+    These paths are used even when PIL exists, so features for these
+    formats are environment-independent.
+  * Compressed formats (JPEG/PNG/...) go through PIL when importable
+    (production); without PIL they fall back to a deterministic sha256
+    fake feature (non-strict) or raise loudly (strict). Swapping in a
+    fuller decoder still changes ONE function; the distributed plan is
+    unchanged.
 
 Schema convention:
 
@@ -50,18 +57,30 @@ FEATURE_DIM = 16
 
 
 def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded pseudo-bytes)."""
+    """Deterministic media table. IMAGE rows carry REAL binary-PPM
+    payloads (seeded gradient pixels — the numpy decoder actually decodes
+    them); audio/video rows carry opaque seeded pseudo-bytes."""
     rows = []
     for i in range(n):
         h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
         kind = ["image", "audio", "video"][i % 3]
-        payload = (h * 64)[: 1024 + (i % 7) * 128]
+        w_px, h_px = 8 + i % 9, 6 + i % 7
+        if kind == "image":
+            base = np.frombuffer((h * 8)[: w_px * h_px], dtype=np.uint8)
+            px = np.stack(
+                [base, np.roll(base, 1), np.roll(base, 2)], axis=-1
+            ).reshape(h_px, w_px, 3)
+            payload = encode_ppm(px)
+            fmt = "ppm"
+        else:
+            payload = (h * 64)[: 1024 + (i % 7) * 128]
+            fmt = "fake"
         rows.append(
             (
                 f"doc{i:05d}",
                 kind,
                 bytearray(payload),
-                (64 + i % 512, 64 + (i * 7) % 512, "fake", 1000 + i),
+                (w_px, h_px, fmt, 1000 + i),
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
@@ -82,18 +101,173 @@ def _fake_features(payload: bytes) -> np.ndarray:
     return (arr % 1000).astype(np.float32) / 1000.0
 
 
+# --- pure-numpy decoders for uncompressed formats (no codec library) -------
+
+
+def _ppm_header(b: bytes) -> tuple[list[int], int]:
+    """Parse the 3 ASCII header ints after the 2-byte magic (whitespace-
+    separated, '#' comments to end-of-line); returns (tokens, raster
+    offset — one whitespace byte past the last token, per the spec)."""
+    pos, toks = 2, []
+    ws = b" \t\r\n"
+    while len(toks) < 3:
+        if pos >= len(b):
+            raise ValueError("truncated PPM header")
+        c = b[pos : pos + 1]
+        if c in ws:
+            pos += 1
+        elif c == b"#":
+            nl = b.find(b"\n", pos)
+            if nl == -1:
+                raise ValueError("unterminated PPM comment")
+            pos = nl + 1
+        else:
+            end = pos
+            while end < len(b) and b[end : end + 1] not in ws:
+                end += 1
+            try:
+                toks.append(int(b[pos:end]))
+            except ValueError as e:
+                raise ValueError(f"bad PPM header token {b[pos:end]!r}") from e
+            pos = end
+    return toks, pos + 1
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM/PGM (magic P6 = RGB, P5 = grayscale), maxval <= 255.
+    Returns uint8 (H, W, 3) or (H, W)."""
+    magic = payload[:2]
+    channels = {b"P6": 3, b"P5": 1}.get(magic)
+    if channels is None:
+        raise ValueError(f"not a binary PPM/PGM: magic {magic!r}")
+    (w, h, maxval), pos = _ppm_header(payload)
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        raise ValueError(f"unsupported PPM dims/maxval {(w, h, maxval)}")
+    need = w * h * channels
+    if len(payload) < pos + need:
+        raise ValueError("truncated PPM raster")
+    px = np.frombuffer(payload, dtype=np.uint8, offset=pos, count=need)
+    px = px.reshape((h, w, 3) if channels == 3 else (h, w))
+    if maxval != 255:
+        px = (px.astype(np.float64) * (255.0 / maxval)).round().astype(np.uint8)
+    return px
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bpp BI_RGB BMP (BITMAPINFOHEADER or larger DIB);
+    handles bottom-up (positive height) and top-down rows + 4-byte row
+    padding. Returns uint8 (H, W, 3) RGB."""
+    b = bytes(payload)
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP")
+    off = int.from_bytes(b[10:14], "little")
+    dib = int.from_bytes(b[14:18], "little")
+    if dib < 40:
+        raise ValueError(f"unsupported DIB header size {dib}")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bpp BI_RGB supported (bpp={bpp}, comp={comp})")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dims {(w, h)}")
+    row_bytes = (w * 3 + 3) & ~3
+    if len(b) < off + row_bytes * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(
+        b, dtype=np.uint8, offset=off, count=row_bytes * h
+    ).reshape(h, row_bytes)
+    px = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR -> RGB
+    return px if top_down else px[::-1]
+
+
+def _luma_thumb(px: np.ndarray) -> np.ndarray:
+    """Pixel array -> FEATURE_DIM features: Rec.601 luma, then a
+    side x side BLOCK-AVERAGE downsample (integer block boundaries —
+    deterministic, no resampling-kernel dependence), scaled to [0, 1]."""
+    if px.ndim == 3:
+        gray = (
+            0.299 * px[..., 0].astype(np.float64)
+            + 0.587 * px[..., 1]
+            + 0.114 * px[..., 2]
+        )
+    else:
+        gray = px.astype(np.float64)
+    side = int(FEATURE_DIM**0.5)
+    h, w = gray.shape
+    out = np.empty((side, side), dtype=np.float64)
+    for r in range(side):
+        r0 = (r * h) // side
+        r1 = max(((r + 1) * h) // side, r0 + 1)
+        for c in range(side):
+            c0 = (c * w) // side
+            c1 = max(((c + 1) * w) // side, c0 + 1)
+            out[r, c] = gray[r0:r1, c0:c1].mean()
+    return (out / 255.0).astype(np.float32).reshape(FEATURE_DIM)
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """Encode uint8 (H, W, 3) -> P6 or (H, W) -> P5 (test fixtures)."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    magic = b"P6" if px.ndim == 3 else b"P5"
+    h, w = px.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Encode uint8 (H, W, 3) RGB -> 24-bpp bottom-up BI_RGB BMP."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    off = 54
+    hdr = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return hdr + data
+
+
 def _decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
-    """Image decode kernel. With PIL installed (production), decodes the
-    payload, resizes to 4x4 grayscale and returns the 16 pixel
-    intensities in [0,1] — a real, deterministic thumbnail feature.
-    UNDECODABLE payloads (truncated/corrupt/non-image bytes — a mapInPandas
-    batch must never die on one bad row) fall back to the deterministic
-    sha256 fake, or raise ValueError in strict mode. That fallback also
-    means synthetic (non-image) corpora produce the SAME features whether
-    or not PIL happens to be importable. Without PIL (this sandbox) every
-    payload takes the fake path; strict mode raises NotImplementedError
-    loudly instead. The Spark-side plumbing (schema, mapInPandas batching,
-    partitioning) is identical on every path."""
+    """Image decode kernel -> FEATURE_DIM thumbnail features in [0,1].
+
+    Route by magic bytes: PPM/PGM (``P6``/``P5``) and BMP (``BM``) decode
+    in PURE NUMPY (real decode, runs in this sandbox, environment-
+    independent — used even when PIL exists); anything else decodes via
+    PIL when installed (production formats). UNDECODABLE payloads
+    (truncated/corrupt bytes — a mapInPandas batch must never die on one
+    bad row) fall back to the deterministic sha256 fake, or raise
+    ValueError in strict mode. Without PIL, compressed formats take the
+    fake path (non-strict) or raise NotImplementedError loudly (strict).
+    The Spark-side plumbing (schema, mapInPandas batching, partitioning)
+    is identical on every path."""
+    head = bytes(payload[:2])
+    if head in (b"P6", b"P5", b"BM"):
+        try:
+            px = _decode_bmp(payload) if head == b"BM" else _decode_ppm(payload)
+        except ValueError as e:
+            if strict:
+                raise ValueError(
+                    f"undecodable image payload ({len(payload)} bytes): {e}"
+                ) from e
+            return _fake_features(payload)
+        return _luma_thumb(px)
     if _PILImage is not None:
         import io
 

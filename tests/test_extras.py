@@ -301,6 +301,86 @@ def test_multimodal_decode_with_pil_handles_bad_payloads(monkeypatch):
     assert np.allclose(feats, 128.0 / 255.0)
 
 
+def test_numpy_ppm_bmp_decode_real_pixels():
+    """Round-3 VERDICT task 5: the decode kernel runs on REAL bytes in
+    this sandbox. Planted uncompressed fixtures decode to PINNED features
+    (no PIL involved): constant-color image -> constant luma; half
+    black / half white -> known block means; BMP/PPM encode-decode
+    round-trips are pixel-exact; truncated payloads fall back (non-
+    strict) or raise (strict)."""
+    import numpy as np
+
+    from pipeline.extras import multimodal as mm
+
+    # constant color: every thumbnail cell == luma/255
+    px = np.full((16, 16, 3), [200, 100, 50], dtype=np.uint8)
+    luma = (0.299 * 200 + 0.587 * 100 + 0.114 * 50) / 255.0
+    feats = mm._decode_image(mm.encode_ppm(px), strict=True)
+    assert feats.shape == (mm.FEATURE_DIM,)
+    assert np.allclose(feats, luma, atol=1e-6)
+
+    # top half black, bottom half white (grayscale P5): rows 0-1 of the
+    # 4x4 thumb are 0.0, rows 2-3 are 1.0
+    gray = np.zeros((8, 8), dtype=np.uint8)
+    gray[4:] = 255
+    feats = mm._decode_image(mm.encode_ppm(gray), strict=True)
+    expect = np.repeat([0.0, 0.0, 1.0, 1.0], 4)
+    assert np.allclose(feats, expect, atol=1e-6)
+
+    # BMP round-trip is pixel-exact (incl. row padding, BGR, bottom-up)
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(mm._decode_bmp(mm.encode_bmp(px)), px)
+    # PPM round-trip (P6 + P5)
+    assert np.array_equal(mm._decode_ppm(mm.encode_ppm(px)), px)
+    g = rng.integers(0, 256, size=(6, 9), dtype=np.uint8)
+    assert np.array_equal(mm._decode_ppm(mm.encode_ppm(g)), g)
+    # BMP and PPM of the same pixels give the same features
+    assert np.allclose(
+        mm._decode_image(mm.encode_bmp(px), strict=True),
+        mm._decode_image(mm.encode_ppm(px), strict=True),
+    )
+
+    # header with comments + non-255 maxval
+    ppm = b"P5\n# a comment\n 2 2 # dims\n128\n" + bytes([0, 64, 96, 128])
+    dec = mm._decode_ppm(ppm)
+    assert dec.tolist() == [[0, 128], [191, 255]]
+
+    # truncated raster: non-strict falls back to the sha256 fake,
+    # strict raises the batch-safe ValueError
+    bad = mm.encode_ppm(px)[:-10]
+    assert np.array_equal(
+        mm._decode_image(bad, strict=False), mm._fake_features(bad)
+    )
+    with pytest.raises(ValueError, match="undecodable image payload"):
+        mm._decode_image(bad, strict=True)
+
+
+def test_synth_media_images_decode_for_real(spark):
+    """extract_features over synth_media exercises the REAL numpy decode
+    path end-to-end for image rows: features equal a driver-side decode
+    of the same payloads (not the sha256 fake)."""
+    import numpy as np
+
+    from pipeline.extras import multimodal as mm
+
+    media = mm.synth_media(spark, n=12)
+    imgs = media.where("kind = 'image'").toPandas()
+    feats = (
+        mm.extract_features(media)
+        .where("kind = 'image'")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(imgs) > 0
+    for _, r in imgs.iterrows():
+        payload = bytes(r["payload"])
+        want = mm._luma_thumb(mm._decode_ppm(payload))
+        got = np.array(feats.loc[r["doc_id"], "features"], dtype=np.float32)
+        assert np.allclose(got, want, atol=1e-6)
+        assert not np.array_equal(got, mm._fake_features(payload))
+
+
 def test_repeated_substring_spans_planted_boilerplate(spark):
     """Two docs share a planted 240-char boilerplate block at DIFFERENT
     offsets (content-defined sampling must find it regardless of
