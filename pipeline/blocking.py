@@ -227,8 +227,19 @@ def merge_key_state(
     """(committed keys+counts) ∪ (increment keys+counts) -> the NEXT
     committed state. Key families are doc-local (anchors must be pinned
     via a frozen df snapshot), so per-key member counts simply add.
-    Bucketed-by-key committed storage makes the count merge
-    co-partitioned; the increment side of it is tiny."""
+
+    Cost note (round-4 profiling): the union+groupBy re-aggregates the
+    committed counts each increment — ONE narrow (family, key, members)
+    shuffle, bounded by key-table cardinality, co-partitioned (no
+    Exchange) when the committed counts are stored bucketed by key. A
+    broadcast-join two-stream variant that avoids the shuffle entirely
+    was tried and rejected: it references the committed counts twice, so
+    LAZILY-chained state (state passed between increments without
+    materialization) doubles the plan per step — the single-reference
+    groupBy keeps chained plans linear. Production cadence materializes
+    state between increments anyway (main bench does too), where the
+    groupBy costs one narrow co-partitioned pass.
+    """
     keys = existing_keys.unionByName(new_keys)
     counts = (
         existing_counts.unionByName(new_counts)

@@ -82,19 +82,89 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(rows: list) -> list[tuple[str, str]]:
+    """Union-find with path compression over collected (u, v) edge rows;
+    returns (conv_id, entity_id = min member of its component) for every
+    node that appears in an edge. min() on Python strings == Spark's
+    string ordering for the ASCII ids this pipeline produces."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union toward the smaller id: the root IS the min member
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     edges: DataFrame,
     all_nodes: DataFrame | None = None,
     max_iterations: int = 25,
+    driver_threshold: int = 200_000,
 ) -> tuple[DataFrame, list[dict]]:
     """edges(src, dst) -> (clusters(conv_id, entity_id), iteration metrics).
 
     ``all_nodes`` (single column ``conv_id``) adds singleton nodes that
     appear in no edge.
+
+    Small graphs take a DRIVER union-find fast path: the first checksum
+    action (needed anyway for convergence) yields the distinct edge
+    count; at or below ``driver_threshold`` edges the canonical edge list
+    is collected (200k edges ~ a few MB) and solved in microseconds,
+    skipping the iterative loop whose per-round job overhead dominates
+    small graphs (measured: an incremental step's contracted graph of a
+    few thousand edges cost 4-8s in star-round scheduling alone —
+    round-4 profiling). The INCREMENTAL path's contracted graph is
+    increment-bounded, so production increments live under the threshold
+    by construction; a 100-TB batch run's edge list exceeds it and takes
+    the distributed alternating-star loop. Both paths produce the
+    IDENTICAL labeling (entity_id = min member; pinned by
+    tests/test_cluster.py running every case through both).
+    ``driver_threshold=0`` disables the fast path.
     """
     cur = _canonical_edges(edges).localCheckpoint(eager=True)
     metrics: list[dict] = []
     prev_sig = _checksum(cur)
+    if driver_threshold > 0 and prev_sig[0] <= driver_threshold:
+        mapping = _driver_union_find(cur.collect())
+        metrics.append(
+            {
+                "iteration": 0,
+                "edges": prev_sig[0],
+                "checksum": prev_sig[1],
+                "mode": "driver_union_find",
+            }
+        )
+        spark = edges.sparkSession
+        if mapping:
+            clusters = spark.createDataFrame(
+                mapping, "conv_id string, entity_id string"
+            )
+        else:
+            clusters = cur.select(
+                F.col("u").alias("conv_id"), F.col("v").alias("entity_id")
+            )  # empty frame with the right schema
+        if all_nodes is not None:
+            singletons = (
+                all_nodes.select("conv_id")
+                .join(clusters.select("conv_id"), "conv_id", "left_anti")
+                .withColumn("entity_id", F.col("conv_id"))
+            )
+            clusters = clusters.union(singletons)
+        return clusters, metrics
     for it in range(max_iterations):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         sig = _checksum(nxt)

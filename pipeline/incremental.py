@@ -130,7 +130,11 @@ def incremental_candidate_pairs(
             feats_all, cfg, anchor_df
         )
     kept, hot_audit = _cap_members(union_keys, union_counts, cfg)
-    kept = track_cache(kept)
+    # Do NOT cache `kept`: it is CORPUS-sized (at 100 TB it cannot be
+    # cached, and in-sandbox profiling showed the per-step cache fill
+    # dominating). It is a cheap map-side coin filter over the committed
+    # key table, streamed twice (once to derive new_keys, once as the
+    # join's b-side); the INCREMENT-sized new_keys is what gets cached.
 
     # conservative cross-run pair-cap risk (see docstring): derived from
     # the counts table — a filter on an already-aggregated narrow frame,
@@ -146,7 +150,9 @@ def incremental_candidate_pairs(
         )
     )
 
-    new_keys = kept.join(new_ids.select("conv_id"), "conv_id")
+    new_keys = track_cache(
+        kept.join(F.broadcast(new_ids.select("conv_id")), "conv_id")
+    )
     if broadcast_new:
         new_keys = F.broadcast(new_keys)
     raw = (
@@ -243,7 +249,12 @@ def incremental_link(
         .union(pairs.select(F.col("conv_id_b").alias("conv_id")))
         .distinct()
     )
-    feats_scoring = feats_all.join(F.broadcast(touched), "conv_id", "semi")
+    # cache the pair-touched feature slice: it is INCREMENT-sized and
+    # feeds BOTH sides of score_pairs' text joins — uncached, the corpus
+    # semi-join stream runs twice per consuming action (round-4 profiling)
+    feats_scoring = track_cache(
+        feats_all.join(F.broadcast(touched), "conv_id", "semi")
+    )
     scored = score_pairs(feats_scoring, pairs, cfg, match_only=True)
 
     # contract existing endpoints to their entity label (new docs map to

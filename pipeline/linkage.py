@@ -108,14 +108,28 @@ def run_staged(
     turns: DataFrame,
     out_dir: str,
     cfg: MatchConfig = DEFAULT_CONFIG,
+    audit_sample_rate: float | None = None,
 ) -> dict[str, DataFrame]:
-    """Materialize every stage with commit manifests (resumable)."""
+    """Materialize every stage with commit manifests (resumable).
+
+    ``audit_sample_rate`` (round-3 VERDICT task 6, opt-in): by default
+    every pair is scored FULLY because the audit histograms need every
+    pair's decision columns. With a rate in (0, 1], the scored stage
+    takes the ``match_only`` fast path (cluster edges only — provably
+    the identical match set, so CLUSTERS ARE IDENTICAL; pinned by
+    ``tests/test_resume.py::test_audit_sample_seam``), and the full
+    decision columns are computed on a DETERMINISTIC sample of pairs
+    (the shared hash coin on the pair key) for the audit tables, which
+    carry ``sample_rate`` so consumers read them as estimates.
+    """
     # deterministic ACROSS PROCESSES: hash() of a dataclass with str
     # fields is salted per interpreter (PYTHONHASHSEED), which would
     # silently defeat resume; repr() of a frozen dataclass is stable
     import hashlib
 
-    fingerprint = "cfg:" + hashlib.md5(repr(cfg).encode("utf-8")).hexdigest()
+    fingerprint = "cfg:" + hashlib.md5(
+        (repr(cfg) + f":audit={audit_sample_rate}").encode("utf-8")
+    ).hexdigest()
     runner = StageRunner(spark, out_dir, fingerprint=fingerprint)
 
     docs = runner.run("docs", lambda: canonicalize(turns))
@@ -128,7 +142,12 @@ def run_staged(
         return p
 
     pairs = runner.run("pairs", _pairs)
-    scored = runner.run("scored", lambda: score_pairs(feats, pairs, cfg))
+    scored = runner.run(
+        "scored",
+        lambda: score_pairs(
+            feats, pairs, cfg, match_only=audit_sample_rate is not None
+        ),
+    )
 
     def _clusters() -> DataFrame:
         edges = scored.where("is_match").select(
@@ -143,8 +162,34 @@ def run_staged(
         return clusters
 
     clusters = runner.run("clusters", _clusters)
-    tiers = runner.run("tier_histogram", lambda: audit_mod.tier_histogram(scored))
-    summary = runner.run("match_summary", lambda: audit_mod.match_summary(scored))
+    if audit_sample_rate is None:
+        audit_scored = scored
+    else:
+        from pipeline.features import hash_fn
+        from pipeline.hashing import coin_col
+
+        coin = coin_col(hash_fn(cfg), "audit", "conv_id_a", "conv_id_b")
+        audit_scored = runner.run(
+            "scored_audit_sample",
+            lambda: score_pairs(
+                feats, pairs.where(coin < F.lit(float(audit_sample_rate))), cfg
+            ),
+        )
+
+    def _label(df: DataFrame) -> DataFrame:
+        if audit_sample_rate is None:
+            return df
+        return df.withColumn(
+            "sample_rate", F.lit(float(audit_sample_rate))
+        )
+
+    tiers = runner.run(
+        "tier_histogram",
+        lambda: _label(audit_mod.tier_histogram(audit_scored)),
+    )
+    summary = runner.run(
+        "match_summary", lambda: _label(audit_mod.match_summary(audit_scored))
+    )
     # per-partition lineage of the scored table (north_rule: resumable
     # with per-partition lineage + metrics) — one row per partition
     lineage = runner.run(

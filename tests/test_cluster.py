@@ -47,34 +47,45 @@ CASES = [
 ]
 
 
+# run every case through BOTH execution paths: the driver union-find
+# fast path (default for small graphs) and the distributed alternating-
+# star loop (driver_threshold=0 disables the fast path)
+THRESHOLDS = [200_000, 0]
+
+
+@pytest.mark.parametrize("thr", THRESHOLDS)
 @pytest.mark.parametrize("edges,nodes", CASES)
-def test_cc_matches_union_find(spark, edges, nodes):
+def test_cc_matches_union_find(spark, edges, nodes, thr):
     e = spark.createDataFrame(
         pd.DataFrame(edges or [("_", "_")], columns=["src", "dst"])
     )
     if not edges:
         e = e.where(F.lit(False))
     n = spark.createDataFrame(pd.DataFrame({"conv_id": sorted(nodes)}))
-    clusters, _ = connected_components(e, all_nodes=n)
+    clusters, metrics = connected_components(e, all_nodes=n, driver_threshold=thr)
     got = {
         r["conv_id"]: r["entity_id"] for r in clusters.collect()
     }
     assert got == _union_find(edges, nodes)
+    took_fast = any(m.get("mode") == "driver_union_find" for m in metrics)
+    assert took_fast == (thr > 0), metrics
 
 
-def test_cc_long_chain(spark):
+@pytest.mark.parametrize("thr", THRESHOLDS)
+def test_cc_long_chain(spark, thr):
     """Chain of 40 nodes — exercises O(log n) convergence + checkpoints."""
     names = [f"c{i:03d}" for i in range(40)]
     edges = list(zip(names, names[1:]))
     e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
-    clusters, metrics = connected_components(e)
+    clusters, metrics = connected_components(e, driver_threshold=thr)
     got = clusters.toPandas()
     assert set(got["entity_id"]) == {"c000"}
     assert len(got) == 40
     assert len(metrics) <= 10  # log-ish, not linear
 
 
-def test_cc_permutation_invariance(spark):
+@pytest.mark.parametrize("thr", THRESHOLDS)
+def test_cc_permutation_invariance(spark, thr):
     import random
 
     rng = random.Random(5)
@@ -87,12 +98,33 @@ def test_cc_permutation_invariance(spark):
         shuffled = [(b, a) if seed == 2 else (a, b) for a, b in shuffled]
         e = spark.createDataFrame(pd.DataFrame(shuffled, columns=["src", "dst"]))
         n = spark.createDataFrame(pd.DataFrame({"conv_id": names}))
-        clusters, _ = connected_components(e, all_nodes=n)
+        clusters, _ = connected_components(
+            e, all_nodes=n, driver_threshold=thr
+        )
         got = sorted(map(tuple, clusters.collect()))
         if base is None:
             base = got
         else:
             assert got == base
+
+
+def test_cc_both_paths_identical_on_random_graph(spark):
+    """The driver fast path and the distributed loop must agree label-
+    for-label on a random graph with chains, cliques and singletons."""
+    import random
+
+    rng = random.Random(17)
+    names = [f"g{i:03d}" for i in range(200)]
+    edges = [(rng.choice(names), rng.choice(names)) for _ in range(150)]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    n = spark.createDataFrame(pd.DataFrame({"conv_id": names}))
+    fast, fm = connected_components(e, all_nodes=n)
+    slow, sm = connected_components(e, all_nodes=n, driver_threshold=0)
+    assert any(m.get("mode") == "driver_union_find" for m in fm)
+    assert not any(m.get("mode") == "driver_union_find" for m in sm)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
 
 
 def test_cluster_agreement_vs_ground_truth(spark, turns_df, corpus):

@@ -90,3 +90,38 @@ def test_half_written_stage_is_invisible(spark, tmp_path):
     runner = StageRunner(spark, str(tmp_path), fingerprint="v1")
     out = runner.run("s1", lambda: spark.range(3))
     assert out.count() == 3
+
+
+def test_audit_sample_seam(spark, turns_df, tmp_path):
+    """run_staged(audit_sample_rate=r): clusters are IDENTICAL to the
+    full run (the match_only fast path is provably the same match set),
+    the audit tables are computed on a deterministic pair sample and
+    carry the sample_rate label, and the sampled pair count is ~r of the
+    full pair table."""
+    full = run_staged(spark, turns_df, str(tmp_path / "full"))
+    sampled = run_staged(
+        spark, turns_df, str(tmp_path / "sampled"), audit_sample_rate=0.25
+    )
+
+    assert _content_hash(full["clusters"]) == _content_hash(
+        sampled["clusters"]
+    )
+
+    tiers = sampled["tier_histogram"].toPandas()
+    assert (tiers["sample_rate"] == 0.25).all()
+    summary = sampled["match_summary"].toPandas()
+    assert (summary["sample_rate"] == 0.25).all()
+    n_full = full["pairs"].count()
+    n_sampled = int(summary["pairs_scored"].iloc[0])
+    assert 0 < n_sampled < n_full
+    # the scored stage kept only matches (edge list), all of them real
+    sc = sampled["scored"].toPandas()
+    assert sc["is_match"].all()
+    # deterministic: rerun from scratch gives the same sample
+    shutil.rmtree(str(tmp_path / "sampled"))
+    again = run_staged(
+        spark, turns_df, str(tmp_path / "sampled"), audit_sample_rate=0.25
+    )
+    assert int(
+        again["match_summary"].toPandas()["pairs_scored"].iloc[0]
+    ) == n_sampled
