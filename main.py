@@ -31,6 +31,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="ignore existing stage manifests")
     p.add_argument("--master", default=None)
     p.add_argument(
+        "--audit-sample", type=float, default=None, metavar="RATE",
+        help="opt-in audit sampling in (0,1]: clusters ride the "
+        "match-only fast path (identical result) and audit histograms "
+        "are computed on a deterministic RATE-sample of pairs, labeled "
+        "sample_rate (the 100-TB audit cost control)",
+    )
+    p.add_argument(
         "--hash-impl", choices=["xxhash64", "md5"], default="xxhash64",
         help="blocking/bucketing key hash: xxhash64 (production default, "
         "Spark-native, ~21%% faster on the dedup family) or md5 "
@@ -66,7 +73,9 @@ def main(argv: list[str] | None = None) -> dict:
 
     t0 = time.time()
     cfg = replace(DEFAULT_CONFIG, hash_impl=args.hash_impl)
-    out = run_staged(spark, turns, args.output, cfg)
+    out = run_staged(
+        spark, turns, args.output, cfg, audit_sample_rate=args.audit_sample
+    )
     # ONE driver action for the whole report: the three tiny aggregates
     # (1-row summary, doc count, distinct-entity count) crossJoin into a
     # single row instead of three separate collect()/count() jobs
@@ -92,6 +101,9 @@ def main(argv: list[str] | None = None) -> dict:
         "clusters": row["_clusters"],
         "stages": out["_runner"].metrics,
     }
+    if args.audit_sample is not None:
+        # pair counts come from the sampled audit pass — label them
+        report["audit_sample_rate"] = row["sample_rate"]
     print(json.dumps(report, default=str))
     return report
 
