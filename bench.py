@@ -250,14 +250,13 @@ def main() -> dict:
     # does), the step joins the base run's frozen token_df snapshot
     # (what an increment does). The step consumes COMMITTED blocking state (key
     # table + counts, built outside the timer), so it never re-explodes
-    # or re-counts the corpus. Honest caveat: at
-    # sandbox SF the step/batch ratio still understates the production
-    # win — fixed Spark overheads (CC rounds, job setup) dominate a
-    # 5k-doc corpus, while the structural wins (broadcast new-key join,
-    # committed-state counts merge, pair-bounded scoring via the
-    # touched-ids semi-join) are equality- and plan-asserted in
-    # tests/test_incremental.py and pay off when the corpus dwarfs the
-    # increment.
+    # or re-counts the corpus. Honest caveat: at sandbox SF (6k docs)
+    # the step costs MORE than the tiny batch — its corpus streams +
+    # extra jobs dominate. The scale separation is demonstrated where it
+    # belongs, on bigger corpora: BENCH/incremental_scale.{md,json}
+    # (round 4, 70.8k convs: batch 36.3s, ~2.6k-conv step 18-20s,
+    # increment-marginal 0.13 ms/conv vs batch 0.51, chained labels ==
+    # batch with audits empty).
     from pipeline.incremental import incremental_link
     from pipeline.linkage import build_plan, cluster_edges
 
