@@ -204,7 +204,9 @@ def incremental_link(
     the ingest path already guarantees exactly-once ids.
 
     Returns dict with the NEXT committed state — ``features`` (union),
-    ``keys`` / ``key_counts`` (union blocking state, so a daily-cadence
+    ``new_features`` (just the increment's post-anti-join feature rows:
+    what an append-only commit writes), ``keys`` / ``key_counts`` (union
+    blocking state, so a daily-cadence
     caller chains increments without ever re-deriving the corpus) —
     plus ``scored`` (match pairs touching the increment), ``clusters``
     (updated full labeling), ``cc_metrics``, and three audits:
@@ -306,6 +308,7 @@ def incremental_link(
 
     return {
         "features": feats_all,
+        "new_features": new_feats,
         "keys": union_keys,
         "key_counts": union_counts,
         "scored": scored,

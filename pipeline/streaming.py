@@ -177,6 +177,134 @@ def streaming_canonicalize(
     )
 
 
+def streaming_incremental_link(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    cfg=None,
+    max_files_per_trigger: int = 1,
+):
+    """CONTINUOUS entity resolution: ``foreachBatch`` turns every
+    micro-batch of arriving conversations into an increment against the
+    committed linkage state under ``state_dir`` — the streaming
+    composition of ``pipeline.incremental.incremental_link`` (the
+    daily-cadence batch step becomes a minutes-cadence one; SURVEY.md
+    §2.10 extension).
+
+    Committed state layout (all parquet; Iceberg snapshots in
+    production):
+
+      features_b{n}/   append-only per-batch increment feature rows
+      keys_b{n}/       append-only per-batch increment blocking keys
+      counts_b{n}/     FULL merged member counts as of batch n (narrow)
+      clusters_b{n}/   FULL labeling as of batch n (narrow)
+      _LATEST.json     atomic pointer {batch_id, feature_dirs, key_dirs,
+                       counts, clusters} — rename-committed
+
+    Exactly-once: the streaming checkpoint prevents re-processing on
+    restart; a REPLAYED batch (crash between state write and checkpoint
+    commit) overwrites its own ``*_b{n}`` dirs and re-points — and the
+    step's re-delivery anti-join makes a duplicated conv a no-op, so
+    recovery is idempotent. The corpus-sized tables are only ever
+    APPENDED (features/keys); the per-batch rewrites are the two narrow
+    tables (counts, labels).
+
+    Precondition: each micro-batch must carry WHOLE conversations (turns
+    of one conv_id must not straddle batches — a later fragment would be
+    dropped as a re-delivery). Feed this from a conversation-complete
+    upstream, e.g. ``streaming_canonicalize``'s idle-timeout output or a
+    sessionized bronze table.
+
+    Returns the StreamingQuery.
+    """
+    import json
+    import os
+
+    from pipeline.config import DEFAULT_CONFIG
+    from pipeline.incremental import incremental_link
+    from pipeline.linkage import build_plan, cluster_edges
+    from pipeline.session import release_caches
+
+    cfg = cfg or DEFAULT_CONFIG
+    latest_path = os.path.join(state_dir, "_LATEST.json")
+
+    def _read_latest():
+        if not os.path.exists(latest_path):
+            return None
+        with open(latest_path) as f:
+            return json.load(f)
+
+    def _commit_latest(payload: dict) -> None:
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = latest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, latest_path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state = _read_latest()
+        fdir = os.path.join(state_dir, f"features_b{batch_id}")
+        kdir = os.path.join(state_dir, f"keys_b{batch_id}")
+        cdir = os.path.join(state_dir, f"counts_b{batch_id}")
+        ldir = os.path.join(state_dir, f"clusters_b{batch_id}")
+        if state is None:
+            plan = build_plan(batch_df, cfg)
+            clusters, _ = cluster_edges(plan["edges"], plan["features"])
+            from pipeline.blocking import key_table_with_counts
+
+            keys, counts = key_table_with_counts(plan["features"], cfg)
+            plan["features"].write.mode("overwrite").parquet(fdir)
+            keys.write.mode("overwrite").parquet(kdir)
+            counts.write.mode("overwrite").parquet(cdir)
+            clusters.write.mode("overwrite").parquet(ldir)
+            feature_dirs, key_dirs = [fdir], [kdir]
+        else:
+            feats = spark.read.parquet(*state["feature_dirs"])
+            keys = spark.read.parquet(*state["key_dirs"])
+            counts = spark.read.parquet(state["counts"])
+            clusters0 = spark.read.parquet(state["clusters"])
+            out = incremental_link(
+                feats, clusters0, batch_df, cfg,
+                existing_keys=keys, existing_key_counts=counts,
+            )
+            # append-only commits for the corpus-sized state; full
+            # rewrites only for the two narrow tables
+            out["new_features"].write.mode("overwrite").parquet(fdir)
+            new_keys_only = out["keys"].join(
+                out["new_features"].select("conv_id"), "conv_id", "semi"
+            )
+            new_keys_only.write.mode("overwrite").parquet(kdir)
+            out["key_counts"].write.mode("overwrite").parquet(cdir)
+            out["clusters"].write.mode("overwrite").parquet(ldir)
+            feature_dirs = state["feature_dirs"] + [fdir]
+            key_dirs = state["key_dirs"] + [kdir]
+        release_caches()
+        _commit_latest(
+            {
+                "batch_id": batch_id,
+                "feature_dirs": feature_dirs,
+                "key_dirs": key_dirs,
+                "counts": cdir,
+                "clusters": ldir,
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def arrival_stats_stream(
     spark: SparkSession,
     input_dir: str,

@@ -145,3 +145,76 @@ def test_arrival_stats_windowed(spark, tmp_path):
     m = stats.merge(batch, on=["window_start", "role"], how="left")
     assert (m["n_turns"] == m["n_batch"]).all()
     assert stats["n_turns"].sum() <= len(corpus.turns)
+
+
+def test_streaming_incremental_link_matches_batch(spark, tmp_path):
+    """Continuous entity resolution: three conversation-complete file
+    drops become bootstrap + two incremental_link micro-batches through
+    committed parquet state; the final labeling equals one BATCH linkage
+    run over all turns (population-independent config), and restarting
+    the stream with no new files changes nothing (exactly-once)."""
+    import json
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from pipeline.config import DEFAULT_CONFIG
+    from pipeline.linkage import build_plan, cluster_edges
+    from pipeline.streaming import streaming_incremental_link
+
+    cfg = replace(
+        DEFAULT_CONFIG,
+        pairs_per_key_cap=1_000_000,
+        block_key_cap=1_000_000,
+        anchor_max_df=1,
+    )
+    corpus = synth.generate(n_base=60, seed=23)
+    t = corpus.turns.assign(ts=corpus.turns["ts"].astype("datetime64[us]"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # split by CONV so no conversation straddles micro-batches (the
+    # documented precondition)
+    import zlib
+
+    slot = t["conv_id"].map(lambda c: zlib.crc32(c.encode()) % 3)
+    for i in range(3):
+        t[slot == i].to_parquet(
+            os.path.join(src, f"drop{i}.parquet"), index=False
+        )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
+    q.awaitTermination(300)
+
+    with open(os.path.join(state, "_LATEST.json")) as f:
+        latest = json.load(f)
+    assert latest["batch_id"] == 2, latest
+    got = (
+        spark.read.parquet(latest["clusters"])
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+
+    turns_df = spark.createDataFrame(t)
+    plan = build_plan(turns_df, cfg)
+    full, _ = cluster_edges(plan["edges"], plan["features"])
+    want = (
+        full.select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["conv_id", "entity_id"]], want)
+
+    # committed feature/key state is append-only and complete
+    feats = spark.read.parquet(*latest["feature_dirs"])
+    assert feats.count() == turns_df.select("conv_id").distinct().count()
+    assert feats.groupBy("conv_id").count().where("count > 1").count() == 0
+
+    # restart with no new files: checkpoint makes it a no-op
+    q2 = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
+    q2.awaitTermination(300)
+    with open(os.path.join(state, "_LATEST.json")) as f:
+        assert json.load(f) == latest
