@@ -1873,6 +1873,52 @@ def q_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["clusters"]
 
 
+def q_linkage_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-sample seam (round-4 ``run_staged(audit_sample_rate=...)``),
+    oracle-checked: the deterministic hash-coin pair sample is scored
+    fully and reduced to the per-tier audit histogram, labeled with the
+    rate. Oracle: the pandas twin's scored pairs filtered by the SAME
+    coin computed in pure Python (``hashing.h60_py``) and aggregated by
+    DuckDB — a cross-engine proof that the sampled audit selects exactly
+    the same pairs everywhere (the coin, not an RNG, defines the
+    sample)."""
+    from pipeline.features import hash_fn
+    from pipeline.hashing import coin_col
+    from pipeline.linkage import build_plan
+    from pipeline.scoring import score_pairs
+
+    cfg = _nocap_config()
+    turns = _turns_from_documents(spark, sf_dir)
+    plan = build_plan(turns, cfg)
+    coin = coin_col(hash_fn(cfg), "audit", "conv_id_a", "conv_id_b")
+    sampled = plan["pairs"].where(coin < F.lit(0.25))
+    scored = score_pairs(plan["features"], sampled, cfg)
+    return (
+        scored.groupBy("tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("sample_rate", F.lit(0.25))
+    )
+
+
+def _linkage_audit_sampled_sql() -> str:
+    from pipeline.hashing import h60_py
+
+    scored = _twin_results()["docs_nocap"]["scored"]
+    tiers = [
+        t
+        for a, b, t in zip(
+            scored["conv_id_a"], scored["conv_id_b"], scored["tier"]
+        )
+        if (h60_py("audit", a, b) % 1_000_000) / 1_000_000.0 < 0.25
+    ]
+    vals = ",".join(f"({_sql_str(t)})" for t in tiers)
+    return (
+        "select tier, cast(count(*) as bigint) as n_pairs, "
+        "cast(0.25 as double) as sample_rate "
+        f"from (values {vals}) as t(tier) group by tier"
+    )
+
+
 def q_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full linkage pipeline -> entity clusters.
 
@@ -1966,6 +2012,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "ivf_topk": q_ivf_topk,
         "linkage_scored_pairs": q_linkage_scored_pairs,
+        "linkage_audit_sampled": q_linkage_audit_sampled,
         "linkage_scored_pairs_strict": q_linkage_scored_pairs_strict,
         "linkage_match_pairs": q_linkage_match_pairs,
         "incremental_linkage": q_incremental_linkage,
@@ -2019,6 +2066,7 @@ def oracle_sql() -> dict[str, str]:
         # VALUES; clusters re-derived by DuckDB recursive-CTE CC (an
         # independent second implementation of connected components)
         "linkage_scored_pairs": _linkage_scored_sql(),
+        "linkage_audit_sampled": _linkage_audit_sampled_sql(),
         "linkage_scored_pairs_strict": _linkage_scored_sql("strict"),
         # fast path vs FULL twin scoring + filter: equality proves the
         # JVM length-ratio prune is sound (an upper bound, not a guess)
