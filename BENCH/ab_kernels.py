@@ -29,7 +29,15 @@ same-code variance (max-min spread of each side's own repeats).
 Writes BENCH/ab_kernels.json + BENCH/ab_kernels.md; bench.py appends the
 md summary into BENCH/regressions.md on every run.
 
-Usage:  python BENCH/ab_kernels.py [repeats]
+Usage:  python BENCH/ab_kernels.py [repeats] [baseline_commit] [levels]
+
+``baseline_commit`` defaults to the r2 code state; pass another commit
+for a control A/B (e.g. the r3 final commit — the ring path barely
+changed in round 4, so a sound harness must report a delta WITHIN
+same-code variance: a null-result control). ``levels`` is a
+comma-separated cpu list (default "32,4"). Control results are written
+to ab_control.{json,md} instead of ab_kernels.* so the headline A/B is
+never overwritten.
 """
 
 from __future__ import annotations
@@ -45,14 +53,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 R2_COMMIT = "8e5af82"
 R2_TREE = os.path.join(REPO, ".ab_r2")
 RUNNER = os.path.join(REPO, "BENCH", "ab_runner.py")
-LEVELS = {32: ("0-31", 600_000), 4: ("0-3", 75_000)}
+ALL_LEVELS = {32: ("0-31", 600_000), 4: ("0-3", 75_000)}
 
 
-def ensure_worktree() -> None:
+def ensure_worktree(commit: str) -> None:
     if os.path.isdir(os.path.join(R2_TREE, "pipeline")):
-        return
+        remove_worktree()
     subprocess.run(
-        ["git", "worktree", "add", "--detach", R2_TREE, R2_COMMIT],
+        ["git", "worktree", "add", "--detach", R2_TREE, commit],
         cwd=REPO,
         check=True,
         capture_output=True,
@@ -89,8 +97,15 @@ def run_leg(tree: str, cpus: int, cpu_range: str, pairs: int) -> dict:
 
 def main() -> dict:
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    ensure_worktree()
-    sides = {"r2_perpair": R2_TREE, "head_batch": REPO}
+    commit = sys.argv[2] if len(sys.argv) > 2 else R2_COMMIT
+    level_list = (
+        [int(x) for x in sys.argv[3].split(",")] if len(sys.argv) > 3 else [32, 4]
+    )
+    LEVELS = {c: ALL_LEVELS[c] for c in level_list}
+    control = commit != R2_COMMIT
+    base_name = "r2_perpair" if not control else f"baseline_{commit}"
+    ensure_worktree(commit)
+    sides = {base_name: R2_TREE, "head_batch": REPO}
     runs: dict[int, dict[str, list[dict]]] = {
         c: {s: [] for s in sides} for c in LEVELS
     }
@@ -122,33 +137,40 @@ def main() -> dict:
         }
 
     report: dict = {
-        "r2_commit": R2_COMMIT,
+        "baseline_commit": commit,
+        "control": control,
         "methodology": "interleaved ABBA, fresh JVM per leg, identical "
         "mixed-roles ring, steady best-of-2 after warmup pass, CPU-pinned",
         "generated": datetime.now(timezone.utc).isoformat(),
         "levels": {},
     }
     for cpus in LEVELS:
-        a = stats(runs[cpus]["r2_perpair"])
+        a = stats(runs[cpus][base_name])
         b = stats(runs[cpus]["head_batch"])
         delta_pct = round((b["median"] / a["median"] - 1) * 100, 1)
         report["levels"][str(cpus)] = {
             "pairs": LEVELS[cpus][1],
-            "r2_perpair": a,
+            base_name: a,
             "head_batch": b,
             "delta_median_pct": delta_pct,
             "exceeds_same_code_variance": abs(delta_pct)
             > max(a["spread_pct"], b["spread_pct"]),
         }
 
-    with open(os.path.join(REPO, "BENCH", "ab_kernels.json"), "w") as f:
+    out_base = "ab_control" if control else "ab_kernels"
+    with open(os.path.join(REPO, "BENCH", f"{out_base}.json"), "w") as f:
         json.dump(report, f, indent=2)
 
+    title = (
+        "# A/B CONTROL: prior code state vs HEAD (expect delta WITHIN variance)"
+        if control
+        else "# A/B: r2 per-pair kernels vs HEAD numpy batch kernels"
+    )
     lines = [
-        "# A/B: r2 per-pair kernels vs HEAD numpy batch kernels",
+        title,
         "",
-        f"Interleaved same-session A/B (round-3 VERDICT task 1), r2 = "
-        f"`{R2_COMMIT}` via git worktree, {repeats} repeats/side/level, "
+        f"Interleaved same-session A/B, baseline = "
+        f"`{commit}` via git worktree, {repeats} repeats/side/level, "
         "fresh JVM per leg, identical mixed-roles ring, steady "
         "best-of-2 after an untimed warmup pass, taskset-pinned.",
         "",
@@ -157,7 +179,7 @@ def main() -> dict:
     ]
     for cpus in LEVELS:
         lv = report["levels"][str(cpus)]
-        for side in ("r2_perpair", "head_batch"):
+        for side in (base_name, "head_batch"):
             s = lv[side]
             lines.append(
                 f"| local[{cpus}] | {side} | "
@@ -165,13 +187,13 @@ def main() -> dict:
                 f"{s['median']} | {s['best']} | {s['spread_pct']}% |"
             )
         lines.append(
-            f"| local[{cpus}] | **delta (head vs r2, medians)** | | "
+            f"| local[{cpus}] | **delta (head vs baseline, medians)** | | "
             f"**{lv['delta_median_pct']:+.1f}%** | | "
             f"{'exceeds' if lv['exceeds_same_code_variance'] else 'WITHIN'} "
             "same-code variance |"
         )
     md = "\n".join(lines) + "\n"
-    with open(os.path.join(REPO, "BENCH", "ab_kernels.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"{out_base}.md"), "w") as f:
         f.write(md)
     print(json.dumps(report))
     return report
