@@ -442,10 +442,11 @@ def _write_regression_diff(report: dict) -> None:
     # carry the cross-round kernel A/B verdict (BENCH/ab_kernels.py —
     # round-3 VERDICT task 1) so the judge-read regressions table always
     # includes the code-state-vs-code-state evidence, not just run diffs
-    ab_md = os.path.join(repo, "BENCH", "ab_kernels.md")
-    if os.path.exists(ab_md):
-        with open(ab_md) as f:
-            lines += ["", "---", ""] + f.read().splitlines()
+    for ab in ("ab_kernels.md", "ab_control.md"):
+        ab_md = os.path.join(repo, "BENCH", ab)
+        if os.path.exists(ab_md):
+            with open(ab_md) as f:
+                lines += ["", "---", ""] + f.read().splitlines()
     with open(os.path.join(repo, "BENCH", "regressions.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 

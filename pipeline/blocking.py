@@ -84,6 +84,17 @@ def anchor_key_table(
     TF-IDF document-frequency pass; with a snapshot the aggregation is
     skipped entirely.
     """
+    if cfg.anchor_max_df < 2:
+        # the df-range [2, anchor_max_df] is empty — the family is
+        # DISABLED by config (how the population-independent contract
+        # configs turn anchors off). Return a schema-correct empty frame
+        # instead of exploding every token into a join with an empty df
+        # table (Catalyst folds WHERE false to an empty relation).
+        return feats.select(
+            F.lit(ANCHOR_FAMILY).alias("family"),
+            hash_fn(cfg)(F.lit("")).alias("key"),
+            "conv_id",
+        ).where(F.lit(False))
     doc_tokens = feats.select(
         "conv_id", F.explode(F.array_distinct("tokens")).alias("token")
     )
