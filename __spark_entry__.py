@@ -1162,6 +1162,8 @@ def _substring_spans_sql(
     sample_mod: int = 4,
     min_docs: int = 2,
     gap: int | None = None,
+    sampler: str = "mod",
+    winnow_window: int = 8,
 ) -> str:
     from pipeline.hashing import h60_sql
 
@@ -1170,11 +1172,28 @@ def _substring_spans_sql(
     if gap is None:
         gap = 2 * k
     h = h60_sql("'ss'", f"substr(text, pos + 1, {k})")
+    if sampler == "winnow":
+        # winnowing twin: wm = forward sliding min; a position is
+        # selected iff the max of wm over its covering windows equals
+        # its own hash (same two-pass identity as the Spark side)
+        w = winnow_window
+        sel = f"""s as (
+  select doc_id, pos, h from (
+    select doc_id, pos, h,
+           max(wm) over (partition by doc_id order by pos
+                         rows between {w - 1} preceding and current row) as mx
+    from (select doc_id, pos, h,
+                 min(h) over (partition by doc_id order by pos
+                              rows between current row and {w - 1} following) as wm
+          from hsh))
+  where mx = h),"""
+    else:
+        sel = f"s as (select * from hsh where h % {sample_mod} = 0),"
     return f"""
 with d as (select doc_id, text from documents where length(text) >= {k}),
 g as (select doc_id, unnest(range(0, length(text) - {k} + 1)) as pos, text from d),
 hsh as (select doc_id, pos, {h} as h from g),
-s as (select * from hsh where h % {sample_mod} = 0),
+{sel}
 rep as (select h from s group by h having count(distinct doc_id) >= {min_docs}),
 hits as (select s.doc_id, s.pos from s join rep using (h)),
 m as (select doc_id, pos,
@@ -1193,6 +1212,18 @@ select doc_id,
        cast(count(*) as bigint)      as n_fingerprints
 from sp group by doc_id, span
 """
+
+
+def q_substring_spans_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-span detection with the WINNOWING sampler (round 4):
+    guaranteed detection of any shared substring of length
+    >= k + 2*(window-1) — closes the mod sampler's short-repeat blind
+    spot; the selection window runs on doc-partitioned grams (Exchange
+    on narrow doc rows only)."""
+    from pipeline.extras.dedup import repeated_substring_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return repeated_substring_spans(docs, k=40, sampler="winnow", winnow_window=8)
 
 
 def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2005,6 +2036,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "top_event_users": q_top_event_users,
         "substring_spans": q_substring_spans,
+        "substring_spans_winnow": q_substring_spans_winnow,
         "substring_dedup_clean": q_substring_dedup_clean,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -2056,6 +2088,7 @@ def oracle_sql() -> dict[str, str]:
         # LSH/ANN operators: engine-neutral md5 keys make the full
         # bucketing + verify pipelines DuckDB-expressible (round-2)
         "substring_spans": _substring_spans_sql(),
+        "substring_spans_winnow": _substring_spans_sql(sampler="winnow"),
         "substring_dedup_clean": _substring_clean_sql(),
         "minhash_dedup": _minhash_sql(),
         "simhash_dedup": _simhash_sql(),

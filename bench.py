@@ -233,6 +233,14 @@ def main() -> dict:
         lambda: noop_write(em.q_substring_spans(spark, sf_dir)),
     )
     release_caches()
+    # winnowing sampler (round 4): guaranteed short-repeat detection for
+    # one extra per-doc sliding-window pass — q12 vs q12b measures that
+    # tax at comparable selection density (mod=4 ~25% vs w=8 ~22%)
+    timed(
+        "q12b_substring_spans_winnow",
+        lambda: noop_write(em.q_substring_spans_winnow(spark, sf_dir)),
+    )
+    release_caches()
     timed("q7_doc_stats", lambda: noop_write(em.q_doc_stats(spark, sf_dir)))
     timed("q8_knn_cosine", lambda: noop_write(em.q_knn_cosine(spark, sf_dir)))
     timed("q9_anchor_keys", lambda: noop_write(em.q_anchor_keys(spark, sf_dir)))

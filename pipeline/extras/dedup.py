@@ -49,6 +49,8 @@ def repeated_substring_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_impl: str = "md5",
+    sampler: str = "mod",
+    winnow_window: int = 8,
 ) -> DataFrame:
     """Substring-LEVEL duplicated-span detection — the exact-substring
     dedup of training-data curation (Lee et al. 2022 do it with suffix
@@ -58,10 +60,17 @@ def repeated_substring_spans(
       1. every k-char gram of every doc is hashed (posexplode of a
          sequence + substring — whole-stage codegen; the unsampled grams
          die in the same stage, nothing shuffles at stride 1);
-      2. a gram is a FINGERPRINT iff ``hash % sample_mod == 0`` —
-         selection depends only on content, so two docs sharing a
-         substring select the same fingerprints inside it regardless of
-         alignment (the content-defined-chunking trick);
+      2. a gram is a FINGERPRINT iff ``hash % sample_mod == 0``
+         (``sampler="mod"``, default — map-side filter, zero shuffle) or
+         iff it wins a ``winnow_window`` sliding-minimum
+         (``sampler="winnow"`` — winnowing, GUARANTEED detection of any
+         shared substring of length >= k + 2*(winnow_window-1); one
+         doc-partitioned window pass, Exchange on narrow doc rows only).
+         Either way selection depends only on content (the mod coin on
+         the gram alone; the winnow choice on the gram and its w-1
+         neighbors each side), so two docs sharing a substring select
+         the same interior fingerprints regardless of alignment (the
+         content-defined-chunking trick);
       3. fingerprints repeated across >= ``min_docs`` distinct docs are
          hits; per doc, hits within ``merge_gap`` (default 2k) chars of
          each other merge into one span.
@@ -71,11 +80,18 @@ def repeated_substring_spans(
     elsewhere in the corpus — the actionable artifact (cut the spans, or
     drop docs whose spans cover most of their length).
 
-    Detection is probabilistic with a quantifiable miss rate: a shared
-    substring of length L >= k contains L - k + 1 fingerprint candidates,
-    each sampled with prob 1/sample_mod, so P(miss) = (1 - 1/sample_mod)
-    ** (L - k + 1) — for L = 200, k = 40, mod = 4 that is ~9e-21; short
-    repeats near k chars are the blind spot (document, don't hide).
+    Detection under ``sampler="mod"`` is probabilistic with a
+    quantifiable miss rate: a shared substring of length L >= k contains
+    L - k + 1 fingerprint candidates, each sampled with prob
+    1/sample_mod, so P(miss) = (1 - 1/sample_mod) ** (L - k + 1) — for
+    L = 200, k = 40, mod = 4 that is ~9e-21; short repeats near k chars
+    are the blind spot. ``sampler="winnow"`` CLOSES that blind spot:
+    every window of ``winnow_window`` consecutive positions contains a
+    selected one and interior selections are alignment-invariant, so any
+    shared substring of length L >= k + 2*(winnow_window - 1) is
+    detected with certainty (k=40, w=8: guaranteed at L >= 54), at the
+    cost of one per-doc sliding-window pass instead of a stateless
+    filter.
     Span bounds are approximate in BOTH directions: boundaries are
     fingerprint positions, so a span understates the true repeat by
     < k + sample_mod chars per side in expectation, AND two distinct
@@ -99,13 +115,18 @@ def repeated_substring_spans(
     # legitimate semantics, the spans always extend k past the last hit.
     merge_gap = max(merge_gap, k)
     H = _H(hash_impl)
+    doc_rows = docs.where(F.length(text_col) >= k).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+    )
+    if sampler == "winnow":
+        # pre-partition the NARROW doc rows by doc_id so the per-doc
+        # sliding-window selection below finds its required clustering
+        # already satisfied — the Exchange moves documents, never the
+        # stride-1 gram table (len(text) rows/doc)
+        doc_rows = doc_rows.repartition("doc_id")
     grams = (
-        docs.where(F.length(text_col) >= k)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.col(text_col).alias("_t"),
-        )
-        .select(
+        doc_rows.select(
             "doc_id",
             F.explode(
                 F.sequence(F.lit(0), F.length("_t") - F.lit(k))
@@ -120,12 +141,42 @@ def repeated_substring_spans(
             ).alias("h"),
         )
     )
+    if sampler == "mod":
+        selected = grams.where(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
+    elif sampler == "winnow":
+        # WINNOWING (Schleimer/Wilkerson/Aiken, SIGMOD'03): a position is
+        # selected iff its hash is the minimum of at least one window of
+        # ``winnow_window`` consecutive gram hashes. Computed in two
+        # sliding passes — wm(p) = min over [p, p+w-1]; p selected iff
+        # max of wm over the windows COVERING p equals h(p) (wm(q) <=
+        # h(p) for every covering q, so equality can only hold at the
+        # max). Selection depends only on the w-1 neighbors each side,
+        # so two docs sharing a substring select IDENTICAL interior
+        # positions, and every w consecutive positions contain >= 1
+        # selected one — a shared substring of length
+        # L >= k + 2*(winnow_window - 1) is detected with certainty
+        # (the mod sampler's short-repeat blind spot, where P(miss) =
+        # (1-1/mod)^(L-k+1), closes to ZERO above that length).
+        # Expected density ~ 2/(w+1) — comparable volume to mod=4.
+        wspec = Window.partitionBy("doc_id").orderBy("pos")
+        wm = F.min("h").over(
+            wspec.rowsBetween(Window.currentRow, winnow_window - 1)
+        )
+        mx = F.max("_wm").over(
+            wspec.rowsBetween(-(winnow_window - 1), Window.currentRow)
+        )
+        selected = (
+            grams.withColumn("_wm", wm)
+            .withColumn("_mx", mx)
+            .where(F.col("_mx") == F.col("h"))
+            .select("doc_id", "pos", "h")
+        )
+    else:
+        raise ValueError(f"unknown sampler {sampler!r} (mod | winnow)")
     # the fingerprint table feeds BOTH the repeat-count agg and the hits
     # join — cache it or the full stride-1 gram hashing pass runs twice
     # (released via session.release_caches, same pattern as blocking)
-    sampled = track_cache(
-        grams.where(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
-    )
+    sampled = track_cache(selected)
     rep = (
         sampled.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("n_docs"))

@@ -416,6 +416,114 @@ def test_repeated_substring_spans_planted_boilerplate(spark):
         assert r["n_fingerprints"] >= 2
 
 
+def test_winnow_detects_short_repeats_at_every_alignment(spark):
+    """Winnowing guarantee: a shared substring of length EXACTLY
+    k + 2*(w-1) must be detected at EVERY alignment (the mod sampler is
+    probabilistic here — P(miss) ~ (3/4)^15 ~ 1.3% per alignment). One
+    57-char boilerplate planted at 8 different offsets in doc pairs,
+    k=40, w=8 -> guaranteed floor 54."""
+    import random
+
+    from pipeline.extras.dedup import repeated_substring_spans
+
+    rng = random.Random(29)
+    k, w = 40, 8
+    boiler = "".join(rng.choice("ABCDEFGH") for _ in range(k + 2 * (w - 1)))
+
+    def noise(n):
+        return "".join(rng.choice("abcdefgh ij") for _ in range(n))
+
+    rows = []
+    for i in range(8):
+        off_a, off_b = 5 + 7 * i, 60 + 3 * i
+        rows.append((2 * i, noise(off_a) + boiler + noise(90 - off_a)))
+        rows.append((2 * i + 1, noise(off_b) + boiler + noise(140 - off_b)))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    spans = repeated_substring_spans(
+        docs, k=k, sampler="winnow", winnow_window=w, min_docs=2
+    ).toPandas()
+    # every doc must carry a detected span (guarantee, not probability)
+    assert set(spans["doc_id"]) == set(range(16)), spans
+
+
+def test_winnow_selection_matches_python_reference(spark):
+    """The Spark two-pass winnow selection (forward sliding min + the
+    max-of-covering-mins identity) must select EXACTLY the classic
+    winnowing fingerprint set: every position whose hash is a minimum of
+    at least one w-window. Checked against a brute-force pure-Python
+    reference on random strings."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pipeline.extras import dedup as dd
+    from pipeline.hashing import h60_py
+
+    rng = random.Random(31)
+    k, w = 5, 4
+    texts = {
+        i: "".join(rng.choice("abc d") for _ in range(rng.randint(5, 60)))
+        for i in range(20)
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": [texts[i] for i in texts]}
+        )
+    )
+    # reach into the operator's selection by running it with min_docs=1
+    # and merge_gap=0 -> every selected fingerprint becomes its own span
+    # start when isolated; easier: recompute selection directly
+    H = dd._H("md5")
+    grams = (
+        docs.where(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.length("text") - F.lit(k))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id", "pos",
+            H(F.lit("ss"), F.expr(f"substring(text, pos + 1, {k})")).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    sel = (
+        grams.withColumn(
+            "_wm", F.min("h").over(wspec.rowsBetween(Window.currentRow, w - 1))
+        )
+        .withColumn(
+            "_mx",
+            F.max("_wm").over(wspec.rowsBetween(-(w - 1), Window.currentRow)),
+        )
+        .where("_mx = h")
+        .select("doc_id", "pos")
+        .toPandas()
+    )
+    got = {(r["doc_id"], r["pos"]) for _, r in sel.iterrows()}
+
+    want = set()
+    for i, t in texts.items():
+        if len(t) < k:
+            continue
+        hs = [
+            h60_py("ss", t[p : p + k]) for p in range(len(t) - k + 1)
+        ]
+        n = len(hs)
+        for start in range(n):
+            window = hs[start : start + w]
+            m = min(window)
+            for j, hv in enumerate(window):
+                if hv == m:
+                    want.add((i, start + j))
+    assert got == want
+
+
 def test_spans_never_overlap_even_with_tiny_merge_gap(spark):
     """merge_gap < k would let two nearby hits emit OVERLAPPING spans
     (breaking cut_spans' non-overlap precondition and double-counting

@@ -151,3 +151,60 @@ def test_knn_broadcasts_queries(spark):
 
     plan = _formatted_plan(em.q_knn_cosine(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_winnow_selection_never_shuffles_grams(spark):
+    """The winnowing sampler's sliding-window selection must find its
+    per-doc clustering already satisfied: in the selection stage the
+    ONLY Exchange is the REPARTITION_BY_COL of the narrow doc rows,
+    placed UNDER the gram explode — the stride-1 gram table (len(text)
+    rows per doc) is generated in place and sorted within partitions,
+    never shuffled."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pipeline.extras.dedup import _H
+
+    k, w = 40, 8
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(8), "text": ["some longer text for spans " * 4] * 8}
+        )
+    )
+    H = _H("md5")
+    doc_rows = (
+        docs.where(F.length("text") >= k)
+        .select("doc_id", F.col("text").alias("_t"))
+        .repartition("doc_id")
+    )
+    grams = doc_rows.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.length("_t") - F.lit(k))).alias("pos"),
+        "_t",
+    ).select(
+        "doc_id", "pos",
+        H(F.lit("ss"), F.expr(f"substring(_t, pos + 1, {k})")).alias("h"),
+    )
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    sel = (
+        grams.withColumn(
+            "_wm", F.min("h").over(ws.rowsBetween(Window.currentRow, w - 1))
+        )
+        .withColumn(
+            "_mx", F.max("_wm").over(ws.rowsBetween(-(w - 1), Window.currentRow))
+        )
+        .where("_mx = h")
+    )
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    exchanges = [l for l in lines if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1, exchanges
+    assert "REPARTITION_BY_COL" in exchanges[0], exchanges[0]
+    gen_idx = next(i for i, l in enumerate(lines) if "Generate explode" in l)
+    ex_idx = next(
+        i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l
+    )
+    assert ex_idx > gen_idx, "doc-row exchange must sit under the explode"
+    # exactly one Sort serves BOTH windows (same spec)
+    assert sum("Sort [doc_id" in l for l in lines) == 1
