@@ -1942,6 +1942,14 @@ def _linkage_audit_sampled_sql() -> str:
         )
         if (h60_py("audit", a, b) % 1_000_000) / 1_000_000.0 < 0.25
     ]
+    if not tiers:
+        # schema-only result: no scored pair passed the coin at this SF
+        # (round-4 ADVICE: 'from (values )' is malformed SQL)
+        return (
+            "select cast(null as varchar) as tier, "
+            "cast(0 as bigint) as n_pairs, "
+            "cast(0.25 as double) as sample_rate where false"
+        )
     vals = ",".join(f"({_sql_str(t)})" for t in tiers)
     return (
         "select tier, cast(count(*) as bigint) as n_pairs, "

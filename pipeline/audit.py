@@ -16,14 +16,23 @@ from pyspark.sql import functions as F
 
 
 def tier_histogram(scored: DataFrame) -> DataFrame:
-    """Per-tier pair counts + share — reference level_stats (A2)."""
-    total = scored.count()
+    """Per-tier pair counts + share — reference level_stats (A2).
+
+    ONE job: the pct denominator is the sum of the grouped counts via an
+    unpartitioned window over the (≤ n_tiers-row) histogram — not a
+    separate ``scored.count()`` pass, which scans the pairs table twice
+    (round-4 VERDICT nit #1; at 10^9 pairs that second scan is real)."""
+    from pyspark.sql import Window
+
+    total = F.sum("n_pairs").over(Window.partitionBy())
     return (
         scored.groupBy("tier")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn(
             "pct",
-            F.round(F.col("n_pairs") * 100.0 / F.lit(max(total, 1)), 2),
+            F.round(
+                F.col("n_pairs") * 100.0 / F.greatest(total, F.lit(1)), 2
+            ),
         )
         .orderBy(F.desc("n_pairs"))
     )

@@ -269,6 +269,19 @@ def ivf_topk(
         if corpus_version is None and verify_corpus:
             corpus_version = _corpus_fingerprint(vectors, id_col, vec_col)
         if corpus_version is None:
+            # round-4 ADVICE: surface silent staleness — before round 3
+            # the fingerprint scan invalidated stale cells automatically;
+            # without a version the committed index answers from stale
+            # cells if the corpus changed.
+            import warnings
+
+            warnings.warn(
+                "ivf_topk(index_dir=...) without corpus_version or "
+                "verify_corpus=True: the committed index is reused even "
+                "if the corpus changed. Pass a corpus_version (snapshot "
+                "id / ingest watermark) or verify_corpus=True.",
+                stacklevel=2,
+            )
             corpus_version = "unversioned"
         runner = StageRunner(
             vectors.sparkSession,

@@ -177,6 +177,145 @@ def streaming_canonicalize(
     )
 
 
+def _pointer_fs(spark: SparkSession, path_str: str):
+    """(jvm, conf, fs, qualified Path) for the Hadoop FS owning ``path_str``.
+
+    The state pointer must live on the SAME filesystem as the parquet
+    state it references — driver-local ``open()`` silently diverges from
+    the data on HDFS/S3 deployments (round-4 ADVICE)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(conf)
+    return jvm, conf, fs, fs.makeQualified(hpath)
+
+
+def _pointer_read(spark: SparkSession, path_str: str):
+    import json
+
+    jvm, conf, fs, hpath = _pointer_fs(spark, path_str)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _pointer_commit(spark: SparkSession, path_str: str, payload: dict) -> None:
+    """Write-then-atomic-rename through Hadoop ``FileContext`` (the
+    ``Options.Rename.OVERWRITE`` API — atomic on HDFS and local FS;
+    on S3A rename is copy+delete, so production object-store deployments
+    should keep state in a table format with atomic commits, e.g. the
+    Iceberg seam in ``pipeline.io``)."""
+    import json
+
+    jvm, conf, fs, hpath = _pointer_fs(spark, path_str)
+    parent = hpath.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    tmp = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(path_str + ".tmp"))
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps(payload).encode("utf-8"))
+    finally:
+        out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        hpath.toUri(), conf
+    )
+    opts = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, hpath, opts)
+
+
+def _link_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int,
+    state_dir: str, cfg,
+) -> None:
+    """One ``foreachBatch`` step of ``streaming_incremental_link``.
+
+    Crash-safety contract (each window has a test in
+    ``tests/test_streaming.py``):
+
+    - crash BEFORE the pointer commit: the ``*_b{n}`` dirs written so far
+      are unreferenced garbage; the replayed batch recomputes against the
+      OLD pointer and overwrites them wholesale (every dir it writes
+      carries this batch's id, so no committed dir is ever a write
+      target);
+    - crash AFTER the pointer commit but before the streaming checkpoint
+      commit: the replayed batch sees ``state['batch_id'] >= batch_id``
+      and returns immediately — committed state is never rewritten (a
+      replay that re-ran would anti-join away its own convs and clobber
+      its committed features/keys with empty tables).
+    """
+    import os
+
+    from pipeline.incremental import incremental_link
+    from pipeline.linkage import build_plan, cluster_edges
+    from pipeline.session import release_caches
+
+    if batch_df.isEmpty():
+        return
+    latest_path = os.path.join(state_dir, "_LATEST.json")
+    state = _pointer_read(spark, latest_path)
+    if state is not None and int(state["batch_id"]) >= batch_id:
+        # replay of an already-committed batch (crash landed between the
+        # pointer rename and the checkpoint commit): nothing to do
+        return
+    fdir = os.path.join(state_dir, f"features_b{batch_id}")
+    kdir = os.path.join(state_dir, f"keys_b{batch_id}")
+    cdir = os.path.join(state_dir, f"counts_b{batch_id}")
+    ldir = os.path.join(state_dir, f"clusters_b{batch_id}")
+    if state is None:
+        plan = build_plan(batch_df, cfg)
+        clusters, _ = cluster_edges(plan["edges"], plan["features"])
+        from pipeline.blocking import key_table_with_counts
+
+        keys, counts = key_table_with_counts(plan["features"], cfg)
+        plan["features"].write.mode("overwrite").parquet(fdir)
+        keys.write.mode("overwrite").parquet(kdir)
+        counts.write.mode("overwrite").parquet(cdir)
+        clusters.write.mode("overwrite").parquet(ldir)
+        feature_dirs, key_dirs = [fdir], [kdir]
+    else:
+        feats = spark.read.parquet(*state["feature_dirs"])
+        keys = spark.read.parquet(*state["key_dirs"])
+        counts = spark.read.parquet(state["counts"])
+        clusters0 = spark.read.parquet(state["clusters"])
+        out = incremental_link(
+            feats, clusters0, batch_df, cfg,
+            existing_keys=keys, existing_key_counts=counts,
+        )
+        # append-only commits for the corpus-sized state; full
+        # rewrites only for the two narrow tables
+        out["new_features"].write.mode("overwrite").parquet(fdir)
+        new_keys_only = out["keys"].join(
+            out["new_features"].select("conv_id"), "conv_id", "semi"
+        )
+        new_keys_only.write.mode("overwrite").parquet(kdir)
+        out["key_counts"].write.mode("overwrite").parquet(cdir)
+        out["clusters"].write.mode("overwrite").parquet(ldir)
+        feature_dirs = state["feature_dirs"] + [fdir]
+        key_dirs = state["key_dirs"] + [kdir]
+    release_caches()
+    _pointer_commit(
+        spark,
+        latest_path,
+        {
+            "batch_id": batch_id,
+            "feature_dirs": feature_dirs,
+            "key_dirs": key_dirs,
+            "counts": cdir,
+            "clusters": ldir,
+        },
+    )
+
+
 def streaming_incremental_link(
     spark: SparkSession,
     input_dir: str,
@@ -200,15 +339,26 @@ def streaming_incremental_link(
       counts_b{n}/     FULL merged member counts as of batch n (narrow)
       clusters_b{n}/   FULL labeling as of batch n (narrow)
       _LATEST.json     atomic pointer {batch_id, feature_dirs, key_dirs,
-                       counts, clusters} — rename-committed
+                       counts, clusters} — rename-committed through the
+                       Hadoop FS API, so it lives on the SAME filesystem
+                       as the parquet state (atomic on HDFS/local; on
+                       S3A use an atomic table format instead)
 
     Exactly-once: the streaming checkpoint prevents re-processing on
-    restart; a REPLAYED batch (crash between state write and checkpoint
-    commit) overwrites its own ``*_b{n}`` dirs and re-points — and the
-    step's re-delivery anti-join makes a duplicated conv a no-op, so
-    recovery is idempotent. The corpus-sized tables are only ever
-    APPENDED (features/keys); the per-batch rewrites are the two narrow
-    tables (counts, labels).
+    restart, and a REPLAYED batch (crash after the pointer rename but
+    before the checkpoint commit) is detected by ``batch_id <=
+    committed batch_id`` and skipped — committed state is never
+    overwritten. A crash BEFORE the pointer rename leaves only
+    unreferenced ``*_b{n}`` dirs, which the replay overwrites wholesale.
+    See ``_link_batch`` for the per-window argument; both windows are
+    crash-injected in ``tests/test_streaming.py``. The corpus-sized
+    tables are only ever APPENDED (features/keys); the per-batch
+    rewrites are the two narrow tables (counts, labels).
+
+    Caveat: ``state_dir`` is bound to the streaming checkpoint's batch
+    numbering — reusing a populated ``state_dir`` with a FRESH
+    checkpoint restarts batch ids at 0 and the replay guard would skip
+    them; always wipe or version the two together.
 
     Precondition: each micro-batch must carry WHOLE conversations (turns
     of one conv_id must not straddle batches — a later fragment would be
@@ -218,79 +368,12 @@ def streaming_incremental_link(
 
     Returns the StreamingQuery.
     """
-    import json
-    import os
-
     from pipeline.config import DEFAULT_CONFIG
-    from pipeline.incremental import incremental_link
-    from pipeline.linkage import build_plan, cluster_edges
-    from pipeline.session import release_caches
 
     cfg = cfg or DEFAULT_CONFIG
-    latest_path = os.path.join(state_dir, "_LATEST.json")
-
-    def _read_latest():
-        if not os.path.exists(latest_path):
-            return None
-        with open(latest_path) as f:
-            return json.load(f)
-
-    def _commit_latest(payload: dict) -> None:
-        os.makedirs(state_dir, exist_ok=True)
-        tmp = latest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, latest_path)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        state = _read_latest()
-        fdir = os.path.join(state_dir, f"features_b{batch_id}")
-        kdir = os.path.join(state_dir, f"keys_b{batch_id}")
-        cdir = os.path.join(state_dir, f"counts_b{batch_id}")
-        ldir = os.path.join(state_dir, f"clusters_b{batch_id}")
-        if state is None:
-            plan = build_plan(batch_df, cfg)
-            clusters, _ = cluster_edges(plan["edges"], plan["features"])
-            from pipeline.blocking import key_table_with_counts
-
-            keys, counts = key_table_with_counts(plan["features"], cfg)
-            plan["features"].write.mode("overwrite").parquet(fdir)
-            keys.write.mode("overwrite").parquet(kdir)
-            counts.write.mode("overwrite").parquet(cdir)
-            clusters.write.mode("overwrite").parquet(ldir)
-            feature_dirs, key_dirs = [fdir], [kdir]
-        else:
-            feats = spark.read.parquet(*state["feature_dirs"])
-            keys = spark.read.parquet(*state["key_dirs"])
-            counts = spark.read.parquet(state["counts"])
-            clusters0 = spark.read.parquet(state["clusters"])
-            out = incremental_link(
-                feats, clusters0, batch_df, cfg,
-                existing_keys=keys, existing_key_counts=counts,
-            )
-            # append-only commits for the corpus-sized state; full
-            # rewrites only for the two narrow tables
-            out["new_features"].write.mode("overwrite").parquet(fdir)
-            new_keys_only = out["keys"].join(
-                out["new_features"].select("conv_id"), "conv_id", "semi"
-            )
-            new_keys_only.write.mode("overwrite").parquet(kdir)
-            out["key_counts"].write.mode("overwrite").parquet(cdir)
-            out["clusters"].write.mode("overwrite").parquet(ldir)
-            feature_dirs = state["feature_dirs"] + [fdir]
-            key_dirs = state["key_dirs"] + [kdir]
-        release_caches()
-        _commit_latest(
-            {
-                "batch_id": batch_id,
-                "feature_dirs": feature_dirs,
-                "key_dirs": key_dirs,
-                "counts": cdir,
-                "clusters": ldir,
-            }
-        )
+        _link_batch(spark, batch_df, batch_id, state_dir, cfg)
 
     stream = (
         spark.readStream.schema(TURNS_SCHEMA)

@@ -218,3 +218,172 @@ def test_streaming_incremental_link_matches_batch(spark, tmp_path):
     q2.awaitTermination(300)
     with open(os.path.join(state, "_LATEST.json")) as f:
         assert json.load(f) == latest
+
+
+def _conv_complete_drops(corpus, src, n_drops=3):
+    """Write n_drops parquet files split by conv (no conv straddles)."""
+    import zlib
+
+    t = corpus.turns.assign(ts=corpus.turns["ts"].astype("datetime64[us]"))
+    os.makedirs(src, exist_ok=True)
+    slot = t["conv_id"].map(lambda c: zlib.crc32(c.encode()) % n_drops)
+    for i in range(n_drops):
+        t[slot == i].to_parquet(
+            os.path.join(src, f"drop{i}.parquet"), index=False
+        )
+    return t
+
+
+def _nocap_cfg():
+    from dataclasses import replace
+
+    from pipeline.config import DEFAULT_CONFIG
+
+    return replace(
+        DEFAULT_CONFIG,
+        pairs_per_key_cap=1_000_000,
+        block_key_cap=1_000_000,
+        anchor_max_df=1,
+    )
+
+
+def _batch_reference(spark, t, cfg):
+    from pipeline.linkage import build_plan, cluster_edges
+
+    plan = build_plan(spark.createDataFrame(t), cfg)
+    full, _ = cluster_edges(plan["edges"], plan["features"])
+    return (
+        full.select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_pointer_io_roundtrip_hadoop_fs(spark, tmp_path):
+    """The _LATEST.json pointer goes through the Hadoop FS API (same
+    filesystem as the parquet state — round-4 ADVICE low) and the
+    OVERWRITE rename replaces an existing pointer atomically."""
+    from pipeline.streaming import _pointer_commit, _pointer_read
+
+    p = str(tmp_path / "state" / "_LATEST.json")
+    assert _pointer_read(spark, p) is None
+    _pointer_commit(spark, p, {"batch_id": 0, "x": ["a"]})
+    assert _pointer_read(spark, p) == {"batch_id": 0, "x": ["a"]}
+    _pointer_commit(spark, p, {"batch_id": 1, "x": ["a", "b"]})
+    assert _pointer_read(spark, p) == {"batch_id": 1, "x": ["a", "b"]}
+    # no stray tmp file left behind
+    assert not os.path.exists(p + ".tmp")
+
+
+def test_crash_replay_after_pointer_commit_is_noop(spark, tmp_path):
+    """Crash window 2 (round-4 ADVICE high): the batch's state was
+    committed (_LATEST renamed) but the crash hit before the streaming
+    checkpoint commit. Inject it for real: delete the checkpoint's
+    commits/<last> marker and restart — Spark replays the batch with the
+    same batch_id. The replay must short-circuit: without the guard, the
+    re-delivery anti-join empties new_features and the replay overwrites
+    its own committed features_b{n}/keys_b{n} with EMPTY parquet."""
+    import json
+
+    from pipeline.streaming import streaming_incremental_link
+
+    cfg = _nocap_cfg()
+    corpus = synth.generate(n_base=50, seed=41)
+    src = str(tmp_path / "src")
+    t = _conv_complete_drops(corpus, src, n_drops=3)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
+    q.awaitTermination(300)
+    with open(os.path.join(state, "_LATEST.json")) as f:
+        latest = json.load(f)
+    assert latest["batch_id"] == 2, latest
+    n_feat_b2 = spark.read.parquet(latest["feature_dirs"][-1]).count()
+    assert n_feat_b2 > 0
+
+    # CRASH INJECTION: checkpoint never committed batch 2 (drop the
+    # Hadoop checksum sidecar too, or the re-commit rename fails)
+    os.remove(os.path.join(ckpt, "commits", "2"))
+    crc = os.path.join(ckpt, "commits", ".2.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
+    q2.awaitTermination(300)
+
+    with open(os.path.join(state, "_LATEST.json")) as f:
+        latest2 = json.load(f)
+    # pointer unchanged: batch 2 was already committed; replay skipped
+    assert latest2 == latest
+    # the committed per-batch state survived (the bug overwrote it empty)
+    assert (
+        spark.read.parquet(latest["feature_dirs"][-1]).count() == n_feat_b2
+    )
+    feats = spark.read.parquet(*latest["feature_dirs"])
+    assert feats.count() == t["conv_id"].nunique()
+    assert feats.groupBy("conv_id").count().where("count > 1").count() == 0
+    # labels still equal the batch reference
+    got = (
+        spark.read.parquet(latest["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _batch_reference(spark, t, cfg))
+
+
+def test_crash_replay_before_pointer_commit_recomputes(spark, tmp_path):
+    """Crash window 1: state dirs (features_b1, keys_b1) were written but
+    the pointer rename never happened. The replayed batch must recompute
+    against the OLD pointer and overwrite the unreferenced partial dirs —
+    no loss, no double-link."""
+    import json
+    import zlib
+
+    from pipeline.streaming import _link_batch
+
+    cfg = _nocap_cfg()
+    corpus = synth.generate(n_base=50, seed=47)
+    t = corpus.turns.assign(ts=corpus.turns["ts"].astype("datetime64[us]"))
+    slot = t["conv_id"].map(lambda c: zlib.crc32(c.encode()) % 2)
+    t0, t1 = t[slot == 0], t[slot == 1]
+    state = str(tmp_path / "state")
+
+    _link_batch(spark, spark.createDataFrame(t0), 0, state, cfg)
+    with open(os.path.join(state, "_LATEST.json")) as f:
+        latest0 = json.load(f)
+    assert latest0["batch_id"] == 0
+
+    # CRASH INJECTION: batch 1's attempt died mid-write — partial
+    # features_b1 (wrong content: only 3 of the increment's convs made
+    # it) and an empty keys_b1 exist; pointer still at batch 0
+    df1 = spark.createDataFrame(t1)
+    some = df1.select("conv_id").distinct().limit(3)
+    df1.join(some, "conv_id", "semi").write.mode("overwrite").parquet(
+        os.path.join(state, "features_b1")
+    )
+    df1.limit(0).write.mode("overwrite").parquet(
+        os.path.join(state, "keys_b1")
+    )
+    with open(os.path.join(state, "_LATEST.json")) as f:
+        assert json.load(f) == latest0  # pointer untouched by the crash
+
+    # restart: the replayed batch recomputes and overwrites the garbage
+    _link_batch(spark, df1, 1, state, cfg)
+    with open(os.path.join(state, "_LATEST.json")) as f:
+        latest1 = json.load(f)
+    assert latest1["batch_id"] == 1
+    feats = spark.read.parquet(*latest1["feature_dirs"])
+    assert feats.count() == t["conv_id"].nunique()
+    assert feats.groupBy("conv_id").count().where("count > 1").count() == 0
+    got = (
+        spark.read.parquet(latest1["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _batch_reference(spark, t, cfg))
