@@ -373,12 +373,19 @@ def test_synth_media_images_decode_for_real(spark):
         .set_index("doc_id")
     )
     assert len(imgs) > 0
+    seen_fmts = set()
     for _, r in imgs.iterrows():
         payload = bytes(r["payload"])
-        want = mm._luma_thumb(mm._decode_ppm(payload))
+        if payload[:8] == mm._PNG_SIG:
+            want = mm._luma_thumb(mm._decode_png(payload))
+            seen_fmts.add("png")
+        else:
+            want = mm._luma_thumb(mm._decode_ppm(payload))
+            seen_fmts.add("ppm")
         got = np.array(feats.loc[r["doc_id"], "features"], dtype=np.float32)
         assert np.allclose(got, want, atol=1e-6)
         assert not np.array_equal(got, mm._fake_features(payload))
+    assert seen_fmts == {"png", "ppm"}  # both real decoders exercised
 
 
 def test_repeated_substring_spans_planted_boilerplate(spark):
@@ -880,3 +887,164 @@ def test_minhash_dedup_xxhash64_fast_path(spark):
     for i in range(len(base)):
         assert (i * 10, i * 10 + 1) in found
     assert all(a // 10 == b // 10 for a, b in found)
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    """encode_png -> _decode_png is pixel-exact for every scanline filter
+    (0..4) on gray, RGB and RGBA (alpha dropped on decode)."""
+    import numpy as np
+
+    from pipeline.extras import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (11, 13), dtype=np.uint8)
+    rgb = rng.randint(0, 256, (9, 8, 3), dtype=np.uint8)
+    rgba = rng.randint(0, 256, (6, 10, 4), dtype=np.uint8)
+    for ft in range(5):
+        assert np.array_equal(
+            mm._decode_png(mm.encode_png(gray, filter_type=ft)), gray
+        ), f"gray filter {ft}"
+        assert np.array_equal(
+            mm._decode_png(mm.encode_png(rgb, filter_type=ft)), rgb
+        ), f"rgb filter {ft}"
+        assert np.array_equal(
+            mm._decode_png(mm.encode_png(rgba, filter_type=ft)),
+            rgba[..., :3],
+        ), f"rgba filter {ft}"
+
+
+def test_png_decoder_against_independent_forward_filters():
+    """Spec-conformance check INDEPENDENT of encode_png: build the
+    filtered scanlines with a from-the-spec pure-Python forward filter
+    (PNG spec §9 formulas, no numpy, no shared code) and hand-assembled
+    chunks; _decode_png must recover the exact pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pipeline.extras import multimodal as mm
+
+    px = [  # 3 rows x 4 cols RGB, hand-picked values
+        [(10, 200, 30), (11, 199, 33), (250, 2, 128), (0, 0, 255)],
+        [(9, 201, 29), (100, 100, 100), (251, 3, 127), (255, 255, 0)],
+        [(10, 10, 10), (20, 20, 20), (30, 30, 30), (40, 40, 40)],
+    ]
+    h, w, bpp = 3, 4, 3
+
+    def flat(r):
+        return [v for pxl in px[r] for v in pxl]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = b""
+    for r, ft in zip(range(h), (1, 4, 3)):  # Sub, Paeth, Average rows
+        cur = flat(r)
+        prev = flat(r - 1) if r else [0] * (w * bpp)
+        line = []
+        for x in range(w * bpp):
+            a = cur[x - bpp] if x >= bpp else 0
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 1:
+                pred = a
+            elif ft == 3:
+                pred = (a + prev[x]) // 2
+            else:
+                pred = paeth(a, prev[x], c)
+            line.append((cur[x] - pred) % 256)
+        raw += bytes([ft]) + bytes(line)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    png = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    want = np.array(px, dtype=np.uint8)
+    assert np.array_equal(mm._decode_png(png), want)
+
+
+def test_png_twin_of_ppm_pins_same_features():
+    """Round-4 VERDICT task 3 'done' criterion: a planted PNG fixture
+    decodes to the SAME pinned features as its PPM twin."""
+    import numpy as np
+
+    from pipeline.extras import multimodal as mm
+
+    rng = np.random.RandomState(21)
+    px = rng.randint(0, 256, (24, 17, 3), dtype=np.uint8)
+    f_ppm = mm._decode_image(mm.encode_ppm(px), strict=True)
+    f_png = mm._decode_image(mm.encode_png(px, filter_type=4), strict=True)
+    assert np.array_equal(f_ppm, f_png)
+    g = rng.randint(0, 256, (10, 10), dtype=np.uint8)
+    assert np.array_equal(
+        mm._decode_image(mm.encode_ppm(g), strict=True),
+        mm._decode_image(mm.encode_png(g, filter_type=2), strict=True),
+    )
+
+
+def test_png_palette_and_corrupt_payloads():
+    """Palette PNGs decode through PLTE; corrupt bytes (bad CRC,
+    truncated IDAT) take the deterministic fake path non-strict and
+    raise in strict mode — a mapInPandas batch never dies on one row."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from pipeline.extras import multimodal as mm
+
+    # 2x2 palette image: indices into a 3-color palette
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    png = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(mm._decode_png(png), want)
+
+    # flip a payload byte inside IDAT -> CRC mismatch
+    bad = bytearray(png)
+    bad[len(png) - 20] ^= 0xFF
+    bad = bytes(bad)
+    assert np.array_equal(
+        mm._decode_image(bad, strict=False), mm._fake_features(bad)
+    )
+    with pytest.raises(ValueError, match="CRC|IDAT|PNG"):
+        mm._decode_image(bad, strict=True)
+    trunc = png[:-14]
+    assert np.array_equal(
+        mm._decode_image(trunc, strict=False), mm._fake_features(trunc)
+    )
+    with pytest.raises(ValueError):
+        mm._decode_image(trunc, strict=True)
