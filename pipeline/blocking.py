@@ -188,11 +188,71 @@ def _cap_members(
     # Engine-neutral (hash_fn) so the pandas blocking twin and the DuckDB
     # oracle reproduce the SAME capped membership.
     coin = coin_col(hash_fn(cfg), "coin", "conv_id", "key")
-    kept = joined.filter(
-        F.col("members").isNull()
-        | (coin < F.lit(float(cfg.block_key_cap)) / F.col("members"))
-    ).select("family", "key", "conv_id")
+    keep = F.col("members").isNull() | (
+        coin < F.lit(float(cfg.block_key_cap)) / F.col("members")
+    )
+    if cfg.hot_key_star:
+        # star mode: the hub (minimum member over the FULL membership)
+        # is force-kept so the self-join emits (hub, kept-member) pairs;
+        # hot_star_pairs adds (hub, dropped-member) edges — together
+        # every member of a hot key stays one scored hop from the hub.
+        joined = joined.join(
+            F.broadcast(_hot_hubs(keys, hot)), ["family", "key"], "left"
+        )
+        keep = keep | (F.col("conv_id") == F.col("hub"))
+    kept = joined.filter(keep).select("family", "key", "conv_id")
     return kept, audit
+
+
+def _hot_hubs(keys: DataFrame, hot: DataFrame) -> DataFrame:
+    """(family, key, hub) — the minimum conv_id over each hot key's FULL
+    (pre-cap) membership. One narrow agg over the hot subset of the key
+    table (map-side semi-join against the broadcast hot list)."""
+    members = keys.join(
+        F.broadcast(hot.select("family", "key")), ["family", "key"], "semi"
+    )
+    return members.groupBy("family", "key").agg(
+        F.min("conv_id").alias("hub")
+    )
+
+
+def hot_star_pairs(
+    keys: DataFrame, counts: DataFrame, cfg: MatchConfig
+) -> DataFrame:
+    """Star edges (family, key, conv_id_a=hub, conv_id_b=member) for
+    every member of a hot key DROPPED by the member-cap coin.
+
+    This is the member-cap half of star preservation (the pair cap's
+    ``a == bucket-min`` rule is the other half): the plain coin cap
+    disconnects ~(members − cap) docs per hot key from every kept pair,
+    which shatters true mega-duplicate groups into singletons. One hub
+    edge per dropped member keeps pair volume LINEAR in hot-key
+    membership (never quadratic) and leaves every member one scored hop
+    from the hub — for a true-dup group all hub edges match, so the
+    group still resolves to one entity; for an accidental hot key (a
+    shared prefix across unrelated docs) the hub edges score below the
+    threshold and connect nothing. conv_id_a < conv_id_b holds by
+    construction (the hub is the membership minimum)."""
+    hot = counts.filter(F.col("members") > cfg.block_key_cap).select(
+        "family", "key", "members"
+    )
+    members = keys.join(F.broadcast(hot), ["family", "key"])
+    coin = coin_col(hash_fn(cfg), "coin", "conv_id", "key")
+    dropped = members.filter(
+        ~(coin < F.lit(float(cfg.block_key_cap)) / F.col("members"))
+    )
+    return (
+        dropped.join(
+            F.broadcast(_hot_hubs(keys, hot)), ["family", "key"]
+        )
+        .where(F.col("conv_id") != F.col("hub"))
+        .select(
+            "family",
+            "key",
+            F.col("hub").alias("conv_id_a"),
+            F.col("conv_id").alias("conv_id_b"),
+        )
+    )
 
 
 def capped_key_table(
@@ -294,7 +354,8 @@ def cap_hot_buckets(
     id_col: str,
     cap: int,
     hash_impl: str = "md5",
-) -> tuple[DataFrame, DataFrame]:
+    return_star_pairs: bool = False,
+):
     """Generic hot-bucket protection for LSH-style bucket tables (the
     capped_key_table machinery, reusable by the dedup/ANN extras —
     round-1 VERDICT 'what's wrong' #4: one boilerplate-heavy bucket is
@@ -304,6 +365,15 @@ def cap_hot_buckets(
     members are down-sampled with a deterministic engine-neutral hash
     coin (expected kept ~= cap); the drop is AUDITED, never silent.
     Returns (kept, audit) where audit = (key_cols..., members, est_kept).
+
+    With ``return_star_pairs`` (the member-cap star rule, round-5 —
+    same motivation as ``hot_star_pairs``): the bucket's minimum member
+    (hub) is force-kept, and a third DataFrame (key_cols...,
+    {id}_a=hub, {id}_b=member) carries one edge per coin-DROPPED member,
+    so a mega-duplicate bucket stays connected through its hub with
+    LINEAR pair volume. Downstream verify steps (Jaccard / Hamming /
+    cosine) still dispose of false hub pairs, so accidental hot buckets
+    connect nothing.
 
     ``keyed`` is tracked-cached here: the frequency pass AND the
     filter join both read it (without the cache the whole upstream
@@ -320,11 +390,36 @@ def cap_hot_buckets(
     audit = hot.withColumn("est_kept", F.lit(cap).cast("long"))
     joined = keyed.join(F.broadcast(hot), key_cols, "left")
     coin = coin_col(H, "coin", id_col, *key_cols)
+    coin_keep = coin < F.lit(float(cap)) / F.col("members")
+    if not return_star_pairs:
+        kept = joined.filter(
+            F.col("members").isNull() | coin_keep
+        ).drop("members")
+        return kept, audit
+    hubs = (
+        keyed.join(F.broadcast(hot.select(*key_cols)), key_cols, "semi")
+        .groupBy(*key_cols)
+        .agg(F.min(id_col).alias("_hub"))
+    )
+    joined = joined.join(F.broadcast(hubs), key_cols, "left")
     kept = joined.filter(
         F.col("members").isNull()
-        | (coin < F.lit(float(cap)) / F.col("members"))
-    ).drop("members")
-    return kept, audit
+        | coin_keep
+        | (F.col(id_col) == F.col("_hub"))
+    ).drop("members", "_hub")
+    star = (
+        joined.filter(
+            F.col("members").isNotNull()
+            & ~coin_keep
+            & (F.col(id_col) != F.col("_hub"))
+        )
+        .select(
+            *key_cols,
+            F.col("_hub").alias(f"{id_col}_a"),
+            F.col(id_col).alias(f"{id_col}_b"),
+        )
+    )
+    return kept, audit, star
 
 
 def candidate_pairs(
@@ -344,12 +439,19 @@ def candidate_pairs(
     (pairs_total counts post-member-cap pairs, i.e. C(kept_members, 2)).
     ``anchor_df``: frozen (token, df) snapshot for family 4 (``token_df``).
     """
-    kept, audit = capped_key_table(feats, cfg, anchor_df)
+    from pipeline.session import track_cache
+
+    if cfg.hot_key_star:
+        # star mode reads the exploded key table three times (counts,
+        # cap filter, star edges) — cache the explode once
+        keys, counts = key_table_with_counts(feats, cfg, anchor_df)
+        keys = track_cache(keys)
+        kept, audit = _cap_members(keys, counts, cfg)
+    else:
+        kept, audit = capped_key_table(feats, cfg, anchor_df)
     # both self-join sides + (upstream) the frequency pass read this —
     # cache so the explode/cap work happens once; tracked for
     # session.release_caches (no persist leaks in long-lived sessions)
-    from pipeline.session import track_cache
-
     kept = track_cache(kept)
 
     a = kept.alias("a")
@@ -364,6 +466,8 @@ def candidate_pairs(
             F.col("b.conv_id").alias("conv_id_b"),
         )
     )
+    if cfg.hot_key_star:
+        raw = raw.unionByName(hot_star_pairs(keys, counts, cfg))
 
     if not return_pair_audit:
         return star_capped_pairs(raw, cfg), audit

@@ -155,6 +155,18 @@ class MatchConfig:
     # Max candidate pairs retained per blocking key after the self-join
     # (per-level top-k analogue, ultimate_address_matcher.py:276-364).
     pairs_per_key_cap: int = 50
+    # Star-preserving MEMBER cap (round-5): with the plain coin cap a
+    # hot key keeps ~block_key_cap members and every other member loses
+    # the key entirely — a 20k-member true-duplicate group shatters into
+    # singletons because no kept pair touches the dropped members. With
+    # hot_key_star, each hot key's minimum member (the hub) is always
+    # kept and one (hub, member) star edge is emitted per DROPPED member
+    # — pair volume stays LINEAR in hot-key membership while every
+    # member remains one scored hop from the hub, so a true mega-group
+    # still resolves to one entity (validated at 20k members,
+    # BENCH/skew_scale.py). Off by default: the oracle contract surface
+    # (DEFAULT_CONFIG) predates the rule; production runs enable it.
+    hot_key_star: bool = False
 
     # Scoring knobs.
     score_text_max_chars: int = 2048  # kernel cost guard; documented truncation
@@ -231,7 +243,7 @@ DEFAULT_CONFIG = MatchConfig()
 # fast hash and md5 stays the ORACLE config: contract queries pin
 # DEFAULT_CONFIG so every operator remains DuckDB-verifiable
 # (round-3 VERDICT task 3).
-PRODUCTION_CONFIG = MatchConfig(hash_impl="xxhash64")
+PRODUCTION_CONFIG = MatchConfig(hash_impl="xxhash64", hot_key_star=True)
 
 
 def build_exact_match_config() -> MatchConfig:

@@ -401,6 +401,7 @@ def minhash_lsh_pairs(
     pairs_per_bucket_cap: int = 50,
     hash_impl: str = "md5",
     return_audit: bool = False,
+    hot_bucket_star: bool = False,
 ):
     """Near-duplicate pairs via MinHash banding + n-gram Jaccard verify.
 
@@ -409,6 +410,13 @@ def minhash_lsh_pairs(
     proposes, the Jaccard (computed on exact hashed-shingle sets via an
     array intersection in the JVM) disposes. Band buckets over
     ``bucket_cap`` members are down-sampled + audited (cap_hot_buckets).
+
+    ``hot_bucket_star`` (production skew defense, round-5): hub star
+    edges for coin-dropped members of hot buckets, so a mega-duplicate
+    group larger than ``bucket_cap`` still yields a CONNECTED verified
+    pair set (one Jaccard-verified hop per member) instead of
+    shattering; volume stays linear in bucket membership
+    (BENCH/skew_scale.py validates at 20k members).
     """
     H = _H(hash_impl)
     normed = docs.select(
@@ -431,9 +439,16 @@ def minhash_lsh_pairs(
     keyed = mh.select(
         "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
     )
-    keyed, audit = cap_hot_buckets(
-        keyed, ["band_key"], "doc_id", bucket_cap, hash_impl
-    )
+    star = None
+    if hot_bucket_star:
+        keyed, audit, star = cap_hot_buckets(
+            keyed, ["band_key"], "doc_id", bucket_cap, hash_impl,
+            return_star_pairs=True,
+        )
+    else:
+        keyed, audit = cap_hot_buckets(
+            keyed, ["band_key"], "doc_id", bucket_cap, hash_impl
+        )
     keyed = track_cache(keyed)  # both self-join sides read it
     a, b = keyed.alias("a"), keyed.alias("b")
     raw_pairs = (
@@ -445,6 +460,8 @@ def minhash_lsh_pairs(
             F.col("b.doc_id").alias("doc_id_b"),
         )
     )
+    if star is not None:
+        raw_pairs = raw_pairs.unionByName(star)
     cand = _bucket_pair_cap(
         raw_pairs, ["band_key"], pairs_per_bucket_cap
     ).dropDuplicates(["doc_id_a", "doc_id_b"])
@@ -518,6 +535,7 @@ def simhash_dedup_pairs(
     pairs_per_bucket_cap: int = 50,
     hash_impl: str = "md5",
     return_audit: bool = False,
+    hot_bucket_star: bool = False,
 ):
     """SimHash near-dup pairs: docs whose 60-bit SimHash agrees on one of
     ``max_hamming + 1`` equal-width bit blocks; verify Hamming distance.
@@ -552,9 +570,17 @@ def simhash_dedup_pairs(
         "simhash",
         F.posexplode(F.array(*block_keys)).alias("table", "block"),
     )
-    keyed, audit = cap_hot_buckets(
-        keyed, ["table", "block"], "doc_id", bucket_cap, hash_impl
-    )
+    star = None
+    if hot_bucket_star:
+        sh = track_cache(sh)  # star sides re-join the (expensive) sketch
+        keyed, audit, star = cap_hot_buckets(
+            keyed, ["table", "block"], "doc_id", bucket_cap, hash_impl,
+            return_star_pairs=True,
+        )
+    else:
+        keyed, audit = cap_hot_buckets(
+            keyed, ["table", "block"], "doc_id", bucket_cap, hash_impl
+        )
     keyed = track_cache(keyed)  # both self-join sides read it
     a, b = keyed.alias("a"), keyed.alias("b")
     raw_pairs = (
@@ -569,6 +595,25 @@ def simhash_dedup_pairs(
             F.col("b.simhash").alias("_hb"),
         )
     )
+    if star is not None:
+        star = (
+            star.join(
+                sh.select(
+                    F.col("doc_id").alias("doc_id_a"),
+                    F.col("simhash").alias("_ha"),
+                ),
+                "doc_id_a",
+            )
+            .join(
+                sh.select(
+                    F.col("doc_id").alias("doc_id_b"),
+                    F.col("simhash").alias("_hb"),
+                ),
+                "doc_id_b",
+            )
+            .select("table", "block", "doc_id_a", "doc_id_b", "_ha", "_hb")
+        )
+        raw_pairs = raw_pairs.unionByName(star)
     cand = _bucket_pair_cap(
         raw_pairs, ["table", "block"], pairs_per_bucket_cap
     ).dropDuplicates(["doc_id_a", "doc_id_b"])

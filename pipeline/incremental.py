@@ -167,6 +167,27 @@ def incremental_candidate_pairs(
         )
         .distinct()
     )
+    if cfg.hot_key_star:
+        # member-cap star edges (blocking.hot_star_pairs) restricted to
+        # those touching a new doc; a new global-minimum member becomes
+        # the hub and IS a new doc, so its edges qualify. Committed
+        # edges from an older hub stay in the edge set — extra
+        # connectivity only, same transitive closure for true-dup keys
+        # (the batch==incremental equality theorem already excludes the
+        # binding-cap regime).
+        from pipeline.blocking import hot_star_pairs
+
+        star = hot_star_pairs(union_keys, union_counts, cfg)
+        nid = F.broadcast(
+            new_ids.select(F.col("conv_id").alias("_nid"))
+        )
+        star = star.join(
+            nid,
+            (F.col("conv_id_a") == F.col("_nid"))
+            | (F.col("conv_id_b") == F.col("_nid")),
+            "semi",
+        )
+        raw = raw.unionByName(star)
     pairs, pair_audit = star_capped_pairs(raw, cfg, return_audit=True)
     return pairs, hot_audit, pair_audit, cap_risk, union_keys, union_counts
 

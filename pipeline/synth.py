@@ -231,6 +231,113 @@ def generate(
     )
 
 
+def generate_skew(
+    n_base: int = 5000,
+    boiler_members: int = 20000,
+    hotkey_convs: int = 2000,
+    seed: int = 17,
+) -> SynthCorpus:
+    """Adversarial-skew corpus (round-4 VERDICT task 1): the ordinary
+    Zipf-vocabulary corpus PLUS one boilerplate near-duplicate MEGA-GROUP
+    (``boiler_members`` conversations, one true entity — the power-law
+    head a 100-TB transcript corpus always has) and a block of
+    degenerate normalized texts (``hotkey_convs`` byte-identical tiny
+    convs). Every production cap must BIND on this corpus.
+
+    Mega-group perturbation mix (all classes share at least one
+    degenerate blocking key family with the whole group, so under
+    ``hot_key_star`` the group must resolve to ONE entity):
+
+      60% exact copies           -> exact-norm key (family 0)
+      30% normalization noise    -> same normalized text, same family 0
+      10% token reorder          -> same token_set key (family 2);
+                                    token_sort channel still scores 100
+    """
+    corpus = generate(n_base=n_base, seed=seed, hotkey_convs=hotkey_convs)
+    rng = random.Random(seed + 999)
+    base_ts = datetime(2026, 1, 1)
+    boiler_texts = [
+        "subscribe to our newsletter for weekly updates and offers",
+        "thank you for contacting support your ticket has been received",
+        "this conversation may be recorded for quality assurance",
+        "have a great day and thank you for choosing our service",
+    ]
+    rows: list[tuple] = []
+    meta_rows: list[tuple[str, str, str]] = []
+    hub_id = "boil000000"
+    for i in range(boiler_members):
+        cid = f"boil{i:06d}"
+        r = rng.random()
+        if r < 0.6:
+            texts = list(boiler_texts)
+            cls = "boiler_exact"
+        elif r < 0.9:
+            texts = []
+            for t in boiler_texts:
+                s = "".join(
+                    ch.upper()
+                    if ch.isalpha() and rng.random() < 0.2
+                    else ch
+                    for ch in t
+                )
+                if rng.random() < 0.5:
+                    s += rng.choice(_PUNCT)
+                if rng.random() < 0.3:
+                    s = s.replace(" ", "  ", 1)
+                texts.append(s)
+            cls = "boiler_norm"
+        else:
+            texts = [
+                " ".join(
+                    sorted(t.split(), key=lambda _w: rng.random())
+                )
+                for t in boiler_texts
+            ]
+            cls = "boiler_swap"
+        t0 = base_ts + timedelta(seconds=i)
+        for j, text in enumerate(texts):
+            rows.append(
+                (cid, j, ROLES_CYCLE[j % 2], text, None,
+                 t0 + timedelta(seconds=j))
+            )
+        meta_rows.append((cid, cls, hub_id))
+
+    boiler_turns = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    boiler_turns["turn_idx"] = boiler_turns["turn_idx"].astype("int32")
+    turns = (
+        pd.concat([corpus.turns, boiler_turns], ignore_index=True)
+        .sample(frac=1.0, random_state=seed)
+        .reset_index(drop=True)
+    )
+    meta = pd.concat(
+        [
+            corpus.conv_meta,
+            pd.DataFrame(
+                meta_rows, columns=["conv_id", "dup_class", "entity_id"]
+            ),
+        ],
+        ignore_index=True,
+    )
+    clusters = pd.concat(
+        [
+            corpus.expected_clusters,
+            pd.DataFrame(
+                [(cid, hub_id) for cid, _cls, _e in meta_rows],
+                columns=["conv_id", "entity_id"],
+            ),
+        ],
+        ignore_index=True,
+    )
+    return SynthCorpus(
+        turns=turns,
+        conv_meta=meta,
+        true_pairs=corpus.true_pairs,
+        expected_clusters=clusters,
+    )
+
+
 def write_parquet(corpus: SynthCorpus, out_dir: str) -> dict[str, str]:
     """Write corpus tables as parquet; returns name -> path."""
     import os

@@ -141,6 +141,23 @@ def blocking_pairs_pd(
     keep = (counts <= cfg.block_key_cap) | (
         coin < float(cfg.block_key_cap) / counts
     )
+    # star mode (twin of blocking._cap_members hub force-keep +
+    # blocking.hot_star_pairs): per hot key, the full-membership minimum
+    # (hub) is always kept, and one (hub, member) edge is added per
+    # coin-dropped member
+    star_by_key: dict[tuple[int, int], list[tuple[str, str]]] = {}
+    if cfg.hot_key_star:
+        hub = keyed.groupby(["family", "key"])["conv_id"].transform("min")
+        is_hot = counts > cfg.block_key_cap
+        dropped = is_hot & ~keep & (keyed["conv_id"] != hub)
+        for fam, k, h, m in zip(
+            keyed.loc[dropped, "family"],
+            keyed.loc[dropped, "key"],
+            hub[dropped],
+            keyed.loc[dropped, "conv_id"],
+        ):
+            star_by_key.setdefault((int(fam), int(k)), []).append((h, m))
+        keep = keep | (keyed["conv_id"] == hub)
     keyed = keyed[keep]
 
     # per-(family,key) pair generation with the ordered, star-preserving
@@ -148,11 +165,17 @@ def blocking_pairs_pd(
     # lexicographic pair order lists every (min, .) pair first, so past
     # the cap only min-left pairs survive) + the per-pair family set
     # (twin of collect_set(family) — score_pairs_pd uses len(families)
-    # for the quality n_families term)
+    # for the quality n_families term). In star mode the raw pair list
+    # per key is the kept-member clique UNION the hub star edges, ranked
+    # lexicographically together, exactly as star_capped_pairs sees it.
     pair_fams: dict[tuple[str, str], set[int]] = {}
     for (fam, _key), grp in keyed.groupby(["family", "key"]):
         members = sorted(grp["conv_id"])
-        for n_emitted, (a, b) in enumerate(combinations(members, 2)):
+        raw_pairs = list(combinations(members, 2))
+        key_star = star_by_key.get((int(fam), int(_key)))
+        if key_star:
+            raw_pairs = sorted(set(raw_pairs) | set(key_star))
+        for n_emitted, (a, b) in enumerate(raw_pairs):
             if n_emitted >= cfg.pairs_per_key_cap and a != members[0]:
                 break
             pair_fams.setdefault((a, b), set()).add(int(fam))
