@@ -147,13 +147,16 @@ def main() -> dict:
     audits_empty = True
     for i in range(3):
         def _step(inc=incs[i], st=dict(state)):
-            out = incremental_link(
-                st["features"], st["clusters"], inc, cfg,
-                existing_keys=st["keys"],
-                existing_key_counts=st["key_counts"],
-                assume_disjoint_ids=True,
-            )
-            noop_write(out["clusters"])
+            from pipeline.incremental import increment_tuning
+
+            with increment_tuning(spark):
+                out = incremental_link(
+                    st["features"], st["clusters"], inc, cfg,
+                    existing_keys=st["keys"],
+                    existing_key_counts=st["key_counts"],
+                    assume_disjoint_ids=True,
+                )
+                noop_write(out["clusters"])
             return out
 
         t_i, out = timed(_step)
@@ -194,13 +197,16 @@ def main() -> dict:
     n_big = sum(counts["inc_convs"][3:6])
 
     def _oneoff(inc):
-        out = incremental_link(
-            final_state["features"], final_state["clusters"], inc, cfg,
-            existing_keys=final_state["keys"],
-            existing_key_counts=final_state["key_counts"],
-            assume_disjoint_ids=True,
-        )
-        noop_write(out["clusters"])
+        from pipeline.incremental import increment_tuning
+
+        with increment_tuning(spark):
+            out = incremental_link(
+                final_state["features"], final_state["clusters"], inc, cfg,
+                existing_keys=final_state["keys"],
+                existing_key_counts=final_state["key_counts"],
+                assume_disjoint_ids=True,
+            )
+            noop_write(out["clusters"])
 
     t_small, _ = timed(lambda: _oneoff(inc_small))
     release_caches()

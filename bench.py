@@ -193,6 +193,34 @@ def main() -> dict:
         sat_pairs / max(timings["q10_warmup_pass"], 1e-9), 1
     )
     extras["roles_mix"] = "deterministic 4-way by doc_id (ua/uaua/uauaua/au)"
+    if os.environ.get("SPARK_GRAFT_GCDIAG") == "1":
+        # diagnostic (BENCH/exec8_diag.py): executor GC/task accounting
+        # for the saturated stage off the UI REST API (SPARK_GRAFT_UI=true)
+        try:
+            import json as _json
+            import urllib.request as _rq
+
+            base = (
+                spark.sparkContext.uiWebUrl
+                + "/api/v1/applications/"
+                + spark.sparkContext.applicationId
+            )
+            ex = _json.loads(_rq.urlopen(base + "/executors").read())
+            tot_task = sum(e.get("totalDuration", 0) for e in ex)
+            tot_gc = sum(e.get("totalGCTime", 0) for e in ex)
+            print(
+                "[gcdiag]"
+                + _json.dumps(
+                    {
+                        "total_task_ms": tot_task,
+                        "total_gc_ms": tot_gc,
+                        "gc_fraction": round(tot_gc / max(tot_task, 1), 4),
+                    }
+                ),
+                file=sys.stderr,
+            )
+        except Exception as e:  # diagnostics must never fail the bench
+            print(f"[gcdiag]{{\"err\": \"{e}\"}}", file=sys.stderr)
     # the suite total ("value") includes queries ADDED in round 3 — when
     # comparing totals across rounds, diff per-query (BENCH/regressions.md
     # labels the new lines); q6b measures the md5-oracle tax, q11/q11b the
@@ -303,12 +331,15 @@ def main() -> dict:
     base_counts = base_counts.localCheckpoint(eager=True)
 
     def _incremental_step():
-        out = incremental_link(
-            base_feats, base_clusters, doc_turns.where(slot == 19),
-            PRODUCTION_CONFIG, anchor_df=base_anchor_df,
-            existing_keys=base_keys, existing_key_counts=base_counts,
-        )
-        noop_write(out["clusters"])
+        from pipeline.incremental import increment_tuning
+
+        with increment_tuning(spark):
+            out = incremental_link(
+                base_feats, base_clusters, doc_turns.where(slot == 19),
+                PRODUCTION_CONFIG, anchor_df=base_anchor_df,
+                existing_keys=base_keys, existing_key_counts=base_counts,
+            )
+            noop_write(out["clusters"])
 
     timed("q11b_linkage_incremental_step", _incremental_step)
     release_caches()

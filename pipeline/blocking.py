@@ -166,7 +166,11 @@ def _key_table(
 
 
 def _cap_members(
-    keys: DataFrame, counts: DataFrame, cfg: MatchConfig
+    keys: DataFrame,
+    counts: DataFrame,
+    cfg: MatchConfig,
+    hub_scope: DataFrame | None = None,
+    hubs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The ONE member-cap rule: down-sample keys whose member count
     exceeds ``block_key_cap`` with the deterministic engine-neutral coin,
@@ -196,8 +200,25 @@ def _cap_members(
         # is force-kept so the self-join emits (hub, kept-member) pairs;
         # hot_star_pairs adds (hub, dropped-member) edges — together
         # every member of a hot key stays one scored hop from the hub.
+        # ``hub_scope`` (incremental fast path): restrict the hub pass
+        # to these (family, key) rows — a key with NO new member cannot
+        # produce a new-touching pair, so force-keeping its hub is dead
+        # work in a restricted join; the batch path passes None (all
+        # hot keys). ``hubs``: a PRE-MATERIALIZED (family, key, hub)
+        # table — the incremental path computes it once and driver-pins
+        # it, because every lazy reference to the hub-agg subtree
+        # otherwise re-executes as AQE broadcast jobs per consuming
+        # action (round-5 profiling: 131 sub-1.5s jobs, the step wall
+        # was pure scheduling).
+        if hubs is None:
+            hot_for_hubs = hot
+            if hub_scope is not None:
+                hot_for_hubs = hot.join(
+                    F.broadcast(hub_scope), ["family", "key"], "semi"
+                )
+            hubs = _hot_hubs(keys, hot_for_hubs)
         joined = joined.join(
-            F.broadcast(_hot_hubs(keys, hot)), ["family", "key"], "left"
+            F.broadcast(hubs), ["family", "key"], "left"
         )
         keep = keep | (F.col("conv_id") == F.col("hub"))
     kept = joined.filter(keep).select("family", "key", "conv_id")
@@ -217,7 +238,11 @@ def _hot_hubs(keys: DataFrame, hot: DataFrame) -> DataFrame:
 
 
 def hot_star_pairs(
-    keys: DataFrame, counts: DataFrame, cfg: MatchConfig
+    keys: DataFrame,
+    counts: DataFrame,
+    cfg: MatchConfig,
+    hot: DataFrame | None = None,
+    hubs: DataFrame | None = None,
 ) -> DataFrame:
     """Star edges (family, key, conv_id_a=hub, conv_id_b=member) for
     every member of a hot key DROPPED by the member-cap coin.
@@ -232,18 +257,25 @@ def hot_star_pairs(
     group still resolves to one entity; for an accidental hot key (a
     shared prefix across unrelated docs) the hub edges score below the
     threshold and connect nothing. conv_id_a < conv_id_b holds by
-    construction (the hub is the membership minimum)."""
-    hot = counts.filter(F.col("members") > cfg.block_key_cap).select(
-        "family", "key", "members"
-    )
+    construction (the hub is the membership minimum).
+
+    ``hot``: optional pre-restricted hot-key list (family, key, members)
+    — the incremental path passes hot keys CARRIED BY THE INCREMENT so
+    the membership scans stay increment-proportional."""
+    if hot is None:
+        hot = counts.filter(F.col("members") > cfg.block_key_cap).select(
+            "family", "key", "members"
+        )
     members = keys.join(F.broadcast(hot), ["family", "key"])
     coin = coin_col(hash_fn(cfg), "coin", "conv_id", "key")
     dropped = members.filter(
         ~(coin < F.lit(float(cfg.block_key_cap)) / F.col("members"))
     )
+    if hubs is None:
+        hubs = _hot_hubs(keys, hot)
     return (
         dropped.join(
-            F.broadcast(_hot_hubs(keys, hot)), ["family", "key"]
+            F.broadcast(hubs), ["family", "key"]
         )
         .where(F.col("conv_id") != F.col("hub"))
         .select(

@@ -57,11 +57,39 @@ stage refreshed on a rebuild cadence, not per increment).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+@contextmanager
+def increment_tuning(spark, enabled: bool = True):
+    """Session tuning for the span of ONE increment-sized step (the
+    ``incremental_link`` call plus the actions that consume its output).
+
+    AQE materializes every exchange as its own job; an increment's plans
+    move kilobytes-to-megabytes through dozens of exchanges, so per-job
+    scheduling overhead dominates and runtime re-planning buys nothing
+    (interleaved A/B at a 70k-conv corpus / 2.6k-conv increment: AQE off
+    is ~17% faster end-to-step; round-5 profiling showed the step wall
+    was ~60 sub-second stages). Batch-scale runs KEEP AQE (skew-join +
+    coalesce matter there) — this is a caller-owned step-cadence knob,
+    restored on exit."""
+    if not enabled:
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
 from pipeline.blocking import (
     _cap_members,
+    _hot_hubs,
     key_table_with_counts,
     merge_key_state,
     star_capped_pairs,
@@ -129,7 +157,69 @@ def incremental_candidate_pairs(
         union_keys, union_counts = key_table_with_counts(
             feats_all, cfg, anchor_df
         )
-    kept, hot_audit = _cap_members(union_keys, union_counts, cfg)
+    # Star machinery, increment-scoped and DRIVER-PINNED (round-5
+    # profiling: the lazy hub/star subtrees re-executed as AQE broadcast
+    # jobs in every consuming action — 131 sub-1.5s jobs, the step wall
+    # was pure scheduling; and unscoped they scanned the full key
+    # table). Only keys CARRIED BY THE INCREMENT can produce a
+    # new-touching star pair, so: (1) collect the scoped hot list once
+    # (bounded by the increment's key count — driver-safe); (2) if it
+    # is empty (every nocap config; most increments), skip the star
+    # plan entirely; (3) otherwise materialize the scoped hub table
+    # once and feed it to both the member cap and the star edges as a
+    # literal broadcast leaf.
+    star_hot = star_hubs = None
+    eff_cfg = cfg
+    if cfg.hot_key_star:
+        if existing_keys is not None:
+            scope = nk.select("family", "key").distinct()
+        else:
+            scope = (
+                union_keys.join(
+                    F.broadcast(new_ids.select("conv_id")), "conv_id"
+                )
+                .select("family", "key")
+                .distinct()
+            )
+        if existing_keys is not None:
+            # increment-proportional: union members for the increment's
+            # keys = committed count + increment count, via ONE narrow
+            # semi-scan of the committed counts — never the full union
+            # merge shuffle (that merge still happens lazily for the
+            # returned committed state, but not inside this eager
+            # collect)
+            scoped_counts = (
+                existing_counts.join(
+                    F.broadcast(scope), ["family", "key"], "semi"
+                )
+                .unionByName(nc)  # nc is increment-only: already scoped
+                .groupBy("family", "key")
+                .agg(F.sum("members").alias("members"))
+            )
+        else:
+            scoped_counts = union_counts.join(
+                F.broadcast(scope), ["family", "key"], "semi"
+            )
+        hot_scoped = scoped_counts.filter(
+            F.col("members") > cfg.block_key_cap
+        ).select("family", "key", "members")
+        hot_rows = hot_scoped.collect()
+        if hot_rows:
+            spark = union_keys.sparkSession
+            star_hot = F.broadcast(
+                spark.createDataFrame(hot_rows, hot_scoped.schema)
+            )
+            hub_plan = _hot_hubs(union_keys, star_hot)
+            star_hubs = F.broadcast(
+                spark.createDataFrame(hub_plan.collect(), hub_plan.schema)
+            )
+        else:
+            from dataclasses import replace as _replace
+
+            eff_cfg = _replace(cfg, hot_key_star=False)
+    kept, hot_audit = _cap_members(
+        union_keys, union_counts, eff_cfg, hubs=star_hubs
+    )
     # Do NOT cache `kept`: it is CORPUS-sized (at 100 TB it cannot be
     # cached, and in-sandbox profiling showed the per-step cache fill
     # dominating). It is a cheap map-side coin filter over the committed
@@ -150,9 +240,21 @@ def incremental_candidate_pairs(
         )
     )
 
-    new_keys = track_cache(
-        kept.join(F.broadcast(new_ids.select("conv_id")), "conv_id")
-    )
+    if existing_keys is not None:
+        # committed-state fast path: the cap rule is per-row
+        # (coin(conv_id, key) vs the UNION member count), so capping the
+        # increment's own key table ``nk`` against the union counts is
+        # EXACTLY kept ∩ new_ids — without re-streaming the committed
+        # key table a second time per step (round-5 fixed-cost cut; the
+        # b-side below still streams it once)
+        new_kept, _ = _cap_members(
+            nk, union_counts, eff_cfg, hubs=star_hubs
+        )
+        new_keys = track_cache(new_kept)
+    else:
+        new_keys = track_cache(
+            kept.join(F.broadcast(new_ids.select("conv_id")), "conv_id")
+        )
     if broadcast_new:
         new_keys = F.broadcast(new_keys)
     raw = (
@@ -167,17 +269,20 @@ def incremental_candidate_pairs(
         )
         .distinct()
     )
-    if cfg.hot_key_star:
-        # member-cap star edges (blocking.hot_star_pairs) restricted to
-        # those touching a new doc; a new global-minimum member becomes
-        # the hub and IS a new doc, so its edges qualify. Committed
-        # edges from an older hub stay in the edge set — extra
-        # connectivity only, same transitive closure for true-dup keys
-        # (the batch==incremental equality theorem already excludes the
+    if star_hot is not None:
+        # member-cap star edges (blocking.hot_star_pairs) over the
+        # driver-pinned scoped hot/hub tables, restricted to edges
+        # touching a new doc; a new global-minimum member becomes the
+        # hub and IS a new doc, so its edges qualify. Committed edges
+        # from an older hub stay in the edge set — extra connectivity
+        # only, same transitive closure for true-dup keys (the
+        # batch==incremental equality theorem already excludes the
         # binding-cap regime).
         from pipeline.blocking import hot_star_pairs
 
-        star = hot_star_pairs(union_keys, union_counts, cfg)
+        star = hot_star_pairs(
+            union_keys, union_counts, cfg, hot=star_hot, hubs=star_hubs
+        )
         nid = F.broadcast(
             new_ids.select(F.col("conv_id").alias("_nid"))
         )
@@ -278,7 +383,20 @@ def incremental_link(
     feats_scoring = track_cache(
         feats_all.join(F.broadcast(touched), "conv_id", "semi")
     )
-    scored = score_pairs(feats_scoring, pairs, cfg, match_only=True)
+    # right-size the Arrow scoring stage from the (cached) pair count:
+    # one kernel batch is ~10k pairs (session arrow maxRecordsPerBatch),
+    # so an increment's few-thousand pairs need a handful of partitions,
+    # not 3x cores of near-empty Python workers — the count doubles as
+    # the cache-fill action (round-5 profiling: per-partition overhead
+    # was a visible slice of the step's fixed cost). Cap at the
+    # saturated default so a BIG increment still spreads over all cores.
+    n_pairs = pairs.count()
+    cores = pairs.sparkSession.sparkContext.defaultParallelism
+    n_score_parts = max(1, min(cores * 3, -(-n_pairs // 2000)))
+    scored = score_pairs(
+        feats_scoring, pairs, cfg, match_only=True,
+        n_partitions=n_score_parts,
+    )
 
     # contract existing endpoints to their entity label (new docs map to
     # themselves). The label join is against the full clusters table —

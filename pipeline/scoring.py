@@ -321,6 +321,7 @@ def score_pairs(
     pairs: DataFrame,
     cfg: MatchConfig = DEFAULT_CONFIG,
     match_only: bool = False,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """pairs + features -> scored pairs with decisions.
 
@@ -363,7 +364,16 @@ def score_pairs(
     # canonical texts attached), so the forced shuffle moves megabytes,
     # not the full pair-text volume; a broadcast text join preserves the
     # partitioning into the UDF stage.
-    n_parts = pairs.sparkSession.sparkContext.defaultParallelism * 3
+    # ``n_partitions`` override: a caller that KNOWS the pair count
+    # (the incremental step — its pair table is cached and counted)
+    # right-sizes the Arrow stage instead; 96 near-empty Python-worker
+    # partitions for an 11k-pair increment is pure per-partition
+    # overhead (round-5 profiling).
+    n_parts = (
+        n_partitions
+        if n_partitions is not None
+        else pairs.sparkSession.sparkContext.defaultParallelism * 3
+    )
     joined = (
         pairs.repartition(n_parts, "conv_id_a", "conv_id_b")
         .join(fa, "conv_id_a")

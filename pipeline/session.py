@@ -32,7 +32,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench hygiene); diagnostics (BENCH/exec8_diag)
+        # flip it on via env to read executor GC/task metrics over REST
+        .config(
+            "spark.ui.enabled",
+            os.environ.get("SPARK_GRAFT_UI", "false"),
+        )
     )
     if shuffle_partitions is not None:
         builder = builder.config(

@@ -283,23 +283,26 @@ def _link_batch(
         clusters.write.mode("overwrite").parquet(ldir)
         feature_dirs, key_dirs = [fdir], [kdir]
     else:
+        from pipeline.incremental import increment_tuning
+
         feats = spark.read.parquet(*state["feature_dirs"])
         keys = spark.read.parquet(*state["key_dirs"])
         counts = spark.read.parquet(state["counts"])
         clusters0 = spark.read.parquet(state["clusters"])
-        out = incremental_link(
-            feats, clusters0, batch_df, cfg,
-            existing_keys=keys, existing_key_counts=counts,
-        )
-        # append-only commits for the corpus-sized state; full
-        # rewrites only for the two narrow tables
-        out["new_features"].write.mode("overwrite").parquet(fdir)
-        new_keys_only = out["keys"].join(
-            out["new_features"].select("conv_id"), "conv_id", "semi"
-        )
-        new_keys_only.write.mode("overwrite").parquet(kdir)
-        out["key_counts"].write.mode("overwrite").parquet(cdir)
-        out["clusters"].write.mode("overwrite").parquet(ldir)
+        with increment_tuning(spark):
+            out = incremental_link(
+                feats, clusters0, batch_df, cfg,
+                existing_keys=keys, existing_key_counts=counts,
+            )
+            # append-only commits for the corpus-sized state; full
+            # rewrites only for the two narrow tables
+            out["new_features"].write.mode("overwrite").parquet(fdir)
+            new_keys_only = out["keys"].join(
+                out["new_features"].select("conv_id"), "conv_id", "semi"
+            )
+            new_keys_only.write.mode("overwrite").parquet(kdir)
+            out["key_counts"].write.mode("overwrite").parquet(cdir)
+            out["clusters"].write.mode("overwrite").parquet(ldir)
         feature_dirs = state["feature_dirs"] + [fdir]
         key_dirs = state["key_dirs"] + [kdir]
     release_caches()
