@@ -239,6 +239,25 @@ def main() -> dict:
     assert sh_boiler_groups == 1, sh_boiler_groups
     release_caches()
 
+    # -- second scale point for the remaining families (round-4 VERDICT
+    # task 8 stretch): substring-span dedup + text stats over the same
+    # 37.7k-doc skew corpus (~7x the sf0.1 documents table). The winnow
+    # sampler sees the 20k-member boilerplate head (identical canonical
+    # texts = maximal shared-substring density).
+    from pipeline.extras.dedup import repeated_substring_spans
+    from pipeline.extras.textstats import document_stats
+
+    t_winnow, _ = timed(
+        lambda: noop(
+            repeated_substring_spans(
+                docs, sampler="winnow", hash_impl=cfg.hash_impl
+            )
+        )
+    )
+    release_caches()
+    t_stats, _ = timed(lambda: noop(document_stats(docs)))
+    release_caches()
+
     # uncapped steady-state reference from the committed driver bench
     uncapped = {}
     try:
@@ -287,6 +306,8 @@ def main() -> dict:
             "hot_bucket_audit_rows": sh_audit_n,
             "boiler_components": sh_boiler_groups,
         },
+        "substring_winnow_t_s": t_winnow,
+        "doc_stats_t_s": t_stats,
         "uncapped_reference": {
             **uncapped,
             "note": (
