@@ -420,6 +420,7 @@ def embedding_near_dup_pairs(
     pairs_per_bucket_cap: int = 200,
     hash_impl: str = "md5",
     return_audit: bool = False,
+    hot_bucket_star: bool = False,
 ):
     """Embedding-cosine near-duplicate pairs via LSH bucket self-join +
     exact cosine verification (the embedding leg of the dedup suite).
@@ -430,6 +431,15 @@ def embedding_near_dup_pairs(
     Buckets over ``bucket_cap`` members are down-sampled + audited, and
     each bucket contributes at most ``pairs_per_bucket_cap`` verify pairs
     (star-preserving ordered cap — the blocking layer's machinery).
+
+    ``hot_bucket_star`` (production skew defense, round-5, same rule as
+    the minhash/simhash legs): hub star edges for coin-dropped members of
+    hot buckets. IDENTICAL embeddings land in the same bucket in EVERY
+    table, so without this a mega-duplicate embedding group larger than
+    ``bucket_cap`` loses all edges for its dropped members and shatters;
+    with it, every member stays one cosine-VERIFIED hop from the bucket
+    hub (linear pair volume). Accidental hot buckets connect nothing —
+    hub pairs still face the exact-cosine threshold.
     """
     from pipeline.extras.dedup import _bucket_pair_cap
 
@@ -443,8 +453,22 @@ def embedding_near_dup_pairs(
             F.array(*[F.col(f"bucket_{t}") * F.lit(10) + t for t in range(n_tables)])
         ).alias("bkey"),
     )
-    keyed, audit = cap_hot_buckets(keyed, ["bkey"], "doc_id", bucket_cap, hash_impl)
     from pipeline.session import track_cache
+
+    star = None
+    if hot_bucket_star:
+        keyed, audit, star = cap_hot_buckets(
+            keyed, ["bkey"], "doc_id", bucket_cap, hash_impl,
+            return_star_pairs=True,
+        )
+        # star rows carry ids only (the dropped member's vector row was
+        # filtered out of ``keyed``) — join vectors back from the pre-cap
+        # per-doc table, exactly like the minhash leg rejoins shingles
+        star = star.select("bkey", "doc_id_a", "doc_id_b")
+    else:
+        keyed, audit = cap_hot_buckets(
+            keyed, ["bkey"], "doc_id", bucket_cap, hash_impl
+        )
 
     keyed = track_cache(keyed)  # both self-join sides read it
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -461,6 +485,27 @@ def embedding_near_dup_pairs(
             F.col("b._v").alias("_vb"),
         )
     )
+    if star is not None:
+        vsrc = track_cache(v.select("doc_id", "_v"))
+        star_pairs = (
+            star.join(
+                vsrc.select(
+                    F.col("doc_id").alias("doc_id_a"), F.col("_v").alias("_va")
+                ),
+                "doc_id_a",
+            )
+            .join(
+                vsrc.select(
+                    F.col("doc_id").alias("doc_id_b"), F.col("_v").alias("_vb")
+                ),
+                "doc_id_b",
+            )
+            .select("bkey", "doc_id_a", "doc_id_b", "_va", "_vb")
+        )
+        # hub = bucket minimum, so doc_id_a < doc_id_b holds and the
+        # star rides the same star-preserving pair cap (min-left pairs
+        # are always kept) and dropDuplicates as the clique pairs
+        raw_pairs = raw_pairs.unionByName(star_pairs)
     out = (
         _bucket_pair_cap(raw_pairs, ["bkey"], pairs_per_bucket_cap)
         .dropDuplicates(["doc_id_a", "doc_id_b"])
@@ -485,6 +530,7 @@ def semantic_dedup_groups(
     bucket_cap: int = 1024,
     pairs_per_bucket_cap: int = 200,
     hash_impl: str = "md5",
+    hot_bucket_star: bool = False,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023 cluster
     by embedding similarity and keep one exemplar per semantic group):
@@ -505,6 +551,7 @@ def semantic_dedup_groups(
     pairs = embedding_near_dup_pairs(
         vectors, n_dims, cosine_threshold, n_bits, n_tables,
         id_col, vec_col, bucket_cap, pairs_per_bucket_cap, hash_impl,
+        hot_bucket_star=hot_bucket_star,
     )
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")

@@ -291,3 +291,87 @@ def test_simhash_star_keeps_mega_bucket_connected(spark):
     for a, b in zip(bp["doc_id_a"], bp["doc_id_b"]):
         parent[find(int(b))] = find(int(a))
     assert len({find(i) for i in range(150)}) == 1
+
+
+def _embedding_corpus() -> pd.DataFrame:
+    """200 identical unit embeddings (one true semantic-dup group — an
+    exact dup lands in the SAME bucket in EVERY table, the worst case for
+    a member cap) + 30 random unit vectors."""
+    import math
+
+    rng = random.Random(17)
+    dim = 16
+    boiler = [1.0 if d == 0 else 0.0 for d in range(dim)]
+    rows = [(i, boiler) for i in range(200)]
+    for i in range(30):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        rows.append((1000 + i, [x / n for x in v]))
+    return pd.DataFrame(rows, columns=["vec_id", "embedding"])
+
+
+def _components(pairs_pd, ids) -> int:
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_pd["doc_id_a"], pairs_pd["doc_id_b"]):
+        if int(a) in parent and int(b) in parent:
+            parent[find(int(b))] = find(int(a))
+    return len({find(i) for i in ids})
+
+
+def test_embedding_star_keeps_mega_bucket_connected(spark):
+    """Embedding-leg twin of the member-cap star rule (round-5): 200
+    identical embeddings vs bucket_cap=16 — with hot_bucket_star the
+    cosine-verified pair graph keeps the group in ONE component with
+    linear volume; the plain coin cap shatters it."""
+    from pipeline.extras.similarity import embedding_near_dup_pairs
+
+    df = spark.createDataFrame(_embedding_corpus())
+
+    pairs, audit = embedding_near_dup_pairs(
+        df, n_dims=16, cosine_threshold=0.95, bucket_cap=16,
+        id_col="vec_id", return_audit=True, hot_bucket_star=True,
+    )
+    assert audit.count() > 0
+    got = pairs.toPandas()
+    bp = got[(got["doc_id_a"] < 1000) & (got["doc_id_b"] < 1000)]
+    # linear, far below C(200, 2) = 19900
+    assert len(bp) <= 5 * 200, len(bp)
+    assert _components(bp, range(200)) == 1
+    # random vectors never cosine-verify against the boiler vector
+    cross = got[(got["doc_id_a"] < 1000) != (got["doc_id_b"] < 1000)]
+    assert len(cross) == 0
+
+    # WITHOUT the star rule the same corpus shatters: members coin-capped
+    # out of every table's hot bucket keep no edges at all
+    plain = embedding_near_dup_pairs(
+        df, n_dims=16, cosine_threshold=0.95, bucket_cap=16,
+        id_col="vec_id", hot_bucket_star=False,
+    ).toPandas()
+    bp_plain = plain[(plain["doc_id_a"] < 1000) & (plain["doc_id_b"] < 1000)]
+    assert _components(bp_plain, range(200)) > 1
+
+
+def test_semantic_dedup_star_one_group(spark):
+    """End-to-end: semantic_dedup_groups with hot_bucket_star resolves
+    the 200-member identical-embedding group to ONE group_id."""
+    from pipeline.extras.similarity import semantic_dedup_groups
+
+    df = spark.createDataFrame(_embedding_corpus())
+    out = semantic_dedup_groups(
+        df, n_dims=16, cosine_threshold=0.95, bucket_cap=16,
+        hot_bucket_star=True,
+    ).toPandas()
+    boiler = out[out["vec_id"] < 1000]
+    assert boiler["group_id"].nunique() == 1
+    assert int(boiler["is_keeper"].sum()) == 1
+    # singletons keep themselves
+    others = out[out["vec_id"] >= 1000]
+    assert (others["group_id"] == others["vec_id"]).all()
+    assert others["is_keeper"].all()
