@@ -239,6 +239,61 @@ def main() -> dict:
     assert sh_boiler_groups == 1, sh_boiler_groups
     release_caches()
 
+    # -- embedding family with production bucket caps binding (round-5:
+    # the hub-star rule on the embedding leg). Embeddings are synthesized
+    # deterministically from the corpus labels: every boilerplate member
+    # shares ONE unit vector — byte-identical embeddings land in the same
+    # bucket in EVERY LSH table, the worst case for a member cap — and
+    # every other conv gets a seeded random unit vector (sorted-id order
+    # fixes the stream). 32 dims x ~37.7k ids, built in pandas.
+    import numpy as np
+
+    from pipeline.extras.similarity import embedding_near_dup_pairs
+
+    meta_ids = sorted(corpus.conv_meta["conv_id"])
+    dim = 32
+    rng = np.random.RandomState(7)
+    M = rng.normal(size=(len(meta_ids), dim))
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    is_boiler = np.array([i.startswith("boil") for i in meta_ids])
+    hub_vec = np.zeros(dim)
+    hub_vec[0] = 1.0
+    M[is_boiler] = hub_vec
+    import pandas as pd
+
+    vec_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": meta_ids, "embedding": [r.tolist() for r in M]}
+        )
+    ).localCheckpoint(eager=True)
+
+    emb_pairs, emb_audit = embedding_near_dup_pairs(
+        vec_df, n_dims=dim, cosine_threshold=0.95, bucket_cap=256,
+        pairs_per_bucket_cap=50, id_col="vec_id",
+        hash_impl=cfg.hash_impl, return_audit=True, hot_bucket_star=True,
+    )
+    t_embed, _ = timed(lambda: noop(emb_pairs))
+    emb_pairs = emb_pairs.localCheckpoint(eager=True)
+    emb_audit_n = emb_audit.count()
+    assert emb_audit_n > 0, "embedding hot-bucket audit empty"
+    emb_cc, _ = connected_components(
+        emb_pairs.select(
+            F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+        ),
+        all_nodes=vec_df.select(F.col("vec_id").alias("conv_id")),
+    )
+    emb_boiler_groups = (
+        emb_cc.where(F.col("conv_id").startswith("boil"))
+        .select("entity_id")
+        .distinct()
+        .count()
+    )
+    assert emb_boiler_groups == 1, (
+        f"identical-embedding mega-bucket SHATTERED under caps: "
+        f"{emb_boiler_groups}"
+    )
+    release_caches()
+
     # -- second scale point for the remaining families (round-4 VERDICT
     # task 8 stretch): substring-span dedup + text stats over the same
     # 37.7k-doc skew corpus (~7x the sf0.1 documents table). The winnow
@@ -305,6 +360,15 @@ def main() -> dict:
             "t_s": t_simhash,
             "hot_bucket_audit_rows": sh_audit_n,
             "boiler_components": sh_boiler_groups,
+        },
+        "embedding": {
+            "t_s": t_embed,
+            "hot_bucket_audit_rows": emb_audit_n,
+            "boiler_components": emb_boiler_groups,
+            "note": (
+                "20k byte-identical boiler embeddings vs bucket_cap=256 "
+                "in all 4 tables; hub-star keeps ONE component"
+            ),
         },
         "substring_winnow_t_s": t_winnow,
         "doc_stats_t_s": t_stats,
