@@ -294,6 +294,42 @@ def main() -> dict:
     )
     release_caches()
 
+    # -- exact dedup at skew: the 20k boiler-exact subgroup and the 2k
+    # degenerate block are giant identical-text groups — the hash-groupBy
+    # path must keep them single groups with min-id canonicals
+    from pipeline.extras.dedup import exact_dedup
+
+    t_exact, _ = timed(lambda: noop(exact_dedup(docs)))
+    exact_groups = exact_dedup(docs)
+    hot_canon = (
+        exact_groups.where(F.col("doc_id").startswith("hot"))
+        .select("canonical_id")
+        .distinct()
+        .count()
+    )
+    assert hot_canon == 1, f"degenerate exact-dup block: {hot_canon} canonicals"
+    max_exact_group = (
+        exact_groups.agg(F.max("group_size")).collect()[0][0]
+    )
+    release_caches()
+
+    # -- ANN top-k over the same skewed embeddings: the 20k-identical
+    # bucket is the adversarial case for bucketed ANN — the member cap
+    # bounds the bucket self-join while identical-vector neighbors still
+    # fill every query's top-k at cosine 1.0
+    from pipeline.extras.similarity import lsh_topk
+
+    queries_df = vec_df.limit(64).select("vec_id", "embedding")
+    t_ann, _ = timed(
+        lambda: noop(
+            lsh_topk(
+                vec_df, queries_df, k=10, n_dims=dim,
+                id_col="vec_id", hash_impl=cfg.hash_impl,
+            )
+        )
+    )
+    release_caches()
+
     # -- second scale point for the remaining families (round-4 VERDICT
     # task 8 stretch): substring-span dedup + text stats over the same
     # 37.7k-doc skew corpus (~7x the sf0.1 documents table). The winnow
@@ -368,6 +404,20 @@ def main() -> dict:
             "note": (
                 "20k byte-identical boiler embeddings vs bucket_cap=256 "
                 "in all 4 tables; hub-star keeps ONE component"
+            ),
+        },
+        "exact_dedup": {
+            "t_s": t_exact,
+            "max_group_size": int(max_exact_group),
+            "degenerate_canonicals": hot_canon,
+        },
+        "ann_lsh_topk": {
+            "t_s": t_ann,
+            "n_queries": 64,
+            "k": 10,
+            "note": (
+                "corpus-side bucket cap (4096) bounds the 20k-identical "
+                "bucket's self-join contribution"
             ),
         },
         "substring_winnow_t_s": t_winnow,
