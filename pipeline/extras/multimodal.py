@@ -74,11 +74,20 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
             px = np.stack(
                 [base, np.roll(base, 1), np.roll(base, 2)], axis=-1
             ).reshape(h_px, w_px, 3)
-            if (i // 3) % 2:
-                # alternate format + cycle scanline filters so the
-                # Spark path exercises the PNG decoder too
+            pick = (i // 3) % 3
+            if pick == 1:
+                # cycle scanline filters so the Spark path exercises
+                # every PNG unfilter branch
                 payload = encode_png(px, filter_type=(i // 3) % 5)
                 fmt = "png"
+            elif pick == 2:
+                # baseline JPEG (round-5): all-ones quant + 4:2:0 on
+                # alternate rows — the huffman/MCU/upsample paths run
+                # on real bytes inside the Spark batch
+                from pipeline.extras.jpeg import encode_jpeg
+
+                payload = encode_jpeg(px, subsample=bool((i // 3) % 2))
+                fmt = "jpeg"
             else:
                 payload = encode_ppm(px)
                 fmt = "ppm"
@@ -429,24 +438,30 @@ def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
 def _decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
     """Image decode kernel -> FEATURE_DIM thumbnail features in [0,1].
 
-    Route by magic bytes: PPM/PGM (``P6``/``P5``), BMP (``BM``) and
-    non-interlaced 8-bit PNG decode in PURE NUMPY (+ stdlib zlib for
+    Route by magic bytes: PPM/PGM (``P6``/``P5``), BMP (``BM``),
+    non-interlaced 8-bit PNG and baseline JPEG (round-5,
+    ``pipeline.extras.jpeg``) decode in PURE NUMPY (+ stdlib zlib for
     PNG) — real decode, runs in this sandbox, environment-independent,
     used even when PIL exists; anything else decodes via PIL when
-    installed (remaining production formats: JPEG etc.). UNDECODABLE
-    payloads (truncated/corrupt bytes — a mapInPandas batch must never
-    die on one bad row) fall back to the deterministic sha256 fake, or
-    raise ValueError in strict mode. Without PIL, the remaining
-    compressed formats take the fake path (non-strict) or raise
-    NotImplementedError loudly (strict). The Spark-side plumbing
-    (schema, mapInPandas batching, partitioning) is identical on every
-    path."""
+    installed (remaining production formats: progressive JPEG, WebP
+    etc.). UNDECODABLE payloads (truncated/corrupt bytes — a
+    mapInPandas batch must never die on one bad row) fall back to the
+    deterministic sha256 fake, or raise ValueError in strict mode.
+    Without PIL, the remaining compressed formats take the fake path
+    (non-strict) or raise NotImplementedError loudly (strict). The
+    Spark-side plumbing (schema, mapInPandas batching, partitioning) is
+    identical on every path."""
     head = bytes(payload[:2])
     is_png = bytes(payload[:8]) == _PNG_SIG
-    if head in (b"P6", b"P5", b"BM") or is_png:
+    is_jpeg = head == b"\xff\xd8"
+    if head in (b"P6", b"P5", b"BM") or is_png or is_jpeg:
         try:
             if is_png:
                 px = _decode_png(payload)
+            elif is_jpeg:
+                from pipeline.extras.jpeg import decode_jpeg
+
+                px = decode_jpeg(payload)
             elif head == b"BM":
                 px = _decode_bmp(payload)
             else:

@@ -379,13 +379,19 @@ def test_synth_media_images_decode_for_real(spark):
         if payload[:8] == mm._PNG_SIG:
             want = mm._luma_thumb(mm._decode_png(payload))
             seen_fmts.add("png")
+        elif payload[:2] == b"\xff\xd8":
+            from pipeline.extras.jpeg import decode_jpeg
+
+            want = mm._luma_thumb(decode_jpeg(payload))
+            seen_fmts.add("jpeg")
         else:
             want = mm._luma_thumb(mm._decode_ppm(payload))
             seen_fmts.add("ppm")
         got = np.array(feats.loc[r["doc_id"], "features"], dtype=np.float32)
         assert np.allclose(got, want, atol=1e-6)
         assert not np.array_equal(got, mm._fake_features(payload))
-    assert seen_fmts == {"png", "ppm"}  # both real decoders exercised
+    # all three real decoders exercised inside the Spark batch
+    assert seen_fmts == {"png", "ppm", "jpeg"}
 
 
 def test_repeated_substring_spans_planted_boilerplate(spark):

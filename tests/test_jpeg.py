@@ -1,0 +1,131 @@
+"""Baseline JPEG codec (pipeline/extras/jpeg.py): the compressed-format
+decode path runs on REAL bytes in this sandbox (round-4 VERDICT residual
+#2 — the JPEG leg was PIL-gated with zero in-sandbox coverage).
+
+The encoder exists for fixtures only; the decoder is the product path
+(routed by magic in multimodal._decode_image). All-ones quant tables
+make the roundtrip near-lossless, so pixel error bounds are tight and
+deterministic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pipeline.extras import multimodal as mm
+from pipeline.extras.jpeg import (
+    STD_QUANT_CHROMA,
+    STD_QUANT_LUMA,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _gradient(h, w):
+    return (np.add.outer(np.arange(h), np.arange(w)) * 7 % 256).astype(
+        np.uint8
+    )
+
+
+def test_gray_roundtrip_smooth_exact_wrap_within_one():
+    """All-ones quant + grayscale. Smooth content (per-block DCT spectra
+    that quantize without information loss) roundtrips bit-exact; the
+    wrapping gradient has 255->0 step edges whose full-spectrum blocks
+    pick up +-1 from coefficient rounding — lossy by construction, so
+    +-1 is the tight bound, not a decoder defect. Odd dims exercise
+    edge-block padding."""
+    y, x = np.mgrid[0:24, 0:17]
+    smooth = (y * 3 + x * 4).astype(np.uint8)  # max 117, no wrap
+    assert np.array_equal(decode_jpeg(encode_jpeg(smooth)), smooth)
+    for v in (0, 128, 255):  # DC-only blocks: always exact
+        c = np.full((24, 17), v, np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(c)), c)
+    g = _gradient(24, 17)  # wraps: step edges -> rounding +-1
+    d = decode_jpeg(encode_jpeg(g))
+    err = np.abs(d.astype(int) - g.astype(int))
+    assert err.max() <= 1
+    assert (err == 0).mean() > 0.95
+
+
+def test_rgb_444_roundtrip_tight():
+    rng = np.random.RandomState(3)
+    c = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(c))
+    assert d.shape == c.shape
+    # YCbCr forward/inverse rounding only
+    assert np.abs(d.astype(int) - c.astype(int)).max() <= 2
+
+
+def test_rgb_420_subsample_constant_chroma_exact():
+    """4:2:0 MCU interleave + chroma upsample: constant-chroma content
+    (gray image in RGB) survives 2x2 chroma averaging exactly."""
+    g = _gradient(20, 28)
+    c = np.stack([g, g, g], axis=-1)
+    d = decode_jpeg(encode_jpeg(c, subsample=True))
+    assert np.abs(d.astype(int) - c.astype(int)).max() <= 1
+
+
+def test_standard_quant_tables_lossy_but_close():
+    y, x = np.mgrid[0:32, 0:32]
+    g = (y * 3 + x * 4).astype(np.uint8)  # genuinely smooth — no wrap
+    c = np.stack([g, g, g], axis=-1)
+    d = decode_jpeg(
+        encode_jpeg(c, quant_luma=STD_QUANT_LUMA, quant_chroma=STD_QUANT_CHROMA)
+    )
+    # smooth content: standard tables stay within a few levels (measured
+    # max 3 / mean 1.2; step edges would show Gibbs ringing up to ~76,
+    # which is real JPEG behavior, not what this test probes)
+    assert np.abs(d.astype(int) - c.astype(int)).max() <= 8
+    assert np.abs(d.astype(float) - c.astype(float)).mean() < 2.0
+
+
+def test_restart_intervals_reset_predictors():
+    """A DC-predictor bug across RST markers would shift whole blocks by
+    many levels; +-1 (coefficient rounding at the wrap edges) proves the
+    predictors reset and byte-align correctly."""
+    g = _gradient(40, 24)
+    d = decode_jpeg(encode_jpeg(g, restart_interval=2))
+    assert np.abs(d.astype(int) - g.astype(int)).max() <= 1
+    # and bit-exact on smooth content, matching the no-restart path
+    y, x = np.mgrid[0:40, 0:24]
+    smooth = (y * 2 + x * 3).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(smooth, restart_interval=2)), smooth
+    )
+
+
+def test_feature_parity_with_ppm_twin():
+    """The same pixels through the JPEG path and the PPM path give the
+    same thumbnail features (within the all-ones-quant rounding)."""
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    f_jpeg = mm._decode_image(encode_jpeg(px), strict=True)
+    f_ppm = mm._decode_image(mm.encode_ppm(px), strict=True)
+    assert f_jpeg.shape == (mm.FEATURE_DIM,)
+    assert np.allclose(f_jpeg, f_ppm, atol=3.0 / 255.0)
+    assert not np.array_equal(f_jpeg, mm._fake_features(encode_jpeg(px)))
+
+
+def test_unsupported_and_corrupt_payloads():
+    # progressive (SOF2) is refused with a clear error
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05abc")
+    # not a JPEG at all
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"nope")
+    # truncated scan: strict raises the batch-safe error, non-strict
+    # falls back to the deterministic fake (mapInPandas must not die)
+    good = encode_jpeg(_gradient(16, 16))
+    bad = good[:-10]
+    with pytest.raises(ValueError, match="undecodable image payload"):
+        mm._decode_image(bad, strict=True)
+    assert np.array_equal(
+        mm._decode_image(bad, strict=False), mm._fake_features(bad)
+    )
+
+
+def test_decode_image_routes_jpeg_by_magic():
+    g = _gradient(8, 8)
+    feats = mm._decode_image(encode_jpeg(g), strict=True)
+    want = mm._luma_thumb(g)
+    assert np.allclose(feats, want, atol=1e-6)
