@@ -1958,6 +1958,23 @@ def _linkage_audit_sampled_sql() -> str:
     )
 
 
+def q_linkage_clusters_contracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup contraction pre-pass (``build_contracted_plan``):
+    gate-eligible docs with identical (norm_text, roles_sig) collapse to
+    their min-id representative BEFORE blocking; only reps are blocked
+    and scored, and labels expand through (rep, member) edges. Cap-free,
+    the equivalence is exact (tests/test_contraction.py), so the oracle
+    is the SAME full-graph recursive-CTE CC the uncontracted pipeline is
+    checked against — the driver hash-verifies that contraction changed
+    nothing while the pair stage shrank."""
+    from pipeline.linkage import build_contracted_plan, cluster_edges
+
+    turns = _turns_from_documents(spark, sf_dir)
+    plan = build_contracted_plan(turns, _nocap_config())
+    clusters, _ = cluster_edges(plan["edges"], plan["features"])
+    return clusters
+
+
 def q_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full linkage pipeline -> entity clusters.
 
@@ -2057,6 +2074,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_match_pairs": q_linkage_match_pairs,
         "incremental_linkage": q_incremental_linkage,
         "linkage_clusters": q_linkage_clusters,
+        "linkage_clusters_contracted": q_linkage_clusters_contracted,
     }
 
 
@@ -2119,4 +2137,7 @@ def oracle_sql() -> dict[str, str]:
         # clusters: equality proves the incremental update is lossless
         "incremental_linkage": _linkage_clusters_sql("docs_nocap"),
         "linkage_clusters": _linkage_clusters_sql(),
+        # contracted pipeline vs the twin's FULL-graph clusters: equality
+        # proves the exact-dup contraction pre-pass is lossless
+        "linkage_clusters_contracted": _linkage_clusters_sql("docs_nocap"),
     }

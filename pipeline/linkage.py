@@ -66,6 +66,143 @@ def cluster_edges(
     return connected_components(edges, all_nodes=feats.select("conv_id"))
 
 
+def contract_exact_dups(
+    feats: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Exact-duplicate contraction pre-pass: collapse behaviorally
+    identical conversations to one representative before blocking.
+
+    Scoring is a pure function of each side's ``(norm_text, roles_sig)``
+    (``scoring.score_pairs`` joins exactly those two columns per side)
+    and every blocking key is a function of ``norm_text`` — so two
+    gate-eligible docs with identical ``(norm_text, roles_sig)`` are
+    fully interchangeable: they generate the same keys, score identically
+    against every third doc, and their own pair is an exact-tier match.
+    Contracting each equivalence class to its minimum conv_id therefore
+    preserves entity labels EXACTLY (when no lossy cap binds; see
+    ``build_contracted_plan``) while removing the quadratic pair blowup
+    a mega-duplicate group causes — the exact-dup pre-pass the skew-scale
+    run's caveat calls for (BENCH/skew_scale.md: hub fan-in is linear but
+    still one edge per dropped member; contraction removes those members
+    from blocking entirely).
+
+    Returns ``(rep_feats, dup_map, weighted_df)``:
+
+    * ``rep_feats`` — feature rows for class representatives plus all
+      gate-REJECTED rows (rejected docs pair with nothing in the full
+      run — not even their own byte-twins — so they must stay singleton
+      rows, never collapse).
+    * ``dup_map`` — ``(conv_id, rep_id)`` for eligible non-representative
+      members only (empty when the corpus has no exact dups).
+    * ``weighted_df`` — ``(token, df)`` equal to ``blocking.token_df``
+      over the FULL corpus (each rep counts with its class size), so the
+      anchor family sees full-population document frequencies and family
+      4 keys are unchanged by contraction. Pass it as ``anchor_df``.
+
+    Scale shape: documents never shuffle by signature — one narrow
+    ``(conv_id, 2x60-bit sig)`` aggregation builds the classes, the
+    map-back join is co-partitioned with it, and the rep join keys on
+    conv_id (features are already hash-partitioned by conv_id from the
+    canonicalize groupBy). Class identity uses TWO independent salted
+    hashes of the signature (the ``exact_dedup`` double-hash rule:
+    collision probability ~2^-120 — never full-text equality shuffles).
+    """
+    from pipeline.blocking import required_feature_gate
+    from pipeline.features import hash_fn
+
+    H = hash_fn(cfg)
+    eligible = feats.where(required_feature_gate(cfg))
+    rejected = feats.where(~required_feature_gate(cfg))
+
+    sig_cols = (F.col("norm_text"), F.coalesce("roles_sig", F.lit("")))
+    sig = eligible.select(
+        "conv_id",
+        H(F.lit("xsig1"), *sig_cols).alias("_s1"),
+        H(F.lit("xsig2"), *sig_cols).alias("_s2"),
+    )
+    groups = sig.groupBy("_s1", "_s2").agg(
+        F.min("conv_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    dup_map = (
+        sig.join(groups, ["_s1", "_s2"])
+        .where(F.col("conv_id") != F.col("rep_id"))
+        .select("conv_id", "rep_id")
+    )
+    rep_feats = eligible.join(
+        groups.select(F.col("rep_id").alias("conv_id"), "group_size"),
+        "conv_id",
+    )
+    # df weighted by class multiplicity == token_df(full corpus): dup
+    # members have identical token sets, so each class contributes its
+    # size to every one of its distinct tokens.
+    weighted_df = (
+        rep_feats.select(
+            "group_size",
+            F.explode(F.array_distinct("tokens")).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.sum("group_size").alias("df"))
+    )
+    rep_feats = rep_feats.drop("group_size").unionByName(rejected)
+    return rep_feats, dup_map, weighted_df
+
+
+def build_contracted_plan(
+    turns: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG
+) -> dict[str, DataFrame]:
+    """``build_plan`` with the exact-dup contraction pre-pass.
+
+    Equivalence (tested, ``tests/test_contraction.py``): when no member /
+    pair cap binds, the final ``clusters`` equal the uncontracted run's
+    EXACTLY — (i) keys are functions of norm_text and anchor df is pinned
+    to full-population statistics via ``weighted_df``, so the rep pair
+    set is the full candidate set restricted to reps; (ii) scoring
+    depends only on the signature, so rep decisions equal member
+    decisions; (iii) each class is internally exact-matched in the full
+    run and uniformly connected externally, so components correspond
+    1:1 under the blow-up, and min-id labels agree because the rep IS
+    its class minimum. When caps DO bind, contraction is the STRONGER
+    path: the mega-group never becomes a hot key at all (one rep), so
+    no lossy coin-capping is needed for exact-duplicate skew — the skew
+    bench asserts label equality there empirically.
+
+    ``scored`` / audit tables describe REP pairs (one row per class
+    pair, not per member pair) — like ``audit_sample_rate``, pair-level
+    statistics are estimates of the full pair population; entity labels
+    are not.
+    """
+    from pipeline.session import track_cache
+
+    docs = canonicalize(turns)
+    feats = track_cache(featurize(docs, cfg))
+    rep_feats, dup_map, weighted_df = contract_exact_dups(feats, cfg)
+    rep_feats = track_cache(rep_feats)
+    pairs, hot_audit = candidate_pairs(rep_feats, cfg, anchor_df=weighted_df)
+    pairs = track_cache(pairs)
+    scored = score_pairs(rep_feats, pairs, cfg)
+    edges = scored.where("is_match").select(
+        F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
+    )
+    # expand: one (rep, member) edge per collapsed member — exact-tier
+    # matches by construction, so they are part of the full match graph
+    edges = edges.unionByName(
+        dup_map.select(
+            F.col("rep_id").alias("src"), F.col("conv_id").alias("dst")
+        )
+    )
+    return {
+        "docs": docs,
+        "features": feats,
+        "rep_features": rep_feats,
+        "dup_map": dup_map,
+        "pairs": pairs,
+        "hot_key_audit": hot_audit,
+        "scored": scored,
+        "edges": edges,
+    }
+
+
 def best_matches(scored: DataFrame) -> DataFrame:
     """W1-W4 best-candidate selection with the C3 unit-exact tie-break.
 
