@@ -83,6 +83,26 @@ def main() -> dict:
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
+    # fixed calibration workload (bench.py q0, same constants): stamps the
+    # VM's speed into this run so cross-run diffs can see host drift —
+    # the sandbox VM has shown >5x day-to-day swings after reboots.
+    def _calibration() -> float:
+        def run():
+            noop(
+                spark.range(0, 400_000_000, 1, cpus * 2)
+                .select(F.xxhash64("id").alias("h"))
+                .groupBy(F.pmod("h", F.lit(97)).alias("g"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(h)").alias("x"),
+                )
+            )
+        run()  # warm
+        return min(timed(run)[0], timed(run)[0])
+
+    calibration_start = _calibration()
+    print(f"[skew] calibration {calibration_start}s", file=sys.stderr)
+
     # -- featurize + blocking under binding caps ---------------------------
     feats = featurize(canonicalize(turns), cfg)
     t_feat, _ = timed(lambda: noop(feats))
@@ -106,9 +126,12 @@ def main() -> dict:
         file=sys.stderr,
     )
 
-    # -- scoring throughput while capped (steady: pairs pre-materialized) --
+    # -- scoring throughput while capped (steady: pairs pre-materialized;
+    # best-of-2 so a single VM-drift hiccup can't own the number) --------
     scored = score_pairs(feats, pairs, cfg)
-    t_score, _ = timed(lambda: noop(scored))
+    t_score = min(
+        timed(lambda: noop(scored))[0], timed(lambda: noop(scored))[0]
+    )
     pairs_per_s = round(n_pairs / t_score, 1)
 
     # -- clustering + label validation under binding caps ------------------
@@ -166,6 +189,113 @@ def main() -> dict:
     ]
     strong_recall = round(sum(co) / max(len(co), 1), 4)
     assert strong_recall >= 0.97, strong_recall
+    release_caches()
+
+    # -- round-5 exact-dup contraction pre-pass on the SAME corpus ----------
+    # The star cap's honest caveat was hub fan-in: one (hub, member) edge
+    # per dropped member still reaches scoring. Contraction collapses the
+    # signature classes (boiler-exact copies, the degenerate block) to one
+    # rep BEFORE blocking, so those members never generate keys at all —
+    # measure the pair-stage shrink and validate the labels against the
+    # star-capped run's.
+    from pipeline.linkage import contract_exact_dups
+
+    t_contract, (rep_feats, dup_map, weighted_df) = timed(
+        lambda: (
+            lambda r, d, w: (
+                r.localCheckpoint(eager=True),
+                d.localCheckpoint(eager=True),
+                w.localCheckpoint(eager=True),
+            )
+        )(*contract_exact_dups(feats, cfg))
+    )
+    n_reps, n_dup_members = rep_feats.count(), dup_map.count()
+
+    c_pairs, _c_hot = candidate_pairs(rep_feats, cfg, anchor_df=weighted_df)
+    t_c_block, _ = timed(lambda: noop(c_pairs))
+    c_pairs = c_pairs.localCheckpoint(eager=True)
+    n_c_pairs = c_pairs.count()
+
+    # scoring wall star-vs-contracted: INTERLEAVED rounds (the VM shows
+    # >3x drift within a single run — see the calibration stamps — so
+    # only per-round pairing isolates the operator difference)
+    c_scored = score_pairs(rep_feats, c_pairs, cfg)
+    noop(c_scored)  # warm (star side is already warm from its own leg)
+    ab_rounds = []
+    for _ in range(2):
+        ab_rounds.append(
+            {
+                "star_s": timed(lambda: noop(scored))[0],
+                "contracted_s": timed(lambda: noop(c_scored))[0],
+            }
+        )
+    t_c_score = min(r["contracted_s"] for r in ab_rounds)
+    t_star_rescore = min(r["star_s"] for r in ab_rounds)
+
+    c_edges = (
+        score_pairs(rep_feats, c_pairs, cfg, match_only=True)
+        .select(F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst"))
+        .unionByName(
+            dup_map.select(
+                F.col("rep_id").alias("src"), F.col("conv_id").alias("dst")
+            )
+        )
+    )
+    t_c_cc, c_clusters = timed(
+        lambda: connected_components(
+            c_edges, all_nodes=feats.select("conv_id")
+        )[0].localCheckpoint(eager=True)
+    )
+    c_boiler_entities = (
+        c_clusters.where(F.col("conv_id").startswith("boil"))
+        .select("entity_id").distinct().count()
+    )
+    assert c_boiler_entities == 1, c_boiler_entities
+    label_mismatches = (
+        clusters.join(
+            c_clusters.withColumnRenamed("entity_id", "c_entity_id"),
+            "conv_id",
+        )
+        .where(F.col("entity_id") != F.col("c_entity_id"))
+        .count()
+    )
+    # direction of any divergence: recall over ALL true match pairs, both
+    # paths. Under binding caps the two pair sets differ in the tail —
+    # contraction shrinks hot-key memberships, so the coin cap drops
+    # FEWER true pairs there; contracted recall must never be worse.
+    c_lab = dict(
+        zip(
+            *(lambda p: (p["conv_id"], p["entity_id"]))(
+                c_clusters.toPandas()
+            )
+        )
+    )
+    tpm = tp[tp["is_match"]]
+    def _recall(m, sub=None):
+        d = tpm if sub is None else tpm[tpm["dup_class"] == sub]
+        co = [
+            m.get(a) == m.get(b)
+            for a, b in zip(d["conv_id_a"], d["conv_id_b"])
+        ]
+        return round(sum(co) / max(len(co), 1), 5)
+    recall_star, recall_contracted = _recall(lab), _recall(c_lab)
+    # per-class: separates threshold behavior (the 'heavy' class is
+    # DESIGNED to sit at similarity ~45-60, borderline by construction)
+    # from any cap-induced loss on the strong classes
+    recall_by_class = {
+        cls: {"star": _recall(lab, cls), "contracted": _recall(c_lab, cls)}
+        for cls in sorted(tpm["dup_class"].unique())
+    }
+    assert recall_contracted >= recall_star, (
+        recall_contracted, recall_star,
+    )
+    print(
+        f"[skew] contraction: reps={n_reps} collapsed={n_dup_members} "
+        f"pairs={n_c_pairs} (star path: {n_pairs}) "
+        f"label_mismatches_vs_star={label_mismatches} "
+        f"recall star={recall_star} contracted={recall_contracted}",
+        file=sys.stderr,
+    )
     release_caches()
 
     # -- dedup family with production bucket caps binding -------------------
@@ -362,7 +492,15 @@ def main() -> dict:
     except Exception:
         pass
 
+    calibration_end = _calibration()
     out = {
+        "calibration_s_start": calibration_start,
+        "calibration_s_end": calibration_end,
+        "calibration_reference": (
+            "committed driver bench q0 on a healthy VM: ~1.08s; "
+            "scale every wall in this file by the calibration ratio "
+            "before cross-run comparison"
+        ),
         "n_convs": n_convs,
         "n_base": n_base,
         "boiler_members": boiler,
@@ -382,6 +520,29 @@ def main() -> dict:
         "boiler_entity_size": boiler_size,
         "degenerate_entities": hot_entities,
         "strong_pair_recall_under_caps": strong_recall,
+        "contraction": {
+            "t_contract_s": t_contract,
+            "t_blocking_s": t_c_block,
+            "t_scoring_s": t_c_score,
+            "t_star_rescore_s": t_star_rescore,
+            "scoring_ab_rounds": ab_rounds,
+            "t_cc_s": t_c_cc,
+            "reps": n_reps,
+            "collapsed_members": n_dup_members,
+            "pairs_after_contraction": n_c_pairs,
+            "pairs_star_path": n_pairs,
+            "boiler_entities": c_boiler_entities,
+            "label_mismatches_vs_star": label_mismatches,
+            "true_match_recall_star": recall_star,
+            "true_match_recall_contracted": recall_contracted,
+            "true_match_recall_by_class": recall_by_class,
+            "note": (
+                "exact-dup contraction collapses signature classes to one "
+                "rep BEFORE blocking — the mega-group's hub fan-in edges "
+                "(one per dropped member) are replaced by zero pairs; "
+                "labels expand through (rep, member) edges"
+            ),
+        },
         "minhash": {
             "t_s": t_minhash,
             "hot_bucket_audit_rows": mh_audit_n,

@@ -38,6 +38,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "sample_rate (the 100-TB audit cost control)",
     )
     p.add_argument(
+        "--contract-exact-dups", action="store_true",
+        help="opt-in exact-dup contraction pre-pass: identical-signature "
+        "docs collapse to one representative before blocking (labels "
+        "identical, pair stages describe rep pairs) — the mega-dup "
+        "skew defense at 100 TB",
+    )
+    p.add_argument(
         "--hash-impl", choices=["xxhash64", "md5"], default="xxhash64",
         help="blocking/bucketing key hash: xxhash64 (production default, "
         "Spark-native, ~21%% faster on the dedup family) or md5 "
@@ -74,7 +81,9 @@ def main(argv: list[str] | None = None) -> dict:
     t0 = time.time()
     cfg = replace(DEFAULT_CONFIG, hash_impl=args.hash_impl)
     out = run_staged(
-        spark, turns, args.output, cfg, audit_sample_rate=args.audit_sample
+        spark, turns, args.output, cfg,
+        audit_sample_rate=args.audit_sample,
+        contract_dups=args.contract_exact_dups,
     )
     # ONE driver action for the whole report: the three tiny aggregates
     # (1-row summary, doc count, distinct-entity count) crossJoin into a

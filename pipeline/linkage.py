@@ -246,6 +246,7 @@ def run_staged(
     out_dir: str,
     cfg: MatchConfig = DEFAULT_CONFIG,
     audit_sample_rate: float | None = None,
+    contract_dups: bool = False,
 ) -> dict[str, DataFrame]:
     """Materialize every stage with commit manifests (resumable).
 
@@ -258,6 +259,18 @@ def run_staged(
     decision columns are computed on a DETERMINISTIC sample of pairs
     (the shared hash coin on the pair key) for the audit tables, which
     carry ``sample_rate`` so consumers read them as estimates.
+
+    ``contract_dups`` (round-5, opt-in): run the exact-dup contraction
+    pre-pass (``contract_exact_dups``) — gate-eligible docs with an
+    identical (norm_text, roles_sig) signature collapse to one
+    representative before blocking, and entity labels expand back
+    through (rep, member) exact edges. CLUSTERS ARE IDENTICAL to the
+    uncontracted run when no cap binds (45th contract query), and the
+    mega-dup skew case never becomes a hot key at all. Pair-level
+    stages (``pairs``/``scored`` and the audit histograms) then
+    describe REP pairs — one row per signature-class pair, not per
+    member pair — so read them like the sampled audits: estimates of
+    the pair population, with labels exact.
     """
     # deterministic ACROSS PROCESSES: hash() of a dataclass with str
     # fields is salted per interpreter (PYTHONHASHSEED), which would
@@ -265,15 +278,29 @@ def run_staged(
     import hashlib
 
     fingerprint = "cfg:" + hashlib.md5(
-        (repr(cfg) + f":audit={audit_sample_rate}").encode("utf-8")
+        (
+            repr(cfg)
+            + f":audit={audit_sample_rate}"
+            + (":contract=1" if contract_dups else "")
+        ).encode("utf-8")
     ).hexdigest()
     runner = StageRunner(spark, out_dir, fingerprint=fingerprint)
 
     docs = runner.run("docs", lambda: canonicalize(turns))
     feats = runner.run("features", lambda: featurize(docs, cfg))
 
+    if contract_dups:
+        _contracted = contract_exact_dups(feats, cfg)
+        block_feats = runner.run("rep_features", lambda: _contracted[0])
+        dup_map = runner.run("dup_map", lambda: _contracted[1])
+        anchor_df = runner.run("anchor_df", lambda: _contracted[2])
+    else:
+        block_feats, dup_map, anchor_df = feats, None, None
+
     def _pairs() -> DataFrame:
-        p, hot, pair_cap = candidate_pairs(feats, cfg, return_pair_audit=True)
+        p, hot, pair_cap = candidate_pairs(
+            block_feats, cfg, return_pair_audit=True, anchor_df=anchor_df
+        )
         runner.run("hot_key_audit", lambda: hot)
         runner.run("pair_cap_audit", lambda: pair_cap)
         return p
@@ -282,7 +309,7 @@ def run_staged(
     scored = runner.run(
         "scored",
         lambda: score_pairs(
-            feats, pairs, cfg, match_only=audit_sample_rate is not None
+            block_feats, pairs, cfg, match_only=audit_sample_rate is not None
         ),
     )
 
@@ -290,6 +317,13 @@ def run_staged(
         edges = scored.where("is_match").select(
             F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
         )
+        if dup_map is not None:
+            edges = edges.unionByName(
+                dup_map.select(
+                    F.col("rep_id").alias("src"),
+                    F.col("conv_id").alias("dst"),
+                )
+            )
         clusters, cc_metrics = connected_components(
             edges, all_nodes=feats.select("conv_id")
         )
@@ -309,7 +343,9 @@ def run_staged(
         audit_scored = runner.run(
             "scored_audit_sample",
             lambda: score_pairs(
-                feats, pairs.where(coin < F.lit(float(audit_sample_rate))), cfg
+                block_feats,
+                pairs.where(coin < F.lit(float(audit_sample_rate))),
+                cfg,
             ),
         )
 

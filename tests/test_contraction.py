@@ -127,6 +127,71 @@ def test_rejected_twins_stay_singletons(spark):
     assert got["ok_a"] == got["ok_b"] == "ok_a"
 
 
+def test_run_staged_contracted_clusters_identical(spark, turns_df, tmp_path):
+    """Production surface: run_staged(contract_dups=True) yields the SAME
+    clusters as the plain staged run, the rep stages commit manifests,
+    and resume skips them."""
+    from pipeline.linkage import run_staged
+
+    plain = run_staged(
+        spark, turns_df, str(tmp_path / "plain"), DEFAULT_CONFIG
+    )
+    want = plain["clusters"].orderBy("conv_id").toPandas()
+
+    cdir = str(tmp_path / "contracted")
+    contracted = run_staged(
+        spark, turns_df, cdir, DEFAULT_CONFIG, contract_dups=True
+    )
+    got = contracted["clusters"].orderBy("conv_id").toPandas()
+    pd.testing.assert_frame_equal(want, got)
+
+    # rep pair stage really shrank vs the plain run's
+    assert contracted["pairs"].count() < plain["pairs"].count()
+
+    # resume: every stage (incl. rep_features / dup_map / anchor_df)
+    # reports resumed=True and clusters are unchanged
+    again = run_staged(
+        spark, turns_df, cdir, DEFAULT_CONFIG, contract_dups=True
+    )
+    resumed = {
+        m["stage"]: m.get("resumed")
+        for m in again["_runner"].metrics
+        if "resumed" in m
+    }
+    assert resumed["rep_features"] and resumed["dup_map"]
+    assert resumed["anchor_df"] and resumed["clusters"]
+    pd.testing.assert_frame_equal(
+        want, again["clusters"].orderBy("conv_id").toPandas()
+    )
+
+
+def test_run_staged_contraction_composes_with_audit_sampling(
+    spark, turns_df, tmp_path
+):
+    """The two production cost controls together: contraction (rep pairs
+    only) + audit sampling (match-only scoring, sampled histograms) must
+    still produce the plain run's exact clusters."""
+    from pipeline.linkage import run_staged
+
+    plain = run_staged(
+        spark, turns_df, str(tmp_path / "plain"), DEFAULT_CONFIG
+    )
+    want = plain["clusters"].orderBy("conv_id").toPandas()
+    both = run_staged(
+        spark,
+        turns_df,
+        str(tmp_path / "both"),
+        DEFAULT_CONFIG,
+        audit_sample_rate=0.5,
+        contract_dups=True,
+    )
+    pd.testing.assert_frame_equal(
+        want, both["clusters"].orderBy("conv_id").toPandas()
+    )
+    # sampled audit histogram exists and carries the sample_rate label
+    assert "sample_rate" in both["tier_histogram"].columns
+
+
 def test_contracted_labels_equal_under_binding_caps(spark):
     """Mini skew corpus: a 150-member exact/norm-noise boilerplate group
     against block_key_cap=16 — the caps BIND in the uncontracted run
