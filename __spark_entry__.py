@@ -1904,6 +1904,35 @@ def q_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["clusters"]
 
 
+def q_incremental_linkage_contracted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contracted incremental ER with the exact-dup short-circuit
+    (round-5, ``pipeline.incremental.incremental_link_contracted``):
+    the even-doc_id base is batch-linked CONTRACTED (signature classes
+    collapse to reps before blocking), then the odd-doc_id increment
+    arrives — increment docs whose (norm_text, roles_sig) signature
+    already exists in the committed rep set skip blocking and scoring
+    entirely and ride one (entity(rep), member) edge; the rest contract
+    intra-increment and flow through the standard restricted pair join.
+    Oracle: the SAME full-batch recursive-CTE CC as ``incremental_linkage``
+    — the driver hash-checks contracted-incremental == plain batch."""
+    from pipeline.incremental import incremental_link_contracted
+    from pipeline.linkage import build_contracted_plan, cluster_edges
+
+    cfg = _nocap_config()
+    turns = _turns_from_documents(spark, sf_dir)
+    parity = F.expr("cast(substring(conv_id, 2) as int) % 2")
+    base_plan = build_contracted_plan(turns.where(parity == 0), cfg)
+    base_clusters, _ = cluster_edges(
+        base_plan["edges"], base_plan["features"]
+    )
+    out = incremental_link_contracted(
+        base_plan["rep_features"], base_clusters, turns.where(parity == 1),
+        cfg,
+    )
+    return out["clusters"]
+
 def q_linkage_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit-sample seam (round-4 ``run_staged(audit_sample_rate=...)``),
     oracle-checked: the deterministic hash-coin pair sample is scored
@@ -2073,6 +2102,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_scored_pairs_strict": q_linkage_scored_pairs_strict,
         "linkage_match_pairs": q_linkage_match_pairs,
         "incremental_linkage": q_incremental_linkage,
+        "incremental_linkage_contracted": q_incremental_linkage_contracted,
         "linkage_clusters": q_linkage_clusters,
         "linkage_clusters_contracted": q_linkage_clusters_contracted,
     }
@@ -2136,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         # incremental (base batch + increment) vs the twin's FULL-batch
         # clusters: equality proves the incremental update is lossless
         "incremental_linkage": _linkage_clusters_sql("docs_nocap"),
+        "incremental_linkage_contracted": _linkage_clusters_sql("docs_nocap"),
         "linkage_clusters": _linkage_clusters_sql(),
         # contracted pipeline vs the twin's FULL-graph clusters: equality
         # proves the exact-dup contraction pre-pass is lossless

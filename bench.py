@@ -344,6 +344,43 @@ def main() -> dict:
     timed("q11b_linkage_incremental_step", _incremental_step)
     release_caches()
 
+    # ---- q11c: the same increment via the CONTRACTED path ---------------
+    # Committed state holds exact-dup class reps only
+    # (build_contracted_plan); increment docs whose signature is already
+    # committed skip blocking/scoring through one broadcast hash join
+    # (incremental_link_contracted). q11b vs q11c is the steady-state
+    # price of the short-circuit on a corpus with real exact dups.
+    from pipeline.incremental import incremental_link_contracted
+    from pipeline.linkage import build_contracted_plan
+
+    cplan = build_contracted_plan(doc_turns.where(slot != 19), PRODUCTION_CONFIG)
+    cbase_clusters, _ = cluster_edges(cplan["edges"], cplan["features"])
+    cbase_feats = cplan["rep_features"]
+    cbase_feats.count()
+    cbase_clusters = cbase_clusters.localCheckpoint(eager=True)
+    cbase_anchor_df = token_df(
+        cplan["features"], PRODUCTION_CONFIG
+    ).localCheckpoint(eager=True)
+    ckeys, ccounts = key_table_with_counts(
+        cbase_feats, PRODUCTION_CONFIG, cbase_anchor_df
+    )
+    ckeys = ckeys.localCheckpoint(eager=True)
+    ccounts = ccounts.localCheckpoint(eager=True)
+
+    def _incremental_step_contracted():
+        from pipeline.incremental import increment_tuning
+
+        with increment_tuning(spark):
+            out = incremental_link_contracted(
+                cbase_feats, cbase_clusters, doc_turns.where(slot == 19),
+                PRODUCTION_CONFIG, anchor_df=cbase_anchor_df,
+                existing_keys=ckeys, existing_key_counts=ccounts,
+            )
+            noop_write(out["clusters"])
+
+    timed("q11c_linkage_incremental_contracted", _incremental_step_contracted)
+    release_caches()
+
     total = round(sum(timings.values()), 3)
     report = {
         "metric": "linkage_e2e_plus_operator_suite",

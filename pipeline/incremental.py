@@ -90,6 +90,7 @@ def increment_tuning(spark, enabled: bool = True):
 from pipeline.blocking import (
     _cap_members,
     _hot_hubs,
+    candidate_pairs,
     key_table_with_counts,
     merge_key_state,
     star_capped_pairs,
@@ -297,6 +298,66 @@ def incremental_candidate_pairs(
     return pairs, hot_audit, pair_audit, cap_risk, union_keys, union_counts
 
 
+def _edges_to_entities(
+    scored: DataFrame, existing_clusters: DataFrame
+) -> DataFrame:
+    """Contract each scored match edge's existing endpoints to their
+    entity label (new docs map to themselves). The label join is against
+    the full clusters table — an equi-join on conv_id; on bucketed
+    committed state it is shuffle-free, and only MATCH edges flow
+    through it."""
+    lab = existing_clusters.select(
+        F.col("conv_id").alias("_cid"), F.col("entity_id").alias("_ent")
+    )
+    return (
+        scored.select("conv_id_a", "conv_id_b")
+        .join(lab.withColumnRenamed("_cid", "conv_id_a"), "conv_id_a", "left")
+        .withColumnRenamed("_ent", "_ent_a")
+        .join(lab.withColumnRenamed("_cid", "conv_id_b"), "conv_id_b", "left")
+        .withColumnRenamed("_ent", "_ent_b")
+        .select(
+            F.coalesce("_ent_a", "conv_id_a").alias("src"),
+            F.coalesce("_ent_b", "conv_id_b").alias("dst"),
+        )
+    )
+
+
+def _merge_labels(
+    existing_clusters: DataFrame, edges: DataFrame, new_ids: DataFrame
+) -> tuple[DataFrame, list[dict]]:
+    """CC over the contracted edge graph (nodes = entity labels + new
+    ids), then relabel: touched existing entities get their merged min-id
+    label via a broadcast merge map; new ids get their component label;
+    untouched committed rows pass through unchanged."""
+    comp, cc_metrics = connected_components(edges, all_nodes=new_ids)
+
+    # touched existing entities that must be relabeled (tiny; broadcast)
+    merge_map = (
+        comp.join(
+            existing_clusters.select(F.col("entity_id").alias("conv_id")).distinct(),
+            "conv_id",
+        )
+        .where(F.col("entity_id") != F.col("conv_id"))
+        .select(
+            F.col("conv_id").alias("_old_ent"),
+            F.col("entity_id").alias("_new_ent"),
+        )
+    )
+    existing_updated = (
+        existing_clusters.join(
+            F.broadcast(merge_map),
+            existing_clusters["entity_id"] == merge_map["_old_ent"],
+            "left",
+        )
+        .select(
+            "conv_id",
+            F.coalesce("_new_ent", "entity_id").alias("entity_id"),
+        )
+    )
+    new_assign = comp.join(new_ids, "conv_id").select("conv_id", "entity_id")
+    return existing_updated.unionByName(new_assign), cc_metrics
+
+
 def incremental_link(
     existing_feats: DataFrame,
     existing_clusters: DataFrame,
@@ -398,52 +459,8 @@ def incremental_link(
         n_partitions=n_score_parts,
     )
 
-    # contract existing endpoints to their entity label (new docs map to
-    # themselves). The label join is against the full clusters table —
-    # an equi-join on conv_id; on bucketed committed state it is
-    # shuffle-free, and only MATCH edges flow through it.
-    lab = existing_clusters.select(
-        F.col("conv_id").alias("_cid"), F.col("entity_id").alias("_ent")
-    )
-    edges = (
-        scored.select("conv_id_a", "conv_id_b")
-        .join(lab.withColumnRenamed("_cid", "conv_id_a"), "conv_id_a", "left")
-        .withColumnRenamed("_ent", "_ent_a")
-        .join(lab.withColumnRenamed("_cid", "conv_id_b"), "conv_id_b", "left")
-        .withColumnRenamed("_ent", "_ent_b")
-        .select(
-            F.coalesce("_ent_a", "conv_id_a").alias("src"),
-            F.coalesce("_ent_b", "conv_id_b").alias("dst"),
-        )
-    )
-
-    comp, cc_metrics = connected_components(edges, all_nodes=new_ids)
-
-    # touched existing entities that must be relabeled (tiny; broadcast)
-    merge_map = (
-        comp.join(
-            existing_clusters.select(F.col("entity_id").alias("conv_id")).distinct(),
-            "conv_id",
-        )
-        .where(F.col("entity_id") != F.col("conv_id"))
-        .select(
-            F.col("conv_id").alias("_old_ent"),
-            F.col("entity_id").alias("_new_ent"),
-        )
-    )
-    existing_updated = (
-        existing_clusters.join(
-            F.broadcast(merge_map),
-            existing_clusters["entity_id"] == merge_map["_old_ent"],
-            "left",
-        )
-        .select(
-            "conv_id",
-            F.coalesce("_new_ent", "entity_id").alias("entity_id"),
-        )
-    )
-    new_assign = comp.join(new_ids, "conv_id").select("conv_id", "entity_id")
-    clusters = existing_updated.unionByName(new_assign)
+    edges = _edges_to_entities(scored, existing_clusters)
+    clusters, cc_metrics = _merge_labels(existing_clusters, edges, new_ids)
 
     return {
         "features": feats_all,
@@ -452,6 +469,174 @@ def incremental_link(
         "key_counts": union_counts,
         "scored": scored,
         "clusters": clusters,
+        "hot_key_audit": hot_audit,
+        "pair_cap_audit": pair_audit,
+        "cap_risk_audit": cap_risk,
+        "cc_metrics": cc_metrics,
+    }
+
+
+def incremental_link_contracted(
+    existing_rep_feats: DataFrame,
+    existing_clusters: DataFrame,
+    new_turns: DataFrame,
+    cfg: MatchConfig = DEFAULT_CONFIG,
+    broadcast_new: bool = True,
+    anchor_df: DataFrame | None = None,
+    existing_keys: DataFrame | None = None,
+    existing_key_counts: DataFrame | None = None,
+    assume_disjoint_ids: bool = False,
+) -> dict[str, DataFrame]:
+    """``incremental_link`` over CONTRACTED committed state, with the
+    exact-duplicate short-circuit: an increment doc whose
+    ``(norm_text, roles_sig)`` signature (``linkage.exact_sigs``) already
+    exists in the committed rep set never enters blocking or scoring at
+    all — it is an exact-tier match of its committed twin by
+    construction, so its entity label is the twin's, delivered through
+    one ``(entity(rep), member)`` edge. At 100 TB this is the dominant
+    increment shape: most incoming boilerplate is byte- or
+    normalization-identical to something already seen, and its marginal
+    cost here is one broadcast hash join, zero candidate pairs.
+
+    Correctness: scoring is a pure function of each side's signature and
+    every blocking key is a function of ``norm_text``, so a signature
+    twin is behaviorally interchangeable with its rep (the
+    ``contract_exact_dups`` argument). A dup hit's edge set in the full
+    batch graph is its rep's edge set plus the (rep, hit) exact edge —
+    already one component — so attaching the hit to the rep's CURRENT
+    entity preserves the batch transitive closure; if this step also
+    merges the rep's entity with another, the hit follows through the
+    same CC (its edge targets the entity NODE). Min-id labels survive
+    because the CC runs over entity labels ∪ all new ids: a hit with a
+    smaller id than its component's committed label wins the min and the
+    broadcast merge map relabels the committed rows, exactly as in
+    ``incremental_link``. Equality with the plain batch run is pinned by
+    ``tests/test_incremental_contracted.py`` (single step + chained),
+    under the same population-independence conditions as the
+    uncontracted theorem (caps unbound, anchors off or frozen — pass
+    the contracted run's ``weighted_df`` snapshot as ``anchor_df`` to
+    pin anchors at full-population document frequencies).
+
+    ``existing_rep_feats``: the committed CONTRACTED feature table
+    (``contract_exact_dups``' rep rows + gate-rejected rows).
+    ``existing_clusters`` must cover ALL committed docs (collapsed
+    members included) — it is both the re-delivery filter and the label
+    base. Intra-increment duplicate classes contract too: one rep enters
+    blocking, members ride a (rep, member) edge.
+
+    Returns the ``incremental_link`` dict re-based on rep state —
+    ``rep_features`` / ``new_rep_features`` replace ``features`` /
+    ``new_features`` as the NEXT committed state (keys/key_counts are
+    rep-side) — plus ``dup_assign`` ``(conv_id, rep_id, hit)``: this
+    step's collapsed members (hit = matched a COMMITTED signature vs an
+    intra-increment one), the audit trail for docs that skipped the
+    pair pipeline.
+    """
+    from pipeline.linkage import exact_sigs
+
+    new_feats = featurize(canonicalize(new_turns), cfg)
+    # re-delivery: clusters cover every committed doc (collapsed members
+    # included), so they — not the rep-only feature table — are the
+    # correct ids-only anti-join base here
+    if not assume_disjoint_ids:
+        new_feats = new_feats.join(
+            existing_clusters.select("conv_id"), "conv_id", "left_anti"
+        )
+    new_feats = track_cache(new_feats)
+    all_new_ids = new_feats.select("conv_id")
+
+    # --- the short-circuit: committed-signature lookup -----------------
+    # increment side is small -> broadcast it; the committed rep-sig
+    # stream is a narrow projection of the rep feature table, map-side.
+    new_sigs = track_cache(exact_sigs(new_feats, cfg))
+    rep_sigs = exact_sigs(existing_rep_feats, cfg).select(
+        F.col("conv_id").alias("rep_id"), "_s1", "_s2"
+    )
+    hits = track_cache(
+        F.broadcast(new_sigs).join(rep_sigs, ["_s1", "_s2"])
+        .select("conv_id", "rep_id")
+    )
+
+    # misses contract among THEMSELVES (an increment can carry its own
+    # duplicate classes); gate-rejected rows stay singleton reps
+    miss_sigs = new_sigs.join(hits.select("conv_id"), "conv_id", "left_anti")
+    miss_groups = miss_sigs.groupBy("_s1", "_s2").agg(
+        F.min("conv_id").alias("rep_id")
+    )
+    intra_map = (
+        miss_sigs.join(miss_groups, ["_s1", "_s2"])
+        .where(F.col("conv_id") != F.col("rep_id"))
+        .select("conv_id", "rep_id")
+    )
+    keep_ids = miss_groups.select(F.col("rep_id").alias("conv_id")).unionByName(
+        all_new_ids.join(new_sigs.select("conv_id"), "conv_id", "left_anti")
+    )
+    new_rep_feats = track_cache(
+        new_feats.join(F.broadcast(keep_ids), "conv_id", "semi")
+    )
+    new_rep_ids = new_rep_feats.select("conv_id")
+    feats_all = existing_rep_feats.unionByName(new_rep_feats)
+
+    # --- standard incremental machinery over REP state only -----------
+    pairs, hot_audit, pair_audit, cap_risk, union_keys, union_counts = (
+        incremental_candidate_pairs(
+            feats_all, new_rep_ids, cfg, broadcast_new, anchor_df,
+            existing_keys, existing_key_counts, new_rep_feats,
+        )
+    )
+    pairs = track_cache(pairs)
+    touched = (
+        pairs.select(F.col("conv_id_a").alias("conv_id"))
+        .union(pairs.select(F.col("conv_id_b").alias("conv_id")))
+        .distinct()
+    )
+    feats_scoring = track_cache(
+        feats_all.join(F.broadcast(touched), "conv_id", "semi")
+    )
+    n_pairs = pairs.count()
+    cores = pairs.sparkSession.sparkContext.defaultParallelism
+    n_score_parts = max(1, min(cores * 3, -(-n_pairs // 2000)))
+    scored = score_pairs(
+        feats_scoring, pairs, cfg, match_only=True,
+        n_partitions=n_score_parts,
+    )
+
+    # --- edges: scored rep matches + both duplicate expansions ---------
+    # committed-twin hits target the rep's CURRENT entity label (the
+    # same broadcast-sized label slice incremental_link joins per edge);
+    # intra-increment members target their rep node directly.
+    hit_edges = (
+        hits.join(
+            existing_clusters.select(
+                F.col("conv_id").alias("rep_id"),
+                F.col("entity_id").alias("src"),
+            ),
+            "rep_id",
+        ).select("src", F.col("conv_id").alias("dst"))
+    )
+    intra_edges = intra_map.select(
+        F.col("rep_id").alias("src"), F.col("conv_id").alias("dst")
+    )
+    edges = (
+        _edges_to_entities(scored, existing_clusters)
+        .unionByName(hit_edges)
+        .unionByName(intra_edges)
+    )
+    clusters, cc_metrics = _merge_labels(
+        existing_clusters, edges, all_new_ids
+    )
+
+    dup_assign = hits.withColumn("hit", F.lit(True)).unionByName(
+        intra_map.withColumn("hit", F.lit(False))
+    )
+    return {
+        "rep_features": feats_all,
+        "new_rep_features": new_rep_feats,
+        "keys": union_keys,
+        "key_counts": union_counts,
+        "scored": scored,
+        "clusters": clusters,
+        "dup_assign": dup_assign,
         "hot_key_audit": hot_audit,
         "pair_cap_audit": pair_audit,
         "cap_risk_audit": cap_risk,

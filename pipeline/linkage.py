@@ -66,6 +66,27 @@ def cluster_edges(
     return connected_components(edges, all_nodes=feats.select("conv_id"))
 
 
+def exact_sigs(feats: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG) -> DataFrame:
+    """``(conv_id, _s1, _s2)`` exact-duplicate signature for every
+    gate-ELIGIBLE feature row — two independent salted 60-bit hashes of
+    ``(norm_text, roles_sig)``, the full behavioral identity of a doc
+    (every blocking key and every score channel is a function of those
+    two columns). Shared by ``contract_exact_dups`` and the incremental
+    short-circuit (``incremental.incremental_link_contracted``), which
+    must agree bit-for-bit on class identity across runs. Narrow: one
+    projection, no shuffle."""
+    from pipeline.blocking import required_feature_gate
+    from pipeline.features import hash_fn
+
+    H = hash_fn(cfg)
+    sig_cols = (F.col("norm_text"), F.coalesce("roles_sig", F.lit("")))
+    return feats.where(required_feature_gate(cfg)).select(
+        "conv_id",
+        H(F.lit("xsig1"), *sig_cols).alias("_s1"),
+        H(F.lit("xsig2"), *sig_cols).alias("_s2"),
+    )
+
+
 def contract_exact_dups(
     feats: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -108,18 +129,11 @@ def contract_exact_dups(
     collision probability ~2^-120 — never full-text equality shuffles).
     """
     from pipeline.blocking import required_feature_gate
-    from pipeline.features import hash_fn
 
-    H = hash_fn(cfg)
     eligible = feats.where(required_feature_gate(cfg))
     rejected = feats.where(~required_feature_gate(cfg))
 
-    sig_cols = (F.col("norm_text"), F.coalesce("roles_sig", F.lit("")))
-    sig = eligible.select(
-        "conv_id",
-        H(F.lit("xsig1"), *sig_cols).alias("_s1"),
-        H(F.lit("xsig2"), *sig_cols).alias("_s2"),
-    )
+    sig = exact_sigs(feats, cfg)
     groups = sig.groupBy("_s1", "_s2").agg(
         F.min("conv_id").alias("rep_id"),
         F.count(F.lit(1)).alias("group_size"),

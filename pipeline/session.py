@@ -32,6 +32,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Spark renders the FULL plan string for every action's
+        # SQLExecutionStart event even with the UI disabled; on deeply
+        # composed plans (lazily-chained incremental state, the
+        # contracted pipeline) the default ~2GB cap let a single
+        # explainString OOM an 8g driver (observed: StringConcat
+        # allocation in Dataset.localCheckpoint). 1MB keeps every
+        # diagnostic readable and bounds the cost at any plan depth.
+        .config("spark.sql.maxPlanStringLength", "1048576")
         # UI off by default (bench hygiene); diagnostics (BENCH/exec8_diag)
         # flip it on via env to read executor GC/task metrics over REST
         .config(

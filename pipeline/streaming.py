@@ -233,9 +233,32 @@ def _pointer_commit(spark: SparkSession, path_str: str, payload: dict) -> None:
     fc.rename(tmp, hpath, opts)
 
 
+def _load_state(spark: SparkSession, state: dict):
+    """Committed pointer dict -> (features, keys, counts, clusters)
+    DataFrames, with tombstones applied.
+
+    ``tombstones`` (written by ``retract_from_state``) is an ids-only
+    parquet of retracted conversations: the corpus-sized feature/key
+    dirs are append-only, so deletion is LOGICAL — an ids anti-join at
+    load time — until ``compact_state`` physically rewrites. The
+    tombstone table is bounded by retraction volume since the last
+    compaction (deletion requests, not corpus-scale), hence the
+    broadcast."""
+    feats = spark.read.parquet(*state["feature_dirs"])
+    keys = spark.read.parquet(*state["key_dirs"])
+    tomb = state.get("tombstones")
+    if tomb:
+        tdf = F.broadcast(spark.read.parquet(tomb).select("conv_id"))
+        feats = feats.join(tdf, "conv_id", "left_anti")
+        keys = keys.join(tdf, "conv_id", "left_anti")
+    counts = spark.read.parquet(state["counts"])
+    clusters = spark.read.parquet(state["clusters"])
+    return feats, keys, counts, clusters
+
+
 def _link_batch(
     spark: SparkSession, batch_df: DataFrame, batch_id: int,
-    state_dir: str, cfg,
+    state_dir: str, cfg, contracted: bool = False,
 ) -> None:
     """One ``foreachBatch`` step of ``streaming_incremental_link``.
 
@@ -255,8 +278,8 @@ def _link_batch(
     """
     import os
 
-    from pipeline.incremental import incremental_link
-    from pipeline.linkage import build_plan, cluster_edges
+    from pipeline.incremental import incremental_link, incremental_link_contracted
+    from pipeline.linkage import build_contracted_plan, build_plan, cluster_edges
     from pipeline.session import release_caches
 
     if batch_df.isEmpty():
@@ -272,12 +295,19 @@ def _link_batch(
     cdir = os.path.join(state_dir, f"counts_b{batch_id}")
     ldir = os.path.join(state_dir, f"clusters_b{batch_id}")
     if state is None:
-        plan = build_plan(batch_df, cfg)
-        clusters, _ = cluster_edges(plan["edges"], plan["features"])
         from pipeline.blocking import key_table_with_counts
 
-        keys, counts = key_table_with_counts(plan["features"], cfg)
-        plan["features"].write.mode("overwrite").parquet(fdir)
+        if contracted:
+            plan = build_contracted_plan(batch_df, cfg)
+            # committed feature state holds REP rows only; the labeling
+            # covers every doc (collapsed members ride dup_map edges)
+            stored_feats = plan["rep_features"]
+        else:
+            plan = build_plan(batch_df, cfg)
+            stored_feats = plan["features"]
+        clusters, _ = cluster_edges(plan["edges"], plan["features"])
+        keys, counts = key_table_with_counts(stored_feats, cfg)
+        stored_feats.write.mode("overwrite").parquet(fdir)
         keys.write.mode("overwrite").parquet(kdir)
         counts.write.mode("overwrite").parquet(cdir)
         clusters.write.mode("overwrite").parquet(ldir)
@@ -285,20 +315,25 @@ def _link_batch(
     else:
         from pipeline.incremental import increment_tuning
 
-        feats = spark.read.parquet(*state["feature_dirs"])
-        keys = spark.read.parquet(*state["key_dirs"])
-        counts = spark.read.parquet(state["counts"])
-        clusters0 = spark.read.parquet(state["clusters"])
+        feats, keys, counts, clusters0 = _load_state(spark, state)
         with increment_tuning(spark):
-            out = incremental_link(
-                feats, clusters0, batch_df, cfg,
-                existing_keys=keys, existing_key_counts=counts,
-            )
+            if contracted:
+                out = incremental_link_contracted(
+                    feats, clusters0, batch_df, cfg,
+                    existing_keys=keys, existing_key_counts=counts,
+                )
+                new_feats = out["new_rep_features"]
+            else:
+                out = incremental_link(
+                    feats, clusters0, batch_df, cfg,
+                    existing_keys=keys, existing_key_counts=counts,
+                )
+                new_feats = out["new_features"]
             # append-only commits for the corpus-sized state; full
             # rewrites only for the two narrow tables
-            out["new_features"].write.mode("overwrite").parquet(fdir)
+            new_feats.write.mode("overwrite").parquet(fdir)
             new_keys_only = out["keys"].join(
-                out["new_features"].select("conv_id"), "conv_id", "semi"
+                new_feats.select("conv_id"), "conv_id", "semi"
             )
             new_keys_only.write.mode("overwrite").parquet(kdir)
             out["key_counts"].write.mode("overwrite").parquet(cdir)
@@ -306,17 +341,21 @@ def _link_batch(
         feature_dirs = state["feature_dirs"] + [fdir]
         key_dirs = state["key_dirs"] + [kdir]
     release_caches()
-    _pointer_commit(
-        spark,
-        latest_path,
-        {
-            "batch_id": batch_id,
-            "feature_dirs": feature_dirs,
-            "key_dirs": key_dirs,
-            "counts": cdir,
-            "clusters": ldir,
-        },
-    )
+    payload = {
+        "batch_id": batch_id,
+        "feature_dirs": feature_dirs,
+        "key_dirs": key_dirs,
+        "counts": cdir,
+        "clusters": ldir,
+    }
+    if state is not None:
+        # carry maintenance metadata (retraction tombstones, revision
+        # counter) forward through increment commits
+        if state.get("tombstones"):
+            payload["tombstones"] = state["tombstones"]
+        if state.get("rev"):
+            payload["rev"] = state["rev"]
+    _pointer_commit(spark, latest_path, payload)
 
 
 def streaming_incremental_link(
@@ -326,6 +365,7 @@ def streaming_incremental_link(
     checkpoint_dir: str,
     cfg=None,
     max_files_per_trigger: int = 1,
+    contracted: bool = False,
 ):
     """CONTINUOUS entity resolution: ``foreachBatch`` turns every
     micro-batch of arriving conversations into an increment against the
@@ -369,6 +409,21 @@ def streaming_incremental_link(
     upstream, e.g. ``streaming_canonicalize``'s idle-timeout output or a
     sessionized bronze table.
 
+    ``contracted=True`` (round-5): committed feature/key state holds only
+    exact-dup class REPRESENTATIVES (``linkage.contract_exact_dups``) and
+    every micro-batch runs ``incremental_link_contracted`` — an arriving
+    conversation whose ``(norm_text, roles_sig)`` signature is already
+    committed never enters blocking or scoring, it rides one broadcast
+    hash join into its twin's entity. At 100 TB this is the dominant
+    arrival shape (boilerplate re-sends), so the steady-state cost per
+    duplicate arrival drops from a full pair-pipeline pass to one narrow
+    lookup; committed state stays contracted forever (state size tracks
+    DISTINCT signatures, not arrivals). Labels remain equal to the plain
+    batch run — same theorem as the batch contraction, pinned by
+    ``tests/test_streaming.py``. A populated ``state_dir`` is bound to
+    its mode: don't flip ``contracted`` mid-stream (rep-only vs full
+    feature state are different contracts).
+
     Returns the StreamingQuery.
     """
     from pipeline.config import DEFAULT_CONFIG
@@ -376,7 +431,9 @@ def streaming_incremental_link(
     cfg = cfg or DEFAULT_CONFIG
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        _link_batch(spark, batch_df, batch_id, state_dir, cfg)
+        _link_batch(
+            spark, batch_df, batch_id, state_dir, cfg, contracted=contracted
+        )
 
     stream = (
         spark.readStream.schema(TURNS_SCHEMA)
