@@ -1788,11 +1788,32 @@ def _linkage_scored_sql(mode: str = "default") -> str:
     )
 
 
-def _linkage_clusters_sql(mode: str = "strict") -> str:
+def _retract_doomed(conv_id: str) -> bool:
+    """The retraction contract query's removal predicate — must stay
+    bit-identical to the Spark-side ``cast(substring(conv_id, 2) as int)
+    % 5 = 3`` in ``q_linkage_retract``."""
+    return int(conv_id[1:]) % 5 == 3
+
+
+def _linkage_clusters_sql(mode: str = "strict", keep=None) -> str:
+    """Recursive-CTE CC oracle over the twin's match edges. With
+    ``keep`` (an id predicate), nodes and edges are restricted to kept
+    ids FIRST — the batch-over-remaining reference the decremental
+    ``retract`` must equal (doc-local keys + pairwise scoring make the
+    remaining corpus's match graph exactly this restriction; see
+    ``pipeline.incremental.retract``)."""
     twin = _twin_results()[mode]
     scored, docs = twin["scored"], twin["docs"]
-    nodes = ",".join(f"({_sql_str(c)})" for c in sorted(docs["conv_id"]))
+    doc_ids = sorted(docs["conv_id"])
     edges = scored[scored["is_match"]]
+    if keep is not None:
+        doc_ids = [c for c in doc_ids if keep(c)]
+        mask = [
+            keep(a) and keep(b)
+            for a, b in zip(edges["conv_id_a"], edges["conv_id_b"])
+        ]
+        edges = edges[mask]
+    nodes = ",".join(f"({_sql_str(c)})" for c in doc_ids)
     if len(edges) == 0:
         return (
             f"select conv_id, conv_id as entity_id from (values {nodes}) as n(conv_id)"
@@ -1932,6 +1953,31 @@ def q_incremental_linkage_contracted(
         cfg,
     )
     return out["clusters"]
+
+
+def q_linkage_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decremental ER (round-5 ``pipeline.incremental.retract``): the
+    full documents corpus is batch-linked, then every doc with
+    ``doc_id % 5 == 3`` is retracted — entity-bounded label repair over
+    the committed match edges, no re-scoring, O(affected entities) not
+    O(corpus). Oracle: the full-batch recursive-CTE CC restricted to
+    the REMAINING ids — the driver hash-checks retract == batch over
+    the remaining corpus (the reference has no deletion story at all;
+    its index is rebuilt offline)."""
+    from pipeline.incremental import retract
+    from pipeline.linkage import build_plan, cluster_edges
+
+    cfg = _nocap_config()
+    turns = _turns_from_documents(spark, sf_dir)
+    plan = build_plan(turns, cfg)
+    clusters, _ = cluster_edges(plan["edges"], plan["features"])
+    doomed = F.expr("cast(substring(conv_id, 2) as int) % 5 = 3")
+    remove = plan["features"].where(doomed).select("conv_id")
+    out = retract(
+        plan["features"], clusters, remove, cfg, match_edges=plan["edges"]
+    )
+    return out["clusters"]
+
 
 def q_linkage_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit-sample seam (round-4 ``run_staged(audit_sample_rate=...)``),
@@ -2103,6 +2149,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_match_pairs": q_linkage_match_pairs,
         "incremental_linkage": q_incremental_linkage,
         "incremental_linkage_contracted": q_incremental_linkage_contracted,
+        "linkage_retract": q_linkage_retract,
         "linkage_clusters": q_linkage_clusters,
         "linkage_clusters_contracted": q_linkage_clusters_contracted,
     }
@@ -2167,6 +2214,12 @@ def oracle_sql() -> dict[str, str]:
         # clusters: equality proves the incremental update is lossless
         "incremental_linkage": _linkage_clusters_sql("docs_nocap"),
         "incremental_linkage_contracted": _linkage_clusters_sql("docs_nocap"),
+        # decremental vs the twin's batch CC RESTRICTED to remaining ids:
+        # equality proves entity-bounded retraction == batch over the
+        # remaining corpus
+        "linkage_retract": _linkage_clusters_sql(
+            "docs_nocap", keep=lambda c: not _retract_doomed(c)
+        ),
         "linkage_clusters": _linkage_clusters_sql(),
         # contracted pipeline vs the twin's FULL-graph clusters: equality
         # proves the exact-dup contraction pre-pass is lossless

@@ -642,3 +642,151 @@ def incremental_link_contracted(
         "cap_risk_audit": cap_risk,
         "cc_metrics": cc_metrics,
     }
+
+
+def retract(
+    existing_feats: DataFrame,
+    existing_clusters: DataFrame,
+    remove_ids: DataFrame,
+    cfg: MatchConfig = DEFAULT_CONFIG,
+    match_edges: DataFrame | None = None,
+    existing_keys: DataFrame | None = None,
+    existing_key_counts: DataFrame | None = None,
+    anchor_df: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """DECREMENTAL entity resolution: delete conversations from committed
+    state and repair the labeling — the right-to-be-forgotten / takedown
+    counterpart of ``incremental_link``. The reference has no deletion
+    story at all (its OpenSearch index is rebuilt offline); at 100 TB a
+    rebuild per deletion request is not a plan, so retraction must cost
+    O(affected entities), not O(corpus).
+
+    Deleting a doc can SPLIT an entity (the doc was the only bridge
+    between two sub-groups) and can CHANGE a label (the doc was the
+    min-id member). Decremental connectivity is the classically hard
+    direction — edge deletions can't be repaired locally the way
+    insertions can — but entity resolution gives a bound global CC
+    doesn't have: every match edge lives INSIDE one committed entity, so
+    deletion effects cannot propagate past the entities the removed docs
+    belong to. The repair therefore recomputes connectivity ONLY inside
+    affected entities:
+
+    1. affected entities = committed labels of the removed ids
+       (broadcast semi-join; deletion requests are small by nature).
+    2. members of those entities; survivors = members minus removed.
+    3. the surviving match subgraph inside affected entities:
+       - ``match_edges`` given (the committed edge table a production
+         deployment appends per step — match pairs only, a tiny fraction
+         of pair volume): filter to edges with both endpoints surviving.
+         ZERO re-scoring, the 100-TB path.
+       - else: re-block + re-score survivors of affected entities only
+         (``candidate_pairs`` over the survivor feature slice). Anchors
+         must be pinned via ``anchor_df`` for population independence,
+         exactly as in ``incremental_link``.
+    4. connected components over that subgraph (+ survivor singletons) —
+       affected components are entity-bounded, so the driver union-find
+       fast path almost always takes it; relabel = union of untouched
+       committed rows (anti-join on affected entities — they never enter
+       a kernel or a wide shuffle) and the fresh affected labels.
+
+    Equality theorem (same scope as ``incremental_link``'s): with caps
+    unbound (or unbinding) and anchors frozen, ``retract`` ==
+    ``build_plan`` + ``cluster_edges`` over the remaining corpus. Keys
+    are doc-local functions of ``norm_text``, so the remaining corpus's
+    candidate set is the full set restricted to remaining docs; scoring
+    is pairwise; hence the remaining batch match graph is the committed
+    graph minus removed endpoints, and its components inside affected
+    entities are exactly what step 3-4 recomputes (a survivor's match
+    edge can only target a member of its old entity — a cross-entity
+    match would have merged the entities). Min-id labels fall out of CC
+    over survivors. Pinned by ``tests/test_retract.py`` (bridge split,
+    min-label handoff, synth equality, both edge-recovery modes, chain
+    with ``incremental_link``).
+
+    Returns dict: ``features`` / ``keys`` / ``key_counts`` (committed
+    state minus removed — narrow anti-joins / count decrements; on
+    parquet state a caller rewrites, on table-format state these are the
+    tombstone semantics ``pipeline.streaming.retract_from_state``
+    implements), ``clusters`` (repaired labels over remaining docs),
+    ``match_edges`` (surviving committed edges, when given),
+    ``removed`` (the resolved removal set), ``rescored`` (the affected
+    re-scored pairs when ``match_edges`` was absent), ``cc_metrics``.
+    """
+    removed = F.broadcast(remove_ids.select("conv_id").distinct())
+
+    affected_ents = F.broadcast(
+        existing_clusters.join(removed, "conv_id", "semi")
+        .select("entity_id")
+        .distinct()
+    )
+    members = existing_clusters.join(affected_ents, "entity_id", "semi")
+    survivors = members.join(removed, "conv_id", "left_anti")
+    survivor_ids = survivors.select("conv_id")
+
+    rescored = None
+    if match_edges is not None:
+        # committed match edges: entity-internal by construction, so a
+        # src-side semi-join against the affected members selects every
+        # affected edge; both-endpoint anti-joins drop removed docs.
+        sub_edges = (
+            match_edges.join(
+                members.select(F.col("conv_id").alias("src")), "src", "semi"
+            )
+            .join(removed.select(F.col("conv_id").alias("src")), "src", "left_anti")
+            .join(removed.select(F.col("conv_id").alias("dst")), "dst", "left_anti")
+        )
+    else:
+        surv_feats = track_cache(
+            existing_feats.join(survivor_ids, "conv_id", "semi")
+        )
+        pairs, _ = candidate_pairs(surv_feats, cfg, anchor_df=anchor_df)
+        rescored = score_pairs(surv_feats, pairs, cfg, match_only=True)
+        sub_edges = rescored.select(
+            F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
+        )
+
+    repaired, cc_metrics = connected_components(
+        sub_edges, all_nodes=survivor_ids
+    )
+    clusters = existing_clusters.join(
+        affected_ents, "entity_id", "left_anti"
+    ).unionByName(repaired.select("conv_id", "entity_id"))
+
+    out: dict[str, DataFrame] = {
+        "features": existing_feats.join(removed, "conv_id", "left_anti"),
+        "clusters": clusters,
+        "removed": removed,
+        "cc_metrics": cc_metrics,
+    }
+    if rescored is not None:
+        out["rescored"] = rescored
+    if match_edges is not None:
+        out["match_edges"] = (
+            match_edges.join(
+                removed.select(F.col("conv_id").alias("src")), "src", "left_anti"
+            ).join(
+                removed.select(F.col("conv_id").alias("dst")), "dst", "left_anti"
+            )
+        )
+    if existing_keys is not None:
+        out["keys"] = existing_keys.join(removed, "conv_id", "left_anti")
+        if existing_key_counts is not None:
+            removed_counts = (
+                existing_keys.join(removed, "conv_id", "semi")
+                .groupBy("family", "key")
+                .agg(F.count(F.lit(1)).alias("_gone"))
+            )
+            out["key_counts"] = (
+                existing_key_counts.join(
+                    F.broadcast(removed_counts), ["family", "key"], "left"
+                )
+                .select(
+                    "family",
+                    "key",
+                    (F.col("members") - F.coalesce("_gone", F.lit(0))).alias(
+                        "members"
+                    ),
+                )
+                .where(F.col("members") > 0)
+            )
+    return out

@@ -482,3 +482,156 @@ def arrival_stats_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# -- committed-state maintenance: retraction, compaction, vacuum -------------
+# The continuous-ER state machine is: increments APPEND (features/keys),
+# retractions TOMBSTONE (logical delete + label repair), compactions
+# REWRITE (fold the dir list and drop tombstoned rows). All three commit
+# through the same atomic pointer rename as the stream itself, so a crash
+# at any point leaves the previous committed state fully readable.
+
+
+def retract_from_state(
+    spark: SparkSession, state_dir: str, remove_ids, cfg=None
+) -> dict:
+    """Delete conversations from a committed ``streaming_incremental_link``
+    state (UNCONTRACTED mode) and repair the labeling — the operational
+    form of ``pipeline.incremental.retract`` (right-to-be-forgotten /
+    takedown requests against the continuously-maintained entity state).
+
+    Run with the stream STOPPED (maintenance window): the pointer rename
+    is atomic, but a concurrently-running increment would commit a
+    pointer that resurrects the retracted ids' features.
+
+    Deletion is LOGICAL for the corpus-sized tables: the removed ids are
+    appended to the tombstone table and every subsequent ``_load_state``
+    anti-joins them out of features/keys; only the two NARROW tables
+    (clusters — repaired via entity-bounded re-scoring, see ``retract``
+    — and key counts) are rewritten. Physical reclamation is
+    ``compact_state``. Crash-safe: all dirs are written under a fresh
+    revision suffix, the pointer renames last; idempotent — re-running
+    the same removal finds no affected entities and commits an identical
+    labeling under a new revision.
+
+    ``remove_ids``: DataFrame with a ``conv_id`` column, or an iterable
+    of id strings. Returns the committed pointer dict.
+    """
+    import os
+
+    from pipeline.config import DEFAULT_CONFIG
+    from pipeline.incremental import increment_tuning, retract
+    from pipeline.session import release_caches
+
+    cfg = cfg or DEFAULT_CONFIG
+    latest_path = os.path.join(state_dir, "_LATEST.json")
+    state = _pointer_read(spark, latest_path)
+    if state is None:
+        raise ValueError(f"no committed state at {state_dir}")
+    if not isinstance(remove_ids, DataFrame):
+        remove_ids = spark.createDataFrame(
+            [(str(i),) for i in remove_ids], "conv_id string"
+        )
+
+    feats, keys, counts, clusters = _load_state(spark, state)
+    rev = int(state.get("rev", 0)) + 1
+    tdir = os.path.join(state_dir, f"tombstones_rev{rev}")
+    cdir = os.path.join(state_dir, f"counts_rev{rev}")
+    ldir = os.path.join(state_dir, f"clusters_rev{rev}")
+
+    with increment_tuning(spark):
+        out = retract(
+            feats, clusters, remove_ids, cfg,
+            existing_keys=keys, existing_key_counts=counts,
+        )
+        # tombstones accumulate until compaction; clusters/counts are
+        # narrow full rewrites (same cadence the stream itself pays)
+        tomb = out["removed"].select("conv_id")
+        if state.get("tombstones"):
+            tomb = tomb.unionByName(
+                spark.read.parquet(state["tombstones"]).select("conv_id")
+            ).distinct()
+        tomb.write.mode("overwrite").parquet(tdir)
+        out["clusters"].write.mode("overwrite").parquet(ldir)
+        out["key_counts"].write.mode("overwrite").parquet(cdir)
+    release_caches()
+    payload = {
+        "batch_id": state["batch_id"],
+        "feature_dirs": state["feature_dirs"],
+        "key_dirs": state["key_dirs"],
+        "counts": cdir,
+        "clusters": ldir,
+        "tombstones": tdir,
+        "rev": rev,
+    }
+    _pointer_commit(spark, latest_path, payload)
+    return payload
+
+
+def compact_state(spark: SparkSession, state_dir: str) -> dict:
+    """Fold a committed state's per-batch feature/key dir lists into one
+    dir each, physically dropping tombstoned rows, and clear the
+    tombstone table. Labels and logical content are unchanged — this is
+    pure layout hygiene: a long-running stream accumulates one dir per
+    micro-batch (small-file pressure + O(batches) listing per load) and
+    every retraction leaves logically-deleted rows on disk until here.
+
+    Run with the stream STOPPED. Crash-safe via the same
+    write-new-revision-then-rename-pointer protocol; after the pointer
+    commit the superseded dirs are unreferenced garbage for
+    ``vacuum_state``. Returns the committed pointer dict.
+    """
+    import os
+
+    latest_path = os.path.join(state_dir, "_LATEST.json")
+    state = _pointer_read(spark, latest_path)
+    if state is None:
+        raise ValueError(f"no committed state at {state_dir}")
+    feats, keys, _, _ = _load_state(spark, state)
+    rev = int(state.get("rev", 0)) + 1
+    fdir = os.path.join(state_dir, f"features_compact_rev{rev}")
+    kdir = os.path.join(state_dir, f"keys_compact_rev{rev}")
+    feats.write.mode("overwrite").parquet(fdir)
+    keys.write.mode("overwrite").parquet(kdir)
+    payload = {
+        "batch_id": state["batch_id"],
+        "feature_dirs": [fdir],
+        "key_dirs": [kdir],
+        "counts": state["counts"],
+        "clusters": state["clusters"],
+        "rev": rev,
+    }
+    _pointer_commit(spark, latest_path, payload)
+    return payload
+
+
+def vacuum_state(spark: SparkSession, state_dir: str) -> list[str]:
+    """Delete state subdirectories no longer referenced by the committed
+    pointer (superseded by compaction / retraction revisions or orphaned
+    by a crash before a pointer commit). Run ONLY with the stream
+    stopped — an in-flight micro-batch writes its dirs BEFORE the
+    pointer references them, and vacuum would eat them. Idempotent.
+    Returns the deleted paths."""
+    import os
+
+    latest_path = os.path.join(state_dir, "_LATEST.json")
+    state = _pointer_read(spark, latest_path)
+    if state is None:
+        raise ValueError(f"no committed state at {state_dir}")
+    keep = {
+        os.path.basename(p)
+        for p in (
+            state["feature_dirs"]
+            + state["key_dirs"]
+            + [state["counts"], state["clusters"]]
+            + ([state["tombstones"]] if state.get("tombstones") else [])
+        )
+    }
+    jvm, conf, fs, root = _pointer_fs(spark, state_dir)
+    deleted: list[str] = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name not in keep:
+            fs.delete(st.getPath(), True)
+            deleted.append(name)
+    return deleted

@@ -387,3 +387,156 @@ def test_crash_replay_before_pointer_commit_recomputes(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, _batch_reference(spark, t, cfg))
+
+
+def test_streaming_incremental_link_contracted_matches_batch(spark, tmp_path):
+    """Contracted continuous ER: committed feature/key state holds only
+    exact-dup class reps, yet the final labeling equals one plain batch
+    run over all turns — and an arriving cross-batch signature twin
+    never enters the pair pipeline (the short-circuit engages through
+    the streaming seam, not just the library call)."""
+    import json
+
+    from pipeline.streaming import streaming_incremental_link
+
+    cfg = _nocap_cfg()
+    corpus = synth.generate(n_base=60, seed=23)
+    src = str(tmp_path / "src")
+    t = _conv_complete_drops(corpus, src, n_drops=3)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_incremental_link(
+        spark, src, state, ckpt, cfg=cfg, contracted=True
+    )
+    q.awaitTermination(300)
+
+    with open(os.path.join(state, "_LATEST.json")) as f:
+        latest = json.load(f)
+    assert latest["batch_id"] == 2, latest
+    got = (
+        spark.read.parquet(latest["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _batch_reference(spark, t, cfg))
+
+    # clusters cover every conv; committed feature state is rep-only
+    # (strictly fewer rows than convs: seed 23 carries exact/norm_eq
+    # twins) and signature-unique across all batches
+    n_convs = t["conv_id"].nunique()
+    assert len(got) == n_convs
+    feats = spark.read.parquet(*latest["feature_dirs"])
+    n_reps = feats.count()
+    assert n_reps < n_convs
+    from pipeline.linkage import exact_sigs
+
+    sigs = exact_sigs(feats, cfg)
+    assert sigs.groupBy("_s1", "_s2").count().where("count > 1").count() == 0
+
+    # restart with no new files: checkpoint makes it a no-op
+    q2 = streaming_incremental_link(
+        spark, src, state, ckpt, cfg=cfg, contracted=True
+    )
+    q2.awaitTermination(300)
+    with open(os.path.join(state, "_LATEST.json")) as f:
+        assert json.load(f) == latest
+
+
+def test_retract_compact_vacuum_state(spark, tmp_path):
+    """State-maintenance lifecycle on a committed 3-batch state:
+    retraction repairs labels to the batch reference over the remaining
+    corpus (tombstones applied at load, features/keys untouched on
+    disk); a follow-up increment consumes the retracted state; compaction
+    folds the dir lists and physically drops tombstoned rows; vacuum
+    deletes only unreferenced dirs. Labels identical at every step."""
+    import json
+
+    from pipeline.streaming import (
+        _load_state,
+        compact_state,
+        retract_from_state,
+        streaming_incremental_link,
+        vacuum_state,
+    )
+
+    cfg = _nocap_cfg()
+    corpus = synth.generate(n_base=60, seed=11)
+    src = str(tmp_path / "src")
+    t = _conv_complete_drops(corpus, src, n_drops=3)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
+    q.awaitTermination(300)
+
+    # retract every conv whose crc32 % 7 == 0 (deterministic, non-empty)
+    import zlib
+
+    doomed = sorted(
+        c for c in t["conv_id"].unique()
+        if zlib.crc32(c.encode()) % 7 == 0
+    )
+    assert doomed, "fixture must provide a non-empty removal set"
+    ptr = retract_from_state(spark, state, doomed, cfg=cfg)
+    assert ptr["tombstones"] and ptr["rev"] == 1
+
+    remaining = t[~t["conv_id"].isin(doomed)]
+    want = _batch_reference(spark, remaining, cfg)
+    got = (
+        spark.read.parquet(ptr["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # logical deletion: loaded state excludes the tombstoned ids
+    feats, keys, _, _ = _load_state(spark, ptr)
+    assert feats.where(F.col("conv_id").isin(doomed)).count() == 0
+    assert keys.where(F.col("conv_id").isin(doomed)).count() == 0
+
+    # an increment lands cleanly on the retracted state
+    extra = synth.generate(n_base=12, seed=99).turns.assign(
+        ts=lambda d: d["ts"].astype("datetime64[us]")
+    )
+    extra["conv_id"] = "x_" + extra["conv_id"]
+    extra.to_parquet(os.path.join(src, "drop_extra.parquet"), index=False)
+    q2 = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
+    q2.awaitTermination(300)
+    with open(os.path.join(state, "_LATEST.json")) as f:
+        ptr2 = json.load(f)
+    assert ptr2["batch_id"] == 3 and ptr2.get("tombstones"), ptr2
+    union = pd.concat([remaining, extra], ignore_index=True)
+    want2 = _batch_reference(spark, union, cfg)
+    got2 = (
+        spark.read.parquet(ptr2["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, want2)
+
+    # compaction: one dir each, tombstoned rows physically gone,
+    # labels untouched
+    ptr3 = compact_state(spark, state)
+    assert len(ptr3["feature_dirs"]) == 1 and len(ptr3["key_dirs"]) == 1
+    assert not ptr3.get("tombstones")
+    raw = spark.read.parquet(ptr3["feature_dirs"][0])
+    assert raw.where(F.col("conv_id").isin(doomed)).count() == 0
+    assert ptr3["clusters"] == ptr2["clusters"]
+
+    # vacuum: unreferenced dirs deleted, referenced ones intact, and the
+    # state still loads to the same labels
+    deleted = vacuum_state(spark, state)
+    assert deleted, "superseded dirs must be reclaimed"
+    left = {d for d in os.listdir(state) if d != "_LATEST.json"}
+    assert left == {
+        os.path.basename(p)
+        for p in ptr3["feature_dirs"] + ptr3["key_dirs"]
+        + [ptr3["counts"], ptr3["clusters"]]
+    }
+    got3 = (
+        spark.read.parquet(ptr3["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got3, want2)
