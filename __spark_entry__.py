@@ -2066,6 +2066,187 @@ def q_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters
 
 
+def q_entity_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity survivorship: one golden record per resolved entity
+    (``pipeline.survivorship.entity_canonical`` — deterministic survivor
+    + merged provenance fields in ONE entity-partitioned shuffle). The
+    reference has no merged-entity view (it ranks candidates per query,
+    ultimate_address_matcher.py:930-1010); this is the production ER
+    output that sits on top of the cluster stage. Oracle: DuckDB
+    recomputes the clusters (recursive-CTE CC over the twin's match
+    edges) AND the survivorship window/aggregates over the twin's doc
+    attributes — the full golden-record build is independently replayed
+    in SQL."""
+    from pipeline.linkage import build_plan, cluster_edges
+    from pipeline.survivorship import entity_canonical
+
+    turns = _turns_from_documents(spark, sf_dir)
+    plan = build_plan(turns, _nocap_config())
+    clusters, _ = cluster_edges(plan["edges"], plan["features"])
+    return entity_canonical(clusters, plan["features"])
+
+
+def q_fs_comparison_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter agreement-pattern histogram
+    (``pipeline.fellegi_sunter.comparison_patterns``): binarize the six
+    comparison channels and count patterns — the bounded (≤ 2^6-row)
+    sufficient statistic the EM fit consumes. One narrow groupBy over
+    the scored pairs; the corpus never leaves the executors. Oracle:
+    per-pair channel scores from the pandas twin inlined as VALUES,
+    binarization + counting recomputed by DuckDB."""
+    from pipeline.fellegi_sunter import comparison_patterns
+    from pipeline.linkage import build_plan
+
+    turns = _turns_from_documents(spark, sf_dir)
+    plan = build_plan(turns, _nocap_config())
+    return comparison_patterns(plan["scored"])
+
+
+def q_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised per-channel match weights via EM on the pattern
+    histogram (Fellegi & Sunter 1969; Winkler 1988) — the data-driven
+    replacement for the reference's hand-set channel weights
+    (optimized.py:905-924). Distributed work is the one pattern
+    aggregation; EM runs driver-side on ≤ 64 rows (a bounded reduction,
+    like the CC checksum). Oracle: an independently-coded vectorized
+    EM twin (``pipeline.twin.fs_em_pd``) over the twin's own pattern
+    counts, inlined as VALUES; both sides round to 6 dp."""
+    from pipeline.fellegi_sunter import em_weights
+    from pipeline.linkage import build_plan
+
+    turns = _turns_from_documents(spark, sf_dir)
+    plan = build_plan(turns, _nocap_config())
+    return em_weights(spark, plan["scored"])
+
+
+def _entity_canonical_sql(mode: str = "docs_nocap") -> str:
+    """Survivorship oracle: clusters via recursive-CTE CC over the
+    twin's match edges (as in ``_linkage_clusters_sql``), then the
+    survivor window + merged aggregates recomputed by DuckDB over the
+    twin's doc attributes."""
+    twin = _twin_results()[mode]
+    scored, docs = twin["scored"], twin["docs"]
+    doc_vals = ",\n".join(
+        f"({_sql_str(c)}, {int(nt)}, {len(norm)}, {int(ts.value // 1000)})"
+        for c, nt, norm, ts in zip(
+            docs["conv_id"], docs["n_turns"], docs["norm_text"], docs["first_ts"]
+        )
+    )
+    edges = scored[scored["is_match"]]
+    if len(edges) == 0:
+        clusters_cte = (
+            "clusters as (select conv_id, conv_id as entity_id from docs)"
+        )
+        recursive = ""
+    else:
+        edge_vals = ",".join(
+            f"({_sql_str(a)}, {_sql_str(b)})"
+            for a, b in zip(edges["conv_id_a"], edges["conv_id_b"])
+        )
+        recursive = "recursive"
+        clusters_cte = f"""raw(src, dst) as (values {edge_vals}),
+edges as (select src, dst from raw union select dst, src from raw),
+reach(node, r) as (
+    select conv_id, conv_id from docs
+    union
+    select reach.node, e.dst from reach join edges e on e.src = reach.r
+),
+clusters as (select node as conv_id, min(r) as entity_id from reach group by node)"""
+    return f"""
+with {recursive}
+docs(conv_id, n_turns, norm_len, ts_us) as (values
+{doc_vals}
+),
+{clusters_cte},
+ranked as (
+    select c.entity_id,
+           row_number() over (
+               partition by c.entity_id
+               order by d.n_turns desc, d.norm_len desc, d.ts_us asc,
+                        d.conv_id asc
+           ) as rn,
+           d.conv_id as canonical_id,
+           cast(count(*) over (partition by c.entity_id) as bigint)
+               as n_members,
+           cast(sum(d.n_turns) over (partition by c.entity_id) as bigint)
+               as total_turns,
+           cast(min(d.ts_us) over (partition by c.entity_id) as bigint)
+               as first_seen_us,
+           cast(max(d.ts_us) over (partition by c.entity_id) as bigint)
+               as last_seen_us,
+           cast(d.norm_len as int) as canonical_norm_len
+    from clusters c join docs d on c.conv_id = d.conv_id
+)
+select entity_id, canonical_id, n_members, total_turns,
+       first_seen_us, last_seen_us, canonical_norm_len
+from ranked where rn = 1
+"""
+
+
+def _fs_channel_vals(mode: str = "docs_nocap") -> str:
+    from pipeline.fellegi_sunter import DEFAULT_CHANNELS
+
+    scored = _twin_results()[mode]["scored"]
+    cols = [scored[f"s_{name}"] for name, _thr in DEFAULT_CHANNELS]
+    return ",\n".join(
+        "(" + ", ".join(repr(float(v)) for v in row) + ")"
+        for row in zip(*cols)
+    )
+
+
+def _fs_patterns_sql(mode: str = "docs_nocap") -> str:
+    """Pattern-histogram oracle: twin per-pair channel scores inlined,
+    binarization + counting done by DuckDB itself."""
+    from pipeline.fellegi_sunter import DEFAULT_CHANNELS
+
+    names = [name for name, _thr in DEFAULT_CHANNELS]
+    gcols = ", ".join(
+        f"(case when s_{name} >= {thr!r} then 1 else 0 end) as g_{name}"
+        for name, thr in DEFAULT_CHANNELS
+    )
+    concat = " || ".join(f"cast(g_{name} as varchar)" for name in names)
+    gsel = ", ".join(f"g_{name}" for name in names)
+    return f"""
+with raw({", ".join("s_" + n for n in names)}) as (values
+{_fs_channel_vals(mode)}
+),
+g as (select {gcols} from raw)
+select {concat} as pattern, {gsel},
+       cast(count(*) as bigint) as n_pairs
+from g group by {gsel}
+"""
+
+
+def _fs_em_weights_sql(mode: str = "docs_nocap") -> str:
+    """EM-weights oracle: the independently-coded numpy twin
+    (``twin.fs_em_pd``) runs over the twin's own pattern counts at
+    oracle-build time; its 6-dp outputs are inlined as VALUES."""
+    from pipeline.fellegi_sunter import (
+        DEFAULT_CHANNELS,
+        EM_ITERS,
+        INIT_M,
+        INIT_P,
+        INIT_U,
+    )
+    from pipeline.twin import fs_em_pd, fs_patterns_pd
+
+    scored = _twin_results()[mode]["scored"]
+    pats = fs_patterns_pd(scored, DEFAULT_CHANNELS)
+    w = fs_em_pd(pats, DEFAULT_CHANNELS, EM_ITERS, INIT_P, INIT_M, INIT_U)
+    vals = ",\n".join(
+        f"({_sql_str(r.channel)}, cast('{r.m_prob!r}' as double),"
+        f" cast('{r.u_prob!r}' as double), cast('{r.w_agree!r}' as double),"
+        f" cast('{r.w_disagree!r}' as double),"
+        f" cast('{r.match_prior!r}' as double))"
+        for r in w.itertuples()
+    )
+    return (
+        "select * from (values\n"
+        f"{vals}\n"
+        ") as t(channel, m_prob, u_prob, w_agree, w_disagree, match_prior)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2152,6 +2333,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_retract": q_linkage_retract,
         "linkage_clusters": q_linkage_clusters,
         "linkage_clusters_contracted": q_linkage_clusters_contracted,
+        "entity_canonical": q_entity_canonical,
+        "fs_comparison_patterns": q_fs_comparison_patterns,
+        "fs_em_weights": q_fs_em_weights,
     }
 
 
@@ -2224,4 +2408,12 @@ def oracle_sql() -> dict[str, str]:
         # contracted pipeline vs the twin's FULL-graph clusters: equality
         # proves the exact-dup contraction pre-pass is lossless
         "linkage_clusters_contracted": _linkage_clusters_sql("docs_nocap"),
+        # survivorship: DuckDB replays clusters (recursive-CTE CC) AND
+        # the survivor window + merged aggregates over twin doc attrs
+        "entity_canonical": _entity_canonical_sql(),
+        # Fellegi–Sunter: binarization + pattern counts recomputed by
+        # DuckDB from twin per-pair channel scores; EM weights from the
+        # independently-coded numpy twin (both sides rounded to 6 dp)
+        "fs_comparison_patterns": _fs_patterns_sql(),
+        "fs_em_weights": _fs_em_weights_sql(),
     }

@@ -218,3 +218,91 @@ def linkage_pd(
         columns=["conv_id", "entity_id"],
     ).sort_values(["conv_id"]).reset_index(drop=True)
     return {"docs": docs, "pairs": pairs, "scored": scored, "clusters": clusters}
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter twin (numpy-vectorized — independent of the plain-float
+# loop in pipeline/fellegi_sunter.py; both round to 6 dp, which absorbs
+# the summation-order FP noise between the two implementations)
+# ---------------------------------------------------------------------------
+
+
+def fs_patterns_pd(
+    scored: pd.DataFrame, channels: list[tuple[str, float]]
+) -> pd.DataFrame:
+    """Twin of ``fellegi_sunter.comparison_patterns``: binarize the
+    channel scores and count agreement patterns."""
+    import numpy as np
+
+    gam = np.column_stack(
+        [
+            (scored[f"s_{name}"].to_numpy() >= thr).astype(int)
+            for name, thr in channels
+        ]
+    )
+    pats = ["".join(map(str, row)) for row in gam]
+    df = pd.DataFrame({"pattern": pats})
+    counts = df.groupby("pattern").size().reset_index(name="n_pairs")
+    for i, (name, _thr) in enumerate(channels):
+        counts[f"g_{name}"] = counts["pattern"].str[i].astype(int)
+    cols = ["pattern"] + [f"g_{name}" for name, _ in channels] + ["n_pairs"]
+    return counts[cols].sort_values("pattern").reset_index(drop=True)
+
+
+def fs_em_pd(
+    patterns: pd.DataFrame,
+    channels: list[tuple[str, float]],
+    iters: int,
+    init_p: float,
+    init_m: float,
+    init_u: float,
+) -> pd.DataFrame:
+    """Twin of ``fellegi_sunter.em_weights`` from a pattern-count table:
+    vectorized EM over the (≤ 2^C)-row pattern matrix."""
+    import numpy as np
+
+    pat = patterns.sort_values("pattern")
+    gam = np.array([[int(c) for c in s] for s in pat["pattern"]], dtype=float)
+    n = pat["n_pairs"].to_numpy(dtype=float)
+    total = n.sum()
+    C = len(channels)
+    p, m, u = init_p, np.full(C, init_m), np.full(C, init_u)
+    eps = 1e-6
+    for _ in range(iters):
+        pm = p * np.prod(np.where(gam == 1.0, m, 1.0 - m), axis=1)
+        pu = (1.0 - p) * np.prod(np.where(gam == 1.0, u, 1.0 - u), axis=1)
+        denom = pm + pu
+        g = np.where(denom > 0.0, pm / np.where(denom == 0.0, 1.0, denom), 0.5)
+        sum_g = float((n * g).sum())
+        sum_u = float((n * (1.0 - g)).sum())
+        p = min(max(sum_g / total, eps), 1.0 - eps)
+        if sum_g > 0:
+            m = np.clip((n * g) @ gam / sum_g, eps, 1.0 - eps)
+        else:
+            m = np.full(C, eps)
+        if sum_u > 0:
+            u = np.clip((n * (1.0 - g)) @ gam / sum_u, eps, 1.0 - eps)
+        else:
+            u = np.full(C, eps)
+    rows = [
+        (
+            name,
+            round(float(m[i]), 6),
+            round(float(u[i]), 6),
+            round(float(np.log2(m[i] / u[i])), 6),
+            round(float(np.log2((1.0 - m[i]) / (1.0 - u[i]))), 6),
+            round(float(p), 6),
+        )
+        for i, (name, _thr) in enumerate(channels)
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "channel",
+            "m_prob",
+            "u_prob",
+            "w_agree",
+            "w_disagree",
+            "match_prior",
+        ],
+    )

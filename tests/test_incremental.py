@@ -217,8 +217,15 @@ def test_incremental_merges_committed_entities(spark):
 
     # the scoring stage prunes the corpus to pair-touched ids via a
     # BROADCAST semi-join (map-side; the step never shuffles the corpus
-    # features into scoring)
-    plan = out["scored"]._jdf.queryExecution().executedPlan().toString()
+    # features into scoring). The session caps maxPlanStringLength at
+    # 1 MB (composed lazy plans OOM'd an 8g driver rendering event
+    # strings) and this composed plan is ~50 MB rendered, so raise the
+    # cap just for this render — the assertion needs the full string.
+    spark.conf.set("spark.sql.maxPlanStringLength", str(256 * 1024 * 1024))
+    try:
+        plan = out["scored"]._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxPlanStringLength", "1048576")
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan[:2000]
 
 
