@@ -2247,6 +2247,155 @@ def _fs_em_weights_sql(mode: str = "docs_nocap") -> str:
     )
 
 
+def q_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extrinsic cluster-quality metrics
+    (``pipeline.evaluate.clustering_metrics``): B-cubed + pair-counting
+    precision/recall/F1 of the linkage clusters against a reference
+    clustering — here the exact-signature classes (identical
+    ``(norm_text, roles_sig)`` => same truth entity), the strictest
+    label an unlabeled corpus carries. The reference has no evaluation
+    surface at all (quality is per-result eyeballing,
+    ultimate_address_matcher.py:760-866). One row, all BIGINT (ratios
+    scaled x1e6 via order-independent integer nano-sums). Oracle:
+    DuckDB recomputes the clusters (recursive-CTE CC over the twin's
+    match edges), the signature classes, AND the full contingency-table
+    metric SQL — the entire evaluation is independently replayed."""
+    from pipeline.evaluate import clustering_metrics
+    from pipeline.linkage import build_plan, cluster_edges
+
+    turns = _turns_from_documents(spark, sf_dir)
+    plan = build_plan(turns, _nocap_config())
+    clusters, _ = cluster_edges(plan["edges"], plan["features"])
+    sig = plan["features"].select(
+        "conv_id",
+        F.col("norm_text").alias("_nt"),
+        F.coalesce("roles_sig", F.lit("")).alias("_rs"),
+    )
+    reps = sig.groupBy("_nt", "_rs").agg(F.min("conv_id").alias("entity_id"))
+    truth = sig.join(reps, ["_nt", "_rs"]).select("conv_id", "entity_id")
+    return clustering_metrics(clusters, truth)
+
+
+def _cluster_eval_sql(mode: str = "docs_nocap") -> str:
+    """Cluster-eval oracle: pred = recursive-CTE CC (same construction
+    as ``_linkage_clusters_sql``), truth = signature classes over the
+    twin's docs, and the contingency-table metric arithmetic replayed
+    verbatim in DuckDB (BIGINT nano-sums, same rounding)."""
+    docs = _twin_results()[mode]["docs"]
+    truth_vals = ",\n".join(
+        f"({_sql_str(c)}, {_sql_str(nt)}, {_sql_str(rs if rs is not None else '')})"
+        for c, nt, rs in zip(
+            docs["conv_id"], docs["norm_text"], docs["roles_sig"]
+        )
+    )
+    return f"""
+with pred as ({_linkage_clusters_sql(mode)}),
+sig(conv_id, nt, rs) as (values
+{truth_vals}
+),
+reps as (select nt, rs, min(conv_id) as entity_id from sig group by nt, rs),
+truth as (select s.conv_id, r.entity_id
+          from sig s join reps r on s.nt = r.nt and s.rs = r.rs),
+j as (select pred.entity_id as p, truth.entity_id as t
+      from pred join truth on pred.conv_id = truth.conv_id),
+cells as (select p, t, cast(count(*) as bigint) as n_pt from j group by p, t),
+w as (select n_pt,
+        sum(n_pt) over (partition by p) as n_p,
+        sum(n_pt) over (partition by t) as n_t,
+        row_number() over (partition by p order by t) as rn_p,
+        row_number() over (partition by t order by p) as rn_t
+      from cells),
+stats as (select
+    cast(sum(n_pt) as bigint) as n_items,
+    cast(sum(case when rn_p = 1 then 1 else 0 end) as bigint)
+        as n_pred_entities,
+    cast(sum(case when rn_t = 1 then 1 else 0 end) as bigint)
+        as n_truth_entities,
+    cast(sum(cast(n_pt * (n_pt - 1) / 2 as bigint)) as bigint) as pair_tp,
+    cast(sum(case when rn_p = 1
+             then cast(n_p * (n_p - 1) / 2 as bigint) else 0 end) as bigint)
+        as pair_pred,
+    cast(sum(case when rn_t = 1
+             then cast(n_t * (n_t - 1) / 2 as bigint) else 0 end) as bigint)
+        as pair_truth,
+    cast(sum(cast(round(n_pt * n_pt * 1000000000.0 / n_p) as bigint))
+        as bigint) as bp_nano,
+    cast(sum(cast(round(n_pt * n_pt * 1000000000.0 / n_t) as bigint))
+        as bigint) as br_nano
+  from w),
+m as (select *,
+    case when pair_pred = 0 then cast(1000000 as bigint)
+         else cast(round(pair_tp * 1000000.0 / pair_pred) as bigint) end
+        as pair_precision_x1e6,
+    case when pair_truth = 0 then cast(1000000 as bigint)
+         else cast(round(pair_tp * 1000000.0 / pair_truth) as bigint) end
+        as pair_recall_x1e6,
+    case when n_items = 0 then cast(1000000 as bigint)
+         else cast(round(bp_nano / (n_items * 1000.0)) as bigint) end
+        as bcubed_precision_x1e6,
+    case when n_items = 0 then cast(1000000 as bigint)
+         else cast(round(br_nano / (n_items * 1000.0)) as bigint) end
+        as bcubed_recall_x1e6
+  from stats)
+select n_items, n_pred_entities, n_truth_entities,
+       pair_tp, pair_pred, pair_truth,
+       pair_precision_x1e6, pair_recall_x1e6,
+       case when pair_precision_x1e6 + pair_recall_x1e6 = 0
+            then cast(0 as bigint)
+            else cast(round(2.0 * pair_precision_x1e6 * pair_recall_x1e6
+                 / (pair_precision_x1e6 + pair_recall_x1e6)) as bigint) end
+           as pair_f1_x1e6,
+       bcubed_precision_x1e6, bcubed_recall_x1e6,
+       case when bcubed_precision_x1e6 + bcubed_recall_x1e6 = 0
+            then cast(0 as bigint)
+            else cast(round(2.0 * bcubed_precision_x1e6 * bcubed_recall_x1e6
+                 / (bcubed_precision_x1e6 + bcubed_recall_x1e6)) as bigint) end
+           as bcubed_f1_x1e6
+from m
+"""
+
+
+def q_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clerical-review queue (``pipeline.evaluate.review_queue``):
+    scored pairs in the ambiguity band [55, 85), ranked by distance to
+    the decision boundary 70, deterministic id tiebreak, top-1000 — the
+    Fellegi–Sunter 'possible link' region the reference silently drops
+    (best-result-or-None, ultimate_address_matcher.py:930-952). Scale:
+    band filter is a scan predicate; the global rank executes as
+    TakeOrderedAndProject (bounded merge), never a full sort. Oracle:
+    the twin's scored pairs filtered/ranked by the same SQL."""
+    from pipeline.evaluate import review_queue
+    from pipeline.linkage import build_plan
+
+    turns = _turns_from_documents(spark, sf_dir)
+    plan = build_plan(turns, _nocap_config())
+    return review_queue(plan["scored"], lo=55.0, hi=85.0, boundary=70.0,
+                        top_n=1000)
+
+
+def _review_queue_sql(mode: str = "docs_nocap") -> str:
+    return f"""
+with scored as ({_linkage_scored_sql(mode)}),
+band as (
+    select conv_id_a, conv_id_b, confidence, tier, is_match,
+           cast(round(abs(confidence - 70.0) * 1000000.0) as bigint)
+               as boundary_dist_x1e6
+    from scored
+    where confidence >= 55.0 and confidence < 85.0
+),
+ranked as (
+    select *, row_number() over (
+        order by boundary_dist_x1e6 asc, conv_id_a asc, conv_id_b asc
+    ) as review_rank
+    from band
+)
+select cast(review_rank as int) as review_rank, conv_id_a, conv_id_b,
+       confidence, tier, is_match, boundary_dist_x1e6
+from ranked
+where review_rank <= 1000
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2336,6 +2485,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_canonical": q_entity_canonical,
         "fs_comparison_patterns": q_fs_comparison_patterns,
         "fs_em_weights": q_fs_em_weights,
+        "cluster_eval": q_cluster_eval,
+        "review_queue": q_review_queue,
     }
 
 
@@ -2416,4 +2567,11 @@ def oracle_sql() -> dict[str, str]:
         # independently-coded numpy twin (both sides rounded to 6 dp)
         "fs_comparison_patterns": _fs_patterns_sql(),
         "fs_em_weights": _fs_em_weights_sql(),
+        # cluster evaluation: DuckDB recomputes pred clusters
+        # (recursive-CTE CC), truth signature classes, AND the whole
+        # contingency-table metric arithmetic (BIGINT nano-sums)
+        "cluster_eval": _cluster_eval_sql(),
+        # clerical-review band: twin scored pairs filtered/ranked by the
+        # same band/boundary/limit SQL
+        "review_queue": _review_queue_sql(),
     }

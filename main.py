@@ -45,6 +45,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "skew defense at 100 TB",
     )
     p.add_argument(
+        "--review-band", default=None, metavar="LO:HI[:BOUNDARY[:TOPN]]",
+        help="opt-in clerical-review queue: scored pairs with confidence "
+        "in [LO, HI), ranked by distance to BOUNDARY (default the band "
+        "midpoint), truncated to TOPN (default 1000) — the "
+        "Fellegi-Sunter 'possible link' region, materialized as a "
+        "review_queue stage instead of silently dropped",
+    )
+    p.add_argument(
         "--hash-impl", choices=["xxhash64", "md5"], default="xxhash64",
         help="blocking/bucketing key hash: xxhash64 (production default, "
         "Spark-native, ~21%% faster on the dedup family) or md5 "
@@ -78,12 +86,23 @@ def main(argv: list[str] | None = None) -> dict:
         if os.path.isdir(args.output):
             shutil.rmtree(args.output)
 
+    review_band = None
+    if args.review_band is not None:
+        parts = args.review_band.split(":")
+        if len(parts) < 2:
+            raise SystemExit("--review-band needs LO:HI[:BOUNDARY[:TOPN]]")
+        lo, hi = float(parts[0]), float(parts[1])
+        boundary = float(parts[2]) if len(parts) > 2 else (lo + hi) / 2.0
+        top_n = int(parts[3]) if len(parts) > 3 else 1000
+        review_band = (lo, hi, boundary, top_n)
+
     t0 = time.time()
     cfg = replace(DEFAULT_CONFIG, hash_impl=args.hash_impl)
     out = run_staged(
         spark, turns, args.output, cfg,
         audit_sample_rate=args.audit_sample,
         contract_dups=args.contract_exact_dups,
+        review_band=review_band,
     )
     # ONE driver action for the whole report: the three tiny aggregates
     # (1-row summary, doc count, distinct-entity count) crossJoin into a
@@ -113,6 +132,8 @@ def main(argv: list[str] | None = None) -> dict:
     if args.audit_sample is not None:
         # pair counts come from the sampled audit pass — label them
         report["audit_sample_rate"] = row["sample_rate"]
+    if review_band is not None:
+        report["review_queue_rows"] = out["review_queue"].count()
     print(json.dumps(report, default=str))
     return report
 

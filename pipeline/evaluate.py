@@ -87,3 +87,195 @@ def cluster_agreement(clusters: DataFrame, expected: DataFrame) -> dict:
     )
     return {"tp": tp, "fp": fp, "fn": fn, "precision": precision,
             "recall": recall, "f1": f1}
+
+
+def clustering_metrics(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Extrinsic cluster-quality metrics between two clusterings — the
+    standard ER evaluation pair: B-cubed precision/recall/F1 (Bagga &
+    Baldwin 1998; Amigo et al. 2009 show it is the only common metric
+    satisfying all four clustering-evaluation constraints) and
+    pair-counting precision/recall/F1 (the Rand family). The reference
+    has no evaluation surface at all — quality is eyeballed per query
+    (ultimate_address_matcher.py:760-866 emits per-result quality, never
+    corpus-level truth comparison); production ER lives and dies by
+    these numbers.
+
+    Inputs are two assignments ``(conv_id, entity_id)``; only conv_ids
+    present in BOTH are evaluated (the labeled subset). Output is ONE
+    row, all BIGINT:
+
+    - ``n_items``, ``n_pred_entities``, ``n_truth_entities``
+    - ``pair_tp`` / ``pair_pred`` / ``pair_truth`` — co-clustered pair
+      counts (exact integers)
+    - ``pair_precision_x1e6`` / ``pair_recall_x1e6`` / ``pair_f1_x1e6``
+    - ``bcubed_precision_x1e6`` / ``bcubed_recall_x1e6`` /
+      ``bcubed_f1_x1e6``
+
+    Scale shape: ONE conv_id equi-join (co-partitioned shuffle of two
+    narrow id->label frames), ONE contingency aggregation to
+    ``(p, t, n_pt)`` cells — from there everything operates on
+    entity-count-sized frames (windows + a 1-row agg). No item-level
+    pair enumeration anywhere: pair counts come from C(n,2) over the
+    contingency table, so a 20k-member entity contributes one cell, not
+    2*10^8 rows.
+
+    Cross-engine determinism (the DuckDB oracle replays this SQL): every
+    averaged quantity is summed as exact BIGINTs — each B-cubed item
+    contribution is rounded to integer nano-units per CELL
+    (``round(n_pt^2 * 1e9 / n_p)``), then BIGINT-summed, so the result
+    is independent of summation order (float sums are not). One
+    division + one round per cell is bit-identical across Spark/DuckDB
+    (both round positive halves away from zero). Exact while
+    ``n_pt * 1e9 < 2^53`` per cell (~9e6 items in one intersection
+    cell); past that the last digits degrade gracefully.
+    """
+    from pyspark.sql import Window
+
+    j = pred.select("conv_id", F.col("entity_id").alias("p")).join(
+        truth.select("conv_id", F.col("entity_id").alias("t")), "conv_id"
+    )
+    cells = j.groupBy("p", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pt")
+    )
+    wp, wt = Window.partitionBy("p"), Window.partitionBy("t")
+    cells = (
+        cells.withColumn("n_p", F.sum("n_pt").over(wp))
+        .withColumn("n_t", F.sum("n_pt").over(wt))
+        # first-cell flags: count each pred/truth entity exactly once in
+        # the single-row agg below (no second pass over the cells)
+        .withColumn(
+            "rn_p", F.row_number().over(wp.orderBy("t"))
+        )
+        .withColumn(
+            "rn_t", F.row_number().over(wt.orderBy("p"))
+        )
+    )
+    nano = lambda num, den: F.round(  # noqa: E731
+        F.col(num) * F.col(num) * F.lit(1_000_000_000.0) / F.col(den)
+    ).cast("long")
+    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
+    stats = cells.agg(
+        F.sum("n_pt").cast("long").alias("n_items"),
+        F.sum(F.when(F.col("rn_p") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pred_entities"),
+        F.sum(F.when(F.col("rn_t") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_truth_entities"),
+        F.sum(c2("n_pt")).cast("long").alias("pair_tp"),
+        F.sum(F.when(F.col("rn_p") == 1, c2("n_p")).otherwise(0))
+        .cast("long")
+        .alias("pair_pred"),
+        F.sum(F.when(F.col("rn_t") == 1, c2("n_t")).otherwise(0))
+        .cast("long")
+        .alias("pair_truth"),
+        F.sum(nano("n_pt", "n_p")).cast("long").alias("bp_nano"),
+        F.sum(nano("n_pt", "n_t")).cast("long").alias("br_nano"),
+    )
+    # ratios: ONE integer-fed division + round each -> deterministic
+    # across engines; empty denominator => metric defined as 1.0 (no
+    # predicted/true pairs to get wrong), F1 of (0,0) => 0.
+    x1e6 = F.lit(1_000_000.0)
+    ratio6 = lambda num, den: F.when(  # noqa: E731
+        F.col(den) == 0, F.lit(1_000_000).cast("long")
+    ).otherwise(F.round(F.col(num) * x1e6 / F.col(den)).cast("long"))
+    f1_6 = lambda p6, r6: F.when(  # noqa: E731
+        (F.col(p6) + F.col(r6)) == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.round(
+            F.lit(2.0) * F.col(p6) * F.col(r6) / (F.col(p6) + F.col(r6))
+        ).cast("long")
+    )
+    return (
+        stats.withColumn(
+            "pair_precision_x1e6", ratio6("pair_tp", "pair_pred")
+        )
+        .withColumn("pair_recall_x1e6", ratio6("pair_tp", "pair_truth"))
+        .withColumn(
+            "pair_f1_x1e6", f1_6("pair_precision_x1e6", "pair_recall_x1e6")
+        )
+        # bcubed_p = bp_nano / (n_items * 1e9); x1e6 => / (n_items * 1e3)
+        .withColumn(
+            "bcubed_precision_x1e6",
+            F.when(F.col("n_items") == 0, F.lit(1_000_000).cast("long"))
+            .otherwise(
+                F.round(
+                    F.col("bp_nano") / (F.col("n_items") * F.lit(1000.0))
+                ).cast("long")
+            ),
+        )
+        .withColumn(
+            "bcubed_recall_x1e6",
+            F.when(F.col("n_items") == 0, F.lit(1_000_000).cast("long"))
+            .otherwise(
+                F.round(
+                    F.col("br_nano") / (F.col("n_items") * F.lit(1000.0))
+                ).cast("long")
+            ),
+        )
+        .withColumn(
+            "bcubed_f1_x1e6",
+            f1_6("bcubed_precision_x1e6", "bcubed_recall_x1e6"),
+        )
+        .drop("bp_nano", "br_nano")
+    )
+
+
+def review_queue(
+    scored: DataFrame,
+    lo: float = 55.0,
+    hi: float = 85.0,
+    boundary: float = 70.0,
+    top_n: int = 1000,
+) -> DataFrame:
+    """Clerical-review queue — the human-in-the-loop seam every
+    production linkage deployment needs (Fellegi & Sunter 1969's
+    'possible link' region): scored pairs whose confidence falls inside
+    the ambiguity band ``[lo, hi)``, ranked by distance to the decision
+    ``boundary`` (closest = most informative to adjudicate first),
+    deterministic id tiebreak, truncated to ``top_n``.
+
+    The reference exposes only accept/reject (best-result or None,
+    ultimate_address_matcher.py:930-952) — ambiguous candidates are
+    silently dropped; this surfaces them instead.
+
+    Scale shape: band filter is a codegen'd scan predicate; the global
+    rank is orderBy+limit — Spark executes TakeOrderedAndProject
+    (per-partition top-N, then a single bounded merge), so nothing
+    resembling a global sort of the pair table ever runs. The
+    row_number window at the end operates on <= top_n rows (a bounded
+    reduction, same class as the CC checksum).
+    """
+    from pyspark.sql import Window
+
+    # distance as x1e6 BIGINT, not a rounded DOUBLE: confidence is
+    # bit-equal across engines (pinned by linkage_scored_pairs), so one
+    # abs-diff + one round-to-integer is too — while round(x, 6) as a
+    # DOUBLE can differ by 1 ULP between implementations and break the
+    # cross-engine hash (and the ordering it feeds).
+    band = scored.where(
+        (F.col("confidence") >= F.lit(lo)) & (F.col("confidence") < F.lit(hi))
+    ).withColumn(
+        "boundary_dist_x1e6",
+        F.round(
+            F.abs(F.col("confidence") - F.lit(boundary)) * F.lit(1_000_000.0)
+        ).cast("long"),
+    )
+    order = [
+        F.col("boundary_dist_x1e6").asc(),
+        F.col("conv_id_a").asc(),
+        F.col("conv_id_b").asc(),
+    ]
+    top = band.orderBy(*order).limit(top_n)
+    return top.withColumn(
+        "review_rank",
+        F.row_number().over(Window.partitionBy().orderBy(*order)),
+    ).select(
+        "review_rank",
+        "conv_id_a",
+        "conv_id_b",
+        "confidence",
+        "tier",
+        "is_match",
+        "boundary_dist_x1e6",
+    )

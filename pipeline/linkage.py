@@ -261,6 +261,7 @@ def run_staged(
     cfg: MatchConfig = DEFAULT_CONFIG,
     audit_sample_rate: float | None = None,
     contract_dups: bool = False,
+    review_band: tuple[float, float, float, int] | None = None,
 ) -> dict[str, DataFrame]:
     """Materialize every stage with commit manifests (resumable).
 
@@ -285,6 +286,14 @@ def run_staged(
     describe REP pairs — one row per signature-class pair, not per
     member pair — so read them like the sampled audits: estimates of
     the pair population, with labels exact.
+
+    ``review_band`` (round-5, opt-in): ``(lo, hi, boundary, top_n)`` —
+    materialize a clerical-review queue
+    (``pipeline.evaluate.review_queue``) of scored pairs in the
+    confidence band [lo, hi), ranked by distance to ``boundary``. Under
+    ``audit_sample_rate`` the queue is built from the SAME deterministic
+    pair sample as the audit histograms (labeled ``sample_rate``) — at
+    100 TB reviewers adjudicate a sample of the band by construction.
     """
     # deterministic ACROSS PROCESSES: hash() of a dataclass with str
     # fields is salted per interpreter (PYTHONHASHSEED), which would
@@ -296,6 +305,7 @@ def run_staged(
             repr(cfg)
             + f":audit={audit_sample_rate}"
             + (":contract=1" if contract_dups else "")
+            + (f":review={review_band}" if review_band else "")
         ).encode("utf-8")
     ).hexdigest()
     runner = StageRunner(spark, out_dir, fingerprint=fingerprint)
@@ -377,6 +387,23 @@ def run_staged(
     summary = runner.run(
         "match_summary", lambda: _label(audit_mod.match_summary(audit_scored))
     )
+    review = None
+    if review_band is not None:
+        from pipeline.evaluate import review_queue as _review_queue
+
+        _lo, _hi, _boundary, _top_n = review_band
+        review = runner.run(
+            "review_queue",
+            lambda: _label(
+                _review_queue(
+                    audit_scored,
+                    lo=_lo,
+                    hi=_hi,
+                    boundary=_boundary,
+                    top_n=_top_n,
+                )
+            ),
+        )
     # per-partition lineage of the scored table (north_rule: resumable
     # with per-partition lineage + metrics) — one row per partition
     lineage = runner.run(
@@ -410,5 +437,6 @@ def run_staged(
         "tier_histogram": tiers,
         "match_summary": summary,
         "partition_lineage": lineage,
+        **({"review_queue": review} if review is not None else {}),
         "_runner": runner,
     }

@@ -1,0 +1,236 @@
+"""Cluster-quality evaluation (`pipeline.evaluate.clustering_metrics`)
+and the clerical-review queue (`pipeline.evaluate.review_queue`) —
+validated against an independently-coded pure-Python metric reference
+and the synth corpus's real ground-truth entities."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline.evaluate import clustering_metrics, review_queue
+
+
+# --- independent reference: textbook item-wise B-cubed + pair counting ---
+
+def _bcubed_py(pred: dict, truth: dict):
+    """Item-averaged B-cubed computed the naive O(n^2) way — no
+    contingency table, no shared code with the operator."""
+    items = sorted(set(pred) & set(truth))
+    if not items:
+        return 1.0, 1.0
+    p_sum = r_sum = 0.0
+    for i in items:
+        same_pred = [j for j in items if pred[j] == pred[i]]
+        same_truth = [j for j in items if truth[j] == truth[i]]
+        inter = len(set(same_pred) & set(same_truth))
+        p_sum += inter / len(same_pred)
+        r_sum += inter / len(same_truth)
+    return p_sum / len(items), r_sum / len(items)
+
+
+def _pairs_py(assign: dict):
+    c = Counter(assign.values())
+    return sum(n * (n - 1) // 2 for n in c.values())
+
+
+def _pair_tp_py(pred: dict, truth: dict):
+    c = Counter((pred[i], truth[i]) for i in set(pred) & set(truth))
+    return sum(n * (n - 1) // 2 for n in c.values())
+
+
+def _metrics_row(spark, pred: dict, truth: dict):
+    pdf = spark.createDataFrame(
+        [(k, v) for k, v in pred.items()], ["conv_id", "entity_id"]
+    )
+    tdf = spark.createDataFrame(
+        [(k, v) for k, v in truth.items()], ["conv_id", "entity_id"]
+    )
+    return clustering_metrics(pdf, tdf).collect()[0]
+
+
+CASES = [
+    # identical clusterings
+    ({"a": 1, "b": 1, "c": 2}, {"a": 9, "b": 9, "c": 8}),
+    # everything merged vs everything split
+    ({"a": 1, "b": 1, "c": 1, "d": 1}, {"a": 1, "b": 2, "c": 3, "d": 4}),
+    # partial overlap: pred splits one truth entity, merges two others
+    (
+        {"a": 1, "b": 1, "c": 2, "d": 2, "e": 3, "f": 3, "g": 4},
+        {"a": 1, "b": 1, "c": 1, "d": 2, "e": 2, "f": 3, "g": 3},
+    ),
+    # pred covers only a labeled subset (extra truth-only ids ignored)
+    ({"a": 1, "b": 1}, {"a": 1, "b": 2, "z": 7}),
+]
+
+
+@pytest.mark.parametrize("pred,truth", CASES)
+def test_clustering_metrics_match_naive_reference(spark, pred, truth):
+    row = _metrics_row(spark, pred, truth)
+    items = set(pred) & set(truth)
+    p_ref, r_ref = _bcubed_py(pred, truth)
+    assert row["n_items"] == len(items)
+    assert row["bcubed_precision_x1e6"] == round(p_ref * 1e6)
+    assert row["bcubed_recall_x1e6"] == round(r_ref * 1e6)
+    tp = _pair_tp_py(pred, truth)
+    pp = _pairs_py({k: pred[k] for k in items})
+    tt = _pairs_py({k: truth[k] for k in items})
+    assert row["pair_tp"] == tp
+    assert row["pair_pred"] == pp
+    assert row["pair_truth"] == tt
+    want_p = round(tp * 1e6 / pp) if pp else 1_000_000
+    want_r = round(tp * 1e6 / tt) if tt else 1_000_000
+    assert row["pair_precision_x1e6"] == want_p
+    assert row["pair_recall_x1e6"] == want_r
+    if want_p + want_r:
+        assert row["pair_f1_x1e6"] == round(
+            2.0 * want_p * want_r / (want_p + want_r)
+        )
+
+
+def test_identical_clusterings_score_perfect(spark):
+    pred = {c: f"e{i % 5}" for i, c in enumerate("abcdefghij")}
+    truth = {c: f"T{i % 5}" for i, c in enumerate("abcdefghij")}
+    row = _metrics_row(spark, pred, truth)
+    for m in (
+        "pair_precision_x1e6", "pair_recall_x1e6", "pair_f1_x1e6",
+        "bcubed_precision_x1e6", "bcubed_recall_x1e6", "bcubed_f1_x1e6",
+    ):
+        assert row[m] == 1_000_000, m
+
+
+def test_linkage_recovers_synth_ground_truth(spark, corpus, turns_df):
+    """End-to-end: the full pipeline's clusters scored against the
+    generator's REAL entity labels via the first-class metric operator.
+    Bar = the established cluster-level gate (test_cluster.py's
+    cluster_agreement >= 0.93; the >= 0.99 BASELINE gate is PAIRWISE
+    over labeled candidate pairs, not transitive-closure-level). Also
+    cross-checks the distributed contingency math against the naive
+    O(n^2) reference on real pipeline output."""
+    from pipeline.linkage import build_plan, cluster_edges
+
+    plan = build_plan(turns_df)
+    clusters, _ = cluster_edges(plan["edges"], plan["features"])
+    truth = spark.createDataFrame(corpus.expected_clusters)
+    row = clustering_metrics(clusters, truth).collect()[0]
+    assert row["pair_f1_x1e6"] >= 930_000
+    assert row["bcubed_f1_x1e6"] >= 930_000
+    pred_py = {r["conv_id"]: r["entity_id"] for r in clusters.collect()}
+    truth_py = dict(
+        zip(corpus.expected_clusters["conv_id"],
+            corpus.expected_clusters["entity_id"])
+    )
+    p_ref, r_ref = _bcubed_py(pred_py, truth_py)
+    assert row["bcubed_precision_x1e6"] == round(p_ref * 1e6)
+    assert row["bcubed_recall_x1e6"] == round(r_ref * 1e6)
+
+
+def test_clustering_metrics_plan_shape(spark):
+    """No item-level pair enumeration: the plan must not contain a
+    cartesian/nested-loop join — pair counts come from C(n,2) on the
+    contingency table."""
+    pred = spark.createDataFrame(
+        [(f"c{i}", f"e{i % 3}") for i in range(30)], ["conv_id", "entity_id"]
+    )
+    truth = spark.createDataFrame(
+        [(f"c{i}", f"t{i % 4}") for i in range(30)], ["conv_id", "entity_id"]
+    )
+    plan_str = clustering_metrics(pred, truth)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan_str
+    assert "BroadcastNestedLoopJoin" not in plan_str
+
+
+def _scored_fixture(spark):
+    rows = [
+        ("a", "b", 69.5, "strong", False),
+        ("a", "c", 70.0, "strong", True),
+        ("b", "c", 84.999, "partial", True),
+        ("a", "d", 55.0, "weak", False),
+        ("d", "e", 54.999, "none", False),   # below band
+        ("e", "f", 85.0, "exact", True),     # at hi -> excluded
+        ("c", "d", 71.25, "strong", True),
+    ]
+    return spark.createDataFrame(
+        rows, ["conv_id_a", "conv_id_b", "confidence", "tier", "is_match"]
+    )
+
+
+def test_review_queue_band_order_and_rank(spark):
+    out = review_queue(
+        _scored_fixture(spark), lo=55.0, hi=85.0, boundary=70.0, top_n=10
+    ).collect()
+    got = [(r["conv_id_a"], r["conv_id_b"]) for r in out]
+    # distances x1e6: (a,c)=0, (a,b)=500000, (c,d)=1250000,
+    # (a,d)=15000000, (b,c)=14999000
+    assert got == [("a", "c"), ("a", "b"), ("c", "d"), ("b", "c"), ("a", "d")]
+    assert [r["review_rank"] for r in out] == [1, 2, 3, 4, 5]
+    assert out[0]["boundary_dist_x1e6"] == 0
+    assert out[1]["boundary_dist_x1e6"] == 500_000
+
+
+def test_review_queue_top_n_truncates(spark):
+    out = review_queue(
+        _scored_fixture(spark), lo=55.0, hi=85.0, boundary=70.0, top_n=2
+    ).collect()
+    assert len(out) == 2
+    assert [r["review_rank"] for r in out] == [1, 2]
+
+
+def test_review_queue_executes_as_take_ordered(spark):
+    """The global rank must run as TakeOrderedAndProject (bounded
+    per-partition top-N + single merge), never a full global Sort of
+    the pair table."""
+    big = spark.range(0, 5000).select(
+        F.concat(F.lit("a"), F.col("id")).alias("conv_id_a"),
+        F.concat(F.lit("b"), F.col("id")).alias("conv_id_b"),
+        (F.lit(55.0) + (F.col("id") % 30)).cast("double").alias("confidence"),
+        F.lit("strong").alias("tier"),
+        F.lit(False).alias("is_match"),
+    )
+    plan_str = (
+        review_queue(big, top_n=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan_str
+
+
+def test_run_staged_review_band_seam(spark, turns_df, tmp_path):
+    """run_staged(review_band=...): the queue materializes as a
+    resumable stage from the SAME scored set the audits use — full
+    scoring by default; under audit_sample_rate it rides the
+    deterministic coin sample and carries the sample_rate label."""
+    from pipeline.linkage import run_staged
+
+    band = (50.0, 90.0, 70.0, 25)
+    out = run_staged(
+        spark, turns_df, str(tmp_path / "rq"), review_band=band
+    )
+    q = out["review_queue"].toPandas()
+    assert 0 < len(q) <= 25
+    assert (q["confidence"] >= 50.0).all() and (q["confidence"] < 90.0).all()
+    assert list(q["review_rank"]) == list(range(1, len(q) + 1))
+    assert "sample_rate" not in q.columns
+    # resume: a second call reads the committed stage, same content
+    again = run_staged(
+        spark, turns_df, str(tmp_path / "rq"), review_band=band
+    )
+    assert again["review_queue"].toPandas().equals(q)
+
+    sampled = run_staged(
+        spark,
+        turns_df,
+        str(tmp_path / "rq_sampled"),
+        audit_sample_rate=0.5,
+        review_band=band,
+    )
+    qs = sampled["review_queue"].toPandas()
+    assert (qs["sample_rate"] == 0.5).all()
+    # the sampled queue is a subset of the full band (same coin as the
+    # audit histograms — a sample of the reviewable population)
+    full_pairs = set(zip(q["conv_id_a"], q["conv_id_b"]))
+    samp_pairs = set(zip(qs["conv_id_a"], qs["conv_id_b"]))
+    assert samp_pairs  # non-empty at this corpus
+    # ranks are dense within the sampled queue
+    assert list(qs["review_rank"]) == list(range(1, len(qs) + 1))
