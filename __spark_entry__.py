@@ -2355,6 +2355,78 @@ from m
 """
 
 
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality metrics (``pipeline.evaluate.blocking_metrics``):
+    pairs completeness + reduction ratio of the candidate-pair stage
+    against the signature-class truth. Exact-norm family 0 guarantees
+    every same-signature pair is a candidate, so completeness must be
+    exactly 1e6 — the oracle hash-checks that invariant plus the
+    reduction arithmetic. Oracle: candidate ids from the twin's scored
+    pairs, signature classes from the twin's docs, metric SQL replayed
+    by DuckDB."""
+    from pipeline.evaluate import blocking_metrics
+    from pipeline.linkage import build_plan
+
+    turns = _turns_from_documents(spark, sf_dir)
+    plan = build_plan(turns, _nocap_config())
+    sig = plan["features"].select(
+        "conv_id",
+        F.col("norm_text").alias("_nt"),
+        F.coalesce("roles_sig", F.lit("")).alias("_rs"),
+    )
+    reps = sig.groupBy("_nt", "_rs").agg(F.min("conv_id").alias("entity_id"))
+    labels = sig.join(reps, ["_nt", "_rs"]).select("conv_id", "entity_id")
+    return blocking_metrics(plan["pairs"], labels)
+
+
+def _blocking_eval_sql(mode: str = "docs_nocap") -> str:
+    twin = _twin_results()[mode]
+    scored, docs = twin["scored"], twin["docs"]
+    cand_vals = ",\n".join(
+        f"({_sql_str(a)}, {_sql_str(b)})"
+        for a, b in zip(scored["conv_id_a"], scored["conv_id_b"])
+    )
+    sig_vals = ",\n".join(
+        f"({_sql_str(c)}, {_sql_str(nt)}, {_sql_str(rs if rs is not None else '')})"
+        for c, nt, rs in zip(
+            docs["conv_id"], docs["norm_text"], docs["roles_sig"]
+        )
+    )
+    return f"""
+with cand(conv_id_a, conv_id_b) as (values
+{cand_vals}
+),
+sig(conv_id, nt, rs) as (values
+{sig_vals}
+),
+reps as (select nt, rs, min(conv_id) as entity_id from sig group by nt, rs),
+labels as (select s.conv_id, r.entity_id
+           from sig s join reps r on s.nt = r.nt and s.rs = r.rs),
+cj as (select la.entity_id as ea, lb.entity_id as eb
+       from cand
+       join labels la on cand.conv_id_a = la.conv_id
+       join labels lb on cand.conv_id_b = lb.conv_id),
+cand_stats as (select
+    cast(count(*) as bigint) as n_candidate_pairs,
+    cast(coalesce(sum(case when ea = eb then 1 else 0 end), 0) as bigint)
+        as n_true_candidates
+  from cj),
+truth_stats as (select
+    cast(sum(n) as bigint) as n_docs,
+    cast(sum(n * (n - 1) / 2) as bigint) as n_truth_pairs
+  from (select count(*) as n from labels group by entity_id))
+select n_docs, n_candidate_pairs, n_true_candidates, n_truth_pairs,
+  case when n_truth_pairs = 0 then cast(1000000 as bigint)
+       else cast(round(n_true_candidates * 1000000.0 / n_truth_pairs)
+            as bigint) end as pairs_completeness_x1e6,
+  case when n_docs < 2 then cast(1000000 as bigint)
+       else cast(round((1.0 - n_candidate_pairs
+            / (n_docs * (n_docs - 1) / 2)) * 1000000.0) as bigint) end
+      as reduction_ratio_x1e6
+from cand_stats cross join truth_stats
+"""
+
+
 def q_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clerical-review queue (``pipeline.evaluate.review_queue``):
     scored pairs in the ambiguity band [55, 85), ranked by distance to
@@ -2487,6 +2559,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_em_weights": q_fs_em_weights,
         "cluster_eval": q_cluster_eval,
         "review_queue": q_review_queue,
+        "blocking_eval": q_blocking_eval,
     }
 
 
@@ -2574,4 +2647,7 @@ def oracle_sql() -> dict[str, str]:
         # clerical-review band: twin scored pairs filtered/ranked by the
         # same band/boundary/limit SQL
         "review_queue": _review_queue_sql(),
+        # blocking quality: candidate ids from twin scored pairs,
+        # signature-class truth, completeness/reduction replayed in SQL
+        "blocking_eval": _blocking_eval_sql(),
     }

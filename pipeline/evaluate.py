@@ -279,3 +279,97 @@ def review_queue(
         "is_match",
         "boundary_dist_x1e6",
     )
+
+
+def blocking_metrics(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Blocking-quality metrics — the standard candidate-generation
+    evaluation pair (Christen 2012): **pairs completeness** (share of
+    true co-entity pairs that survived blocking; a blocking miss is an
+    unrecoverable recall loss — scoring never sees the pair) and
+    **reduction ratio** (share of the full O(n^2) pair space blocking
+    eliminated). The reference can't measure either: its recall losses
+    disappear inside OpenSearch result windows.
+
+    ``pairs(conv_id_a, conv_id_b)`` = candidate pairs, ``labels(conv_id,
+    entity_id)`` = ground-truth assignment over the corpus. Candidates
+    are graded on the labeled universe (inner join on both endpoints).
+    One row, all BIGINT:
+
+    - ``n_docs``, ``n_candidate_pairs``, ``n_true_candidates``
+      (candidates whose endpoints share a truth entity),
+      ``n_truth_pairs`` (C(n,2) summed per truth entity)
+    - ``pairs_completeness_x1e6`` = n_true_candidates / n_truth_pairs
+    - ``reduction_ratio_x1e6`` = 1 - n_candidate_pairs / C(n_docs, 2)
+
+    Scale shape: two id equi-joins label the candidate endpoints (both
+    sides narrow id->label frames), truth pair counts come from C(n,2)
+    on per-entity sizes — no pair enumeration of the truth side, so a
+    20k-member entity costs one row. The two 1-row aggregates crossJoin
+    into the result (one job).
+    """
+    lab = labels.select("conv_id", "entity_id")
+    la = lab.select(
+        F.col("conv_id").alias("conv_id_a"), F.col("entity_id").alias("ea")
+    )
+    lb = lab.select(
+        F.col("conv_id").alias("conv_id_b"), F.col("entity_id").alias("eb")
+    )
+    cand = (
+        pairs.select("conv_id_a", "conv_id_b")
+        .join(la, "conv_id_a")
+        .join(lb, "conv_id_b")
+    )
+    cand_stats = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("ea") == F.col("eb"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_true_candidates"),
+    )
+    truth_stats = (
+        lab.groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            .cast("long")
+            .alias("n_truth_pairs"),
+        )
+    )
+    x1e6 = F.lit(1_000_000.0)
+    return (
+        cand_stats.crossJoin(truth_stats)
+        .withColumn(
+            "pairs_completeness_x1e6",
+            F.when(
+                F.col("n_truth_pairs") == 0, F.lit(1_000_000).cast("long")
+            ).otherwise(
+                F.round(
+                    F.col("n_true_candidates") * x1e6 / F.col("n_truth_pairs")
+                ).cast("long")
+            ),
+        )
+        .withColumn(
+            "reduction_ratio_x1e6",
+            F.when(F.col("n_docs") < 2, F.lit(1_000_000).cast("long"))
+            .otherwise(
+                F.round(
+                    (
+                        F.lit(1.0)
+                        - F.col("n_candidate_pairs")
+                        / (F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+                    )
+                    * x1e6
+                ).cast("long")
+            ),
+        )
+        .select(
+            "n_docs",
+            "n_candidate_pairs",
+            "n_true_candidates",
+            "n_truth_pairs",
+            "pairs_completeness_x1e6",
+            "reduction_ratio_x1e6",
+        )
+    )
