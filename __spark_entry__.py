@@ -2355,6 +2355,79 @@ from m
 """
 
 
+def q_cluster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity churn between two assignments
+    (``pipeline.evaluate.cluster_diff``): old = the exact-signature
+    classes, new = the linkage clusters — every row classifies how a
+    linkage entity was assembled from signature classes (same-signature
+    docs always co-cluster via the exact tier, so only
+    'identical'/'merged' can appear here; the oracle hash-checks that
+    theorem too). Oracle: DuckDB recomputes both assignments AND the
+    churn classification SQL."""
+    from pipeline.evaluate import cluster_diff
+    from pipeline.linkage import build_plan, cluster_edges
+
+    turns = _turns_from_documents(spark, sf_dir)
+    plan = build_plan(turns, _nocap_config())
+    clusters, _ = cluster_edges(plan["edges"], plan["features"])
+    sig = plan["features"].select(
+        "conv_id",
+        F.col("norm_text").alias("_nt"),
+        F.coalesce("roles_sig", F.lit("")).alias("_rs"),
+    )
+    reps = sig.groupBy("_nt", "_rs").agg(F.min("conv_id").alias("entity_id"))
+    old = sig.join(reps, ["_nt", "_rs"]).select("conv_id", "entity_id")
+    return cluster_diff(old, clusters)
+
+
+def _cluster_diff_sql(mode: str = "docs_nocap") -> str:
+    docs = _twin_results()[mode]["docs"]
+    sig_vals = ",\n".join(
+        f"({_sql_str(c)}, {_sql_str(nt)}, {_sql_str(rs if rs is not None else '')})"
+        for c, nt, rs in zip(
+            docs["conv_id"], docs["norm_text"], docs["roles_sig"]
+        )
+    )
+    return f"""
+with newa as ({_linkage_clusters_sql(mode)}),
+sig(conv_id, nt, rs) as (values
+{sig_vals}
+),
+reps as (select nt, rs, min(conv_id) as entity_id from sig group by nt, rs),
+olda as (select s.conv_id, r.entity_id
+         from sig s join reps r on s.nt = r.nt and s.rs = r.rs),
+j as (select newa.entity_id as new_e, olda.entity_id as old_e
+      from newa left join olda on newa.conv_id = olda.conv_id),
+cells as (select new_e, old_e, cast(count(*) as bigint) as n_cell
+          from j group by new_e, old_e),
+old_sizes as (select entity_id as old_e, cast(count(*) as bigint) as old_size
+              from olda group by entity_id),
+cz as (select c.new_e, c.old_e, c.n_cell, s.old_size
+       from cells c left join old_sizes s on c.old_e = s.old_e),
+per_new as (select new_e,
+    cast(sum(n_cell) as bigint) as n_members,
+    cast(sum(case when old_e is not null then n_cell else 0 end) as bigint)
+        as n_carried,
+    cast(sum(case when old_e is null then n_cell else 0 end) as bigint)
+        as n_added,
+    cast(sum(case when old_e is not null then 1 else 0 end) as bigint)
+        as n_src_entities,
+    cast(sum(case when old_e is not null and n_cell = old_size
+             then 1 else 0 end) as bigint) as n_whole_srcs
+  from cz group by new_e)
+select new_e as entity_id, n_members, n_carried, n_added,
+       n_src_entities, n_whole_srcs,
+       case when n_src_entities = 0 then 'new'
+            when n_src_entities = 1 and n_whole_srcs = 1 and n_added = 0
+                 then 'identical'
+            when n_src_entities = 1 and n_whole_srcs = 1 then 'grew'
+            when n_src_entities = 1 then 'split'
+            when n_src_entities = n_whole_srcs and n_added = 0 then 'merged'
+            else 'mixed' end as change
+from per_new
+"""
+
+
 def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-quality metrics (``pipeline.evaluate.blocking_metrics``):
     pairs completeness + reduction ratio of the candidate-pair stage
@@ -2560,6 +2633,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_eval": q_cluster_eval,
         "review_queue": q_review_queue,
         "blocking_eval": q_blocking_eval,
+        "cluster_diff": q_cluster_diff,
     }
 
 
@@ -2650,4 +2724,6 @@ def oracle_sql() -> dict[str, str]:
         # blocking quality: candidate ids from twin scored pairs,
         # signature-class truth, completeness/reduction replayed in SQL
         "blocking_eval": _blocking_eval_sql(),
+        # entity churn: both assignments AND the classification replayed
+        "cluster_diff": _cluster_diff_sql(),
     }

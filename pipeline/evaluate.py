@@ -373,3 +373,86 @@ def blocking_metrics(pairs: DataFrame, labels: DataFrame) -> DataFrame:
             "reduction_ratio_x1e6",
         )
     )
+
+
+def cluster_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Entity churn between two cluster assignments — the "what changed
+    since the last run" view every production ER deployment reports
+    (incremental step vs yesterday's batch, pre- vs post-retraction,
+    config A vs config B). The reference, being stateless per query, has
+    no notion of assignment drift at all.
+
+    One row per NEW entity, classified by how it relates to the OLD
+    assignment:
+
+    - ``identical`` — exactly one source entity, carried whole, nothing
+      added (the stable case an incremental run should dominate in)
+    - ``grew``      — one whole source entity + newly-appeared items
+    - ``merged``    — >= 2 source entities, each carried WHOLE, no adds
+    - ``split``     — a strict subset of one source entity
+    - ``mixed``     — any other combination (partial sources + adds)
+    - ``new``       — no member existed in the old assignment
+
+    Columns: ``entity_id``, ``n_members``, ``n_carried`` (members that
+    existed in old), ``n_added``, ``n_src_entities`` (distinct old
+    entities contributing), ``n_whole_srcs`` (those carried in full),
+    ``change``. Old entities that vanished entirely are the complement
+    (old minus the ``src`` set) — derivable with one anti-join; they are
+    not rows here because this frame is keyed by NEW entities.
+
+    Scale shape: one full-outer-free composition — new left-joins old on
+    conv_id (two narrow id->label frames), one (new, old) contingency
+    aggregation, one broadcast-sized join against old entity sizes, one
+    final per-new-entity aggregation. Everything after the first join is
+    entity-count-sized; no pair enumeration anywhere.
+    """
+    o = old.select("conv_id", F.col("entity_id").alias("old_e"))
+    n = new.select("conv_id", F.col("entity_id").alias("new_e"))
+    j = n.join(o, "conv_id", "left")
+    cells = j.groupBy("new_e", "old_e").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cell")
+    )
+    old_sizes = o.groupBy("old_e").agg(
+        F.count(F.lit(1)).cast("long").alias("old_size")
+    )
+    cells = cells.join(old_sizes, "old_e", "left")
+    per_new = cells.groupBy("new_e").agg(
+        F.sum("n_cell").cast("long").alias("n_members"),
+        F.sum(F.when(F.col("old_e").isNotNull(), F.col("n_cell")).otherwise(0))
+        .cast("long")
+        .alias("n_carried"),
+        F.sum(F.when(F.col("old_e").isNull(), F.col("n_cell")).otherwise(0))
+        .cast("long")
+        .alias("n_added"),
+        F.sum(F.when(F.col("old_e").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_src_entities"),
+        F.sum(
+            F.when(
+                F.col("old_e").isNotNull()
+                & (F.col("n_cell") == F.col("old_size")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_whole_srcs"),
+    )
+    src, whole = F.col("n_src_entities"), F.col("n_whole_srcs")
+    added = F.col("n_added")
+    change = (
+        F.when(src == 0, F.lit("new"))
+        .when((src == 1) & (whole == 1) & (added == 0), F.lit("identical"))
+        .when((src == 1) & (whole == 1), F.lit("grew"))
+        .when(src == 1, F.lit("split"))
+        .when((src == whole) & (added == 0), F.lit("merged"))
+        .otherwise(F.lit("mixed"))
+    )
+    return per_new.select(
+        F.col("new_e").alias("entity_id"),
+        "n_members",
+        "n_carried",
+        "n_added",
+        "n_src_entities",
+        "n_whole_srcs",
+        change.alias("change"),
+    )

@@ -289,3 +289,63 @@ def test_blocking_metrics_on_pipeline_vs_truth(spark, corpus, turns_df):
     sizes = collections.Counter(corpus.expected_clusters["entity_id"])
     want_truth = sum(n * (n - 1) // 2 for n in sizes.values())
     assert row["n_truth_pairs"] == want_truth
+
+
+def test_cluster_diff_every_change_class(spark):
+    """Hand-built old/new assignments exercising all six categories."""
+    from pipeline.evaluate import cluster_diff
+
+    old = spark.createDataFrame(
+        [
+            ("a", "O1"), ("b", "O1"),            # O1 carried whole -> identical
+            ("c", "O2"),                          # O2 whole + added item -> grew
+            ("d", "O3"), ("e", "O3"), ("f", "O3"),  # O3 splits into N4/N5
+            ("g", "O4"), ("h", "O5"),             # O4+O5 merged whole -> merged
+            ("i", "O6"), ("j", "O6"), ("k", "O7"),  # partial O6 + whole O7 -> mixed
+            ("z", "O8"),                          # vanishes entirely (no new row)
+        ],
+        ["conv_id", "entity_id"],
+    )
+    new = spark.createDataFrame(
+        [
+            ("a", "N1"), ("b", "N1"),
+            ("c", "N2"), ("c2", "N2"),            # c2 newly appeared
+            ("d", "N4"), ("e", "N4"), ("f", "N5"),
+            ("g", "N6"), ("h", "N6"),
+            ("i", "N7"), ("k", "N7"),             # j went elsewhere -> O6 partial
+            ("j", "N8"),                          # split remnant of O6
+            ("x", "N9"), ("y", "N9"),             # brand new entity
+        ],
+        ["conv_id", "entity_id"],
+    )
+    got = {r["entity_id"]: r for r in cluster_diff(old, new).collect()}
+    assert got["N1"]["change"] == "identical"
+    assert got["N2"]["change"] == "grew" and got["N2"]["n_added"] == 1
+    assert got["N4"]["change"] == "split"
+    assert got["N5"]["change"] == "split"
+    assert got["N6"]["change"] == "merged" and got["N6"]["n_src_entities"] == 2
+    assert got["N7"]["change"] == "mixed"
+    assert got["N8"]["change"] == "split"
+    assert got["N9"]["change"] == "new" and got["N9"]["n_carried"] == 0
+    # counts are consistent
+    for r in got.values():
+        assert r["n_members"] == r["n_carried"] + r["n_added"]
+        assert r["n_whole_srcs"] <= r["n_src_entities"]
+
+
+def test_cluster_diff_incremental_is_mostly_identical(spark, turns_df):
+    """The production use: diff an incremental run's labels against the
+    batch labels of its base — entities untouched by the increment must
+    classify 'identical' (labels are equal by the incremental==batch
+    theorem, so EVERY row must be identical/grew/merged-with-new, and
+    with an empty increment, strictly identical)."""
+    from pipeline.evaluate import cluster_diff
+    from pipeline.linkage import build_plan, cluster_edges
+
+    plan = build_plan(turns_df)
+    clusters, _ = cluster_edges(plan["edges"], plan["features"])
+    out = cluster_diff(clusters, clusters).collect()
+    assert all(r["change"] == "identical" for r in out)
+    assert {r["entity_id"] for r in out} == {
+        r["entity_id"] for r in clusters.select("entity_id").distinct().collect()
+    }
