@@ -87,6 +87,63 @@ def increment_tuning(spark, enabled: bool = True):
     finally:
         spark.conf.set(key, prev)
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Eagerly truncate an INCREMENT-sized frame's lineage
+    (``localCheckpoint``) at the step's multiplicative choke points.
+
+    An increment step stacks ~6 plan layers (featurize → sig lookup →
+    key table → capped pairs → scoring → contracted CC), and several
+    layers reference the previous frame MORE THAN ONCE (both sides of
+    the pair join, both sides of the scoring text joins, three label
+    joins). Spark renders the physical plan as a TREE — shared subplans
+    are re-rendered per reference (``InMemoryRelation`` re-renders its
+    cached plan as ``innerChildren`` too, so ``.cache()`` does NOT
+    bound it) — and every action pays that render in the
+    SQLExecutionStart event. Composed over lazy in-memory base state
+    (tests; the contract queries) the expansion is multiplicative per
+    layer: a single contracted step over a 120-doc corpus spent >2 min
+    of driver CPU in ``generateTreeString`` before any task ran.
+    Checkpointing the increment-sized frames makes each layer's plan a
+    LEAF for every consumer, bounding any later render to O(one
+    layer). Corpus-sized frames are never pinned (a 100-TB input
+    cannot be materialized); in production those are parquet/Iceberg
+    scans — already leaves. The pinned frames are exactly the ones the
+    step must materialize anyway (the pair list is counted to size the
+    Arrow stage; scored edges feed the CC checksum action), so the
+    extra cost is storage of increment-sized data, not extra compute.
+    """
+    return df.localCheckpoint(eager=True)
+
+
+def materialize_state(out: dict, keys: tuple = (
+    "features", "rep_features", "clusters", "keys", "key_counts",
+)) -> dict:
+    """Truncate the lineage of a step's returned committed-state frames
+    (eager ``localCheckpoint``) before chaining the next increment over
+    them IN MEMORY.
+
+    Production chains over COMMITTED state — each step's features/keys/
+    counts/clusters are written to parquet (``pipeline/streaming.py``)
+    and the next step reads fresh scans, so plans stay shallow. Chaining
+    over the raw lazy frames instead compounds the logical plan
+    multiplicatively per step (each returned frame references the prior
+    step's frames several times, and Spark renders the plan DESCRIPTION
+    for every action — the SQLExecutionStart event, re-rendered by AQE
+    per stage — whose tree traversal is O(expanded tree) even when
+    ``spark.sql.maxPlanStringLength`` caps the stored string). Two lazy
+    contracted steps over a 120-doc corpus already push driver-side plan
+    rendering into the minutes. This helper is the in-memory analogue of
+    the parquet commit: call it on each step's output before feeding the
+    next step. Returns a shallow copy with the state frames checkpointed.
+    """
+    out = dict(out)
+    for k in keys:
+        df = out.get(k)
+        if df is not None:
+            out[k] = df.localCheckpoint(eager=True)
+    return out
+
+
 from pipeline.blocking import (
     _cap_members,
     _hot_hubs,
@@ -368,8 +425,15 @@ def incremental_link(
     existing_keys: DataFrame | None = None,
     existing_key_counts: DataFrame | None = None,
     assume_disjoint_ids: bool = False,
+    pin: bool = True,
 ) -> dict[str, DataFrame]:
     """Link ``new_turns`` against committed (features, clusters) state.
+
+    ``pin=True`` (default) eagerly truncates the lineage of the
+    increment-sized intermediates (``_pin``) so no downstream action
+    renders the multiplicatively-expanded composed plan; ``pin=False``
+    keeps the fully-lazy composition (plan-inspection tests that need
+    to see the scoring stage's join strategy in the returned frames).
 
     ``existing_keys`` / ``existing_key_counts``: the committed blocking
     state (``blocking.key_table_with_counts`` from the base run) — with
@@ -405,6 +469,7 @@ def incremental_link(
     only grow from base to union, so empty union-side audits cover the
     base run's caps as well.
     """
+    _p = _pin if pin else track_cache
     new_feats = featurize(canonicalize(new_turns), cfg)
     # A RE-DELIVERED conv_id (at-least-once upstream delivery) would
     # silently duplicate feature rows and double-count key members in
@@ -417,7 +482,7 @@ def incremental_link(
         new_feats = new_feats.join(
             existing_feats.select("conv_id"), "conv_id", "left_anti"
         )
-    new_feats = track_cache(new_feats)
+    new_feats = _p(new_feats)
     new_ids = new_feats.select("conv_id")
     feats_all = existing_feats.unionByName(new_feats)
 
@@ -427,7 +492,7 @@ def incremental_link(
             existing_keys, existing_key_counts, new_feats,
         )
     )
-    pairs = track_cache(pairs)
+    pairs = _p(pairs)
     # Scoring only needs features for docs that actually appear in a
     # candidate pair (bounded by 2x the restricted pair count — tiny for
     # a small increment). The broadcast semi-join prunes the corpus
@@ -458,6 +523,8 @@ def incremental_link(
         feats_scoring, pairs, cfg, match_only=True,
         n_partitions=n_score_parts,
     )
+    if pin:
+        scored = _pin(scored)
 
     edges = _edges_to_entities(scored, existing_clusters)
     clusters, cc_metrics = _merge_labels(existing_clusters, edges, new_ids)
@@ -486,6 +553,7 @@ def incremental_link_contracted(
     existing_keys: DataFrame | None = None,
     existing_key_counts: DataFrame | None = None,
     assume_disjoint_ids: bool = False,
+    pin: bool = True,
 ) -> dict[str, DataFrame]:
     """``incremental_link`` over CONTRACTED committed state, with the
     exact-duplicate short-circuit: an increment doc whose
@@ -534,6 +602,7 @@ def incremental_link_contracted(
     """
     from pipeline.linkage import exact_sigs
 
+    _p = _pin if pin else track_cache
     new_feats = featurize(canonicalize(new_turns), cfg)
     # re-delivery: clusters cover every committed doc (collapsed members
     # included), so they — not the rep-only feature table — are the
@@ -542,7 +611,7 @@ def incremental_link_contracted(
         new_feats = new_feats.join(
             existing_clusters.select("conv_id"), "conv_id", "left_anti"
         )
-    new_feats = track_cache(new_feats)
+    new_feats = _p(new_feats)
     all_new_ids = new_feats.select("conv_id")
 
     # --- the short-circuit: committed-signature lookup -----------------
@@ -552,7 +621,7 @@ def incremental_link_contracted(
     rep_sigs = exact_sigs(existing_rep_feats, cfg).select(
         F.col("conv_id").alias("rep_id"), "_s1", "_s2"
     )
-    hits = track_cache(
+    hits = _p(
         F.broadcast(new_sigs).join(rep_sigs, ["_s1", "_s2"])
         .select("conv_id", "rep_id")
     )
@@ -571,7 +640,7 @@ def incremental_link_contracted(
     keep_ids = miss_groups.select(F.col("rep_id").alias("conv_id")).unionByName(
         all_new_ids.join(new_sigs.select("conv_id"), "conv_id", "left_anti")
     )
-    new_rep_feats = track_cache(
+    new_rep_feats = _p(
         new_feats.join(F.broadcast(keep_ids), "conv_id", "semi")
     )
     new_rep_ids = new_rep_feats.select("conv_id")
@@ -584,7 +653,7 @@ def incremental_link_contracted(
             existing_keys, existing_key_counts, new_rep_feats,
         )
     )
-    pairs = track_cache(pairs)
+    pairs = _p(pairs)
     touched = (
         pairs.select(F.col("conv_id_a").alias("conv_id"))
         .union(pairs.select(F.col("conv_id_b").alias("conv_id")))
@@ -600,6 +669,8 @@ def incremental_link_contracted(
         feats_scoring, pairs, cfg, match_only=True,
         n_partitions=n_score_parts,
     )
+    if pin:
+        scored = _pin(scored)
 
     # --- edges: scored rep matches + both duplicate expansions ---------
     # committed-twin hits target the rep's CURRENT entity label (the

@@ -40,6 +40,13 @@ def get_spark(
         # allocation in Dataset.localCheckpoint). 1MB keeps every
         # diagnostic readable and bounds the cost at any plan depth.
         .config("spark.sql.maxPlanStringLength", "1048576")
+        # the SQLExecutionStart description is rendered per ACTION (and
+        # AQE re-posts plan updates per stage) even with the UI off;
+        # 'formatted' (the default) walks the tree twice and stringifies
+        # every operator's detail. 'simple' is the cheapest mode that
+        # still names the physical operators. Diagnostics that want rich
+        # plans call .explain(mode) directly, which ignores this conf.
+        .config("spark.sql.ui.explainMode", "simple")
         # UI off by default (bench hygiene); diagnostics (BENCH/exec8_diag)
         # flip it on via env to read executor GC/task metrics over REST
         .config(

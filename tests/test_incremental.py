@@ -203,7 +203,12 @@ def test_incremental_merges_committed_entities(spark):
     )
     assert _clusters_pd(base_clusters)["entity_id"].tolist() == ["a1", "b1"]
 
-    out = incremental_link(base_plan["features"], base_clusters, inc)
+    # pin=False: this test asserts on the returned frames' EXECUTED
+    # PLANS below — the default lineage pins would turn them into
+    # checkpoint leaves and hide the join strategy
+    out = incremental_link(
+        base_plan["features"], base_clusters, inc, pin=False
+    )
     got = _clusters_pd(out["clusters"])
     assert got["conv_id"].tolist() == ["a1", "b1", "c1"]
     assert got["entity_id"].tolist() == ["a1", "a1", "a1"]

@@ -163,8 +163,15 @@ def test_chained_contracted_increments_match_batch(spark, turns_df):
     """Two successive contracted increments, each consuming the previous
     step's returned rep state (rep_features + keys + key_counts), must
     equal one plain batch run — and step 2's committed-sig lookup must
-    see step 1's NEW reps (a step-2 twin of a step-1 doc short-circuits)."""
+    see step 1's NEW reps (a step-2 twin of a step-1 doc short-circuits).
+
+    State is materialized between steps (materialize_state), exactly as
+    production commits it to parquet between increments — chaining the
+    raw lazy frames compounds the plan multiplicatively and the driver
+    spends minutes re-rendering plan descriptions per AQE stage (see
+    materialize_state's docstring)."""
     from pipeline.blocking import key_table_with_counts
+    from pipeline.incremental import materialize_state
 
     cfg = NOCAP
     slot = F.crc32(F.col("conv_id").cast("binary")) % 3
@@ -175,9 +182,11 @@ def test_chained_contracted_increments_match_batch(spark, turns_df):
 
     plan, base_clusters = _base_state(t0, cfg)
     k0, c0 = key_table_with_counts(plan["rep_features"], cfg)
-    step1 = incremental_link_contracted(
-        plan["rep_features"], base_clusters, t1, cfg,
-        existing_keys=k0, existing_key_counts=c0,
+    step1 = materialize_state(
+        incremental_link_contracted(
+            plan["rep_features"], base_clusters, t1, cfg,
+            existing_keys=k0, existing_key_counts=c0,
+        )
     )
     step2 = incremental_link_contracted(
         step1["rep_features"], step1["clusters"], t2, cfg,

@@ -8,6 +8,8 @@ import os
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from pipeline import synth
 from pipeline.streaming import arrival_stats_stream, ingest_turns_stream
 
@@ -528,7 +530,15 @@ def test_retract_compact_vacuum_state(spark, tmp_path):
     # state still loads to the same labels
     deleted = vacuum_state(spark, state)
     assert deleted, "superseded dirs must be reclaimed"
-    left = {d for d in os.listdir(state) if d != "_LATEST.json"}
+    # the pointer now goes through the Hadoop FS API (so it lands on the
+    # same filesystem as the parquet state); on local FS that is
+    # ChecksumFs, which keeps a ._LATEST.json.crc sidecar next to the
+    # pointer — FS plumbing for _LATEST.json itself, not state, and
+    # vacuum (dirs-only) correctly leaves both alone
+    left = {
+        d for d in os.listdir(state)
+        if d not in ("_LATEST.json", "._LATEST.json.crc")
+    }
     assert left == {
         os.path.basename(p)
         for p in ptr3["feature_dirs"] + ptr3["key_dirs"]
