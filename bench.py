@@ -421,6 +421,18 @@ def _write_regression_diff(report: dict) -> None:
         str(prev.get("sf")) == str(report["sf"])
         and prev.get("cpus") == report["cpus"]
     )
+    if not comparable:
+        # a delta table against a different sf/cpu config is noise at
+        # best and misleading at worst (a verify/debug run at sf0.01/8
+        # once clobbered the real sf0.1/32 diff) — keep the last
+        # comparable table on disk instead
+        print(
+            f"bench: skipping BENCH/regressions.md rewrite — recorded "
+            f"round is sf={prev.get('sf')} cpus={prev.get('cpus')}, "
+            f"this run is sf={report['sf']} cpus={report['cpus']}",
+            file=sys.stderr,
+        )
+        return
     # COLD vs STEADY-STATE labels (round-2 VERDICT 'what's wrong' #2: a
     # diff that compares a steady-state number to a cold one overstates
     # the change). q10_warmup_pass = COLD first pass over the saturated
@@ -438,9 +450,7 @@ def _write_regression_diff(report: dict) -> None:
         "# BENCH regression diff",
         "",
         f"current run vs `{os.path.basename(rounds[-1])}` "
-        f"(sf={report['sf']}, cpus={report['cpus']}"
-        + ("" if comparable else " — NOT comparable: sf/cpus differ")
-        + ")",
+        f"(sf={report['sf']}, cpus={report['cpus']})",
         "",
         "Labels: **cold** = first pass after worker start (includes "
         "per-worker kernel-cache warmup); **steady** = best-of-2 after "
