@@ -7,6 +7,16 @@ increment, PRODUCTION_CONFIG, frozen anchors, committed blocking
 state). The phases sum to ~the q11b wall; the output names which jobs
 carry the fixed cost.
 
+Kept in lock-step with the production body (round 5): the step runs
+under ``increment_tuning`` (AQE off for increment-sized plans), pins
+the increment-sized intermediates with eager ``localCheckpoint``
+(``incremental._pin``) so each phase's action is the ONLY execution of
+its stage, and right-sizes the Arrow scoring stage from the cached
+pair count exactly as ``incremental_link`` does. The feats_scoring
+cache-fill is timed as its own phase here; in production that fill
+happens inside the scored pin (phase 4a) — read 3 + 4a together as
+"the scoring phase".
+
 Usage: python BENCH/incremental_profile.py [sf_dir] [cpus]
 Writes BENCH/incremental_profile.json.
 """
@@ -35,7 +45,11 @@ def main() -> dict:
     from pipeline.cluster import connected_components
     from pipeline.config import PRODUCTION_CONFIG as cfg
     from pipeline.features import featurize
-    from pipeline.incremental import incremental_candidate_pairs
+    from pipeline.incremental import (
+        _pin,
+        increment_tuning,
+        incremental_candidate_pairs,
+    )
     from pipeline.linkage import build_plan, cluster_edges
     from pipeline.scoring import score_pairs
     from pipeline.session import get_spark, release_caches, track_cache
@@ -72,13 +86,15 @@ def main() -> dict:
         return out
 
     t_all0 = time.time()
+    tuning = increment_tuning(spark)
+    tuning.__enter__()
 
     # ---- the incremental_link body, phase by phase -----------------------
     new_feats = featurize(canonicalize(new_turns), cfg)
-    new_feats = track_cache(
-        new_feats.join(base_feats.select("conv_id"), "conv_id", "left_anti")
+    new_feats = new_feats.join(
+        base_feats.select("conv_id"), "conv_id", "left_anti"
     )
-    timed("1_featurize_antijoin_cachefill", new_feats.count)
+    new_feats = timed("1_featurize_antijoin_pin", lambda: _pin(new_feats))
     new_ids = new_feats.select("conv_id")
     feats_all = base_feats.unionByName(new_feats)
 
@@ -88,8 +104,8 @@ def main() -> dict:
             base_keys, base_counts, new_feats,
         )
     )
-    pairs = track_cache(pairs)
-    n_pairs = timed("2_candidate_pairs_cachefill", pairs.count)
+    pairs = timed("2_candidate_pairs_pin", lambda: _pin(pairs))
+    n_pairs = pairs.count()
 
     touched = (
         pairs.select(F.col("conv_id_a").alias("conv_id"))
@@ -101,7 +117,13 @@ def main() -> dict:
     )
     timed("3_feats_scoring_cachefill", feats_scoring.count)
 
-    scored = score_pairs(feats_scoring, pairs, cfg, match_only=True)
+    cores = spark.sparkContext.defaultParallelism
+    n_score_parts = max(1, min(cores * 3, -(-n_pairs // 2000)))
+    scored = score_pairs(
+        feats_scoring, pairs, cfg, match_only=True,
+        n_partitions=n_score_parts,
+    )
+    scored = timed("4a_arrow_scoring_pin", lambda: _pin(scored))
     lab = base_clusters.select(
         F.col("conv_id").alias("_cid"), F.col("entity_id").alias("_ent")
     )
@@ -117,7 +139,7 @@ def main() -> dict:
         )
     )
     comp, cc_metrics = timed(
-        "4_score_edges_cc",
+        "4b_edges_cc",
         lambda: connected_components(edges, all_nodes=new_ids),
     )
 
@@ -152,6 +174,7 @@ def main() -> dict:
     )
 
     total = round(time.time() - t_all0, 3)
+    tuning.__exit__(None, None, None)
     release_caches()
     out = {
         "sf_dir": sf_dir,
