@@ -89,3 +89,18 @@ def test_entry_smoke(spark):
     out = entrymod.entry(spark)
     assert out.count() > 0
     assert set(out.columns) == {"conv_id", "entity_id"}
+
+
+def test_audit_sampled_oracle_handles_empty_coin(monkeypatch):
+    """Round-4 ADVICE: with no scored pair passing the 0.25 coin the
+    oracle used to emit malformed SQL ('from (values )'). Force the
+    empty branch by making every coin value land above the threshold
+    and assert the fallback is valid DuckDB SQL with the contract
+    schema and zero rows."""
+    import pipeline.hashing as hashing
+
+    monkeypatch.setattr(hashing, "h60_py", lambda *parts: 999_999)
+    sql = entrymod._linkage_audit_sampled_sql()
+    out = duckdb.sql(sql).df()
+    assert list(out.columns) == ["tier", "n_pairs", "sample_rate"]
+    assert len(out) == 0
