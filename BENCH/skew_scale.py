@@ -590,7 +590,7 @@ def main() -> dict:
                 "Caps change the PAIR SET (80k pairs instead of ~200M "
                 "for the mega-group), not per-pair scoring cost; at 80k "
                 "pairs the fixed Arrow-stage spin-up dominates the "
-                "4.7s scoring wall"
+                f"{t_score:.1f}s scoring wall"
             ),
         },
     }
