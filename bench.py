@@ -67,6 +67,23 @@ def main() -> dict:
         timings[name] = round(time.time() - t0, 3)
         return out
 
+    def timed_best2(name: str, fn):
+        """Best-of-2 with both passes recorded in extras (q0 precedent).
+
+        For the two most expensive one-shot lines only: a transient VM
+        stall (observed round 5: q11b 14.3s / 51.6s / 15.5s across three
+        otherwise-flat back-to-back runs, calibration 0.94-0.99 in all
+        three) can land a 3x outlier on a single line of a single-shot
+        driver run and masquerade as a code regression. Two passes bound
+        that; recording both keeps the spread auditable."""
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            walls.append(round(time.time() - t0, 3))
+        timings[name] = min(walls)
+        extras[f"{name}_passes"] = walls
+
     def noop_write(df):
         df.write.format("noop").mode("overwrite").save()
 
@@ -341,7 +358,7 @@ def main() -> dict:
             )
             noop_write(out["clusters"])
 
-    timed("q11b_linkage_incremental_step", _incremental_step)
+    timed_best2("q11b_linkage_incremental_step", _incremental_step)
     release_caches()
 
     # ---- q11c: the same increment via the CONTRACTED path ---------------
@@ -378,7 +395,7 @@ def main() -> dict:
             )
             noop_write(out["clusters"])
 
-    timed("q11c_linkage_incremental_contracted", _incremental_step_contracted)
+    timed_best2("q11c_linkage_incremental_contracted", _incremental_step_contracted)
     release_caches()
 
     total = round(sum(timings.values()), 3)
