@@ -194,22 +194,28 @@ separates hardware from engine (recorded in `BENCH/exec8_diag.json`):
 | DRAM bandwidth (numpy streaming sum, 256 MB/worker) | {d["bw_gbps"]["w8"]} GB/s | {d["bw_gbps"]["w32"]} GB/s | **{d["bw_scaling_8_to_32"]}** — no bandwidth ceiling |
 | production batch kernels (multiprocessing, no Spark) | {d["kernel_scores_per_sec"]["p8"] / 1000:.1f}k scores/s | {d["kernel_scores_per_sec"]["p32"] / 1000:.1f}k | **{kern}** |
 | GC fraction during the saturated stage (UI REST, 8-core run with 24 loaded neighbor cores) | — | — | **{d["gc_probe"]["gc_fraction"] * 100:.2f}%** — GC is a non-factor |
-| saturated bench, 8 cores, neighbors LOADED vs idle box | {d["gc_probe"]["saturated_pairs_per_sec_loaded_neighbors"] / 1000:.1f}k pairs/s | (idle-box local[8] for comparison) | — |
+| saturated bench, 8 cores, neighbors LOADED vs idle box (one-time diag session; idle local[8] that session: 34.0k) | {d["gc_probe"]["saturated_pairs_per_sec_loaded_neighbors"] / 1000:.1f}k pairs/s | 34.0k | **{d["gc_probe"]["saturated_pairs_per_sec_loaded_neighbors"] / 33975.1:.3f}** |
 
 Topology: 32 PHYSICAL cores (no SMT), one socket, **one shared 260 MiB
 L3**. With frequency, bandwidth and GC ruled out, the 8->32 kernel loss
 ({kern}) is shared-L3 contention: the batch kernels are built around
 L3-resident gathers (compact per-chunk alphabets, ring working sets),
 and 32 concurrent workers divide the single L3 slice that 8 workers had
-largely to themselves. The measured 4x8 efficiency decomposes as
+largely to themselves. In the diag session's window the measured 4x8
+efficiency decomposed as
 
-    {eff8}  ~=  {kern} (shared-L3 kernel ceiling)  x  {residual} (engine residual)
+    0.777  ~=  0.852 (shared-L3 kernel ceiling)  x  0.91 (engine residual)
 
-The engine residual matches the 4x4 gate number ({eff4}, where
-only half the box is busy and L3 pressure is halved) — i.e. the engine
-itself scales at ~0.91-0.94; the remainder is the virtualized box's
-single L3 domain, which a real N -> 4N EXECUTOR scale-out (4 machines,
-4 private L3s) does not share. Mitigation knobs, in order of relevance:
+with the engine residual matching that session's 4x4 gate number
+(0.938, where only half the box is busy and L3 pressure is halved) —
+i.e. the engine itself scales at ~0.91-0.94; the remainder is the
+virtualized box's single L3 domain, which a real N -> 4N EXECUTOR
+scale-out (4 machines, 4 private L3s) does not share. The CURRENT run's
+best-of 4x8 efficiency is {eff8} -> residual {residual} against the
+pinned kernel ceiling; residuals at or above ~1.0 mean the topology leg
+landed in a faster VM minute than its denominator leg (the diag probes
+are one-time pinned measurements; bench legs move with the VM — read
+the per-repeat arrays above, not any single ratio). Mitigation knobs, in order of relevance:
 executor-per-L3/NUMA-domain placement on real clusters (standard),
 smaller Arrow batches / per-chunk alphabets to shrink the per-worker
 resident set (already compacted — see `pipeline/kernels_batch.py`), and
@@ -344,6 +350,23 @@ def main() -> dict:
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(report, f, indent=2)
 
+    write_md(report, sf_dir, repeats)
+    print(json.dumps(report))
+    return report
+
+
+def write_md(report: dict, sf_dir: str, repeats: int) -> None:
+    """Render BENCH/BASELINE.md from a recorded scaling report. Callable
+    standalone (``python BENCH/scaling.py --md-only``) so prose/template
+    fixes regenerate the md from the committed scaling.json without
+    re-running an hour of benches."""
+    t4 = report["throughput_pairs_per_sec"]["1_executor_of_4"]
+    t4x4 = report["throughput_pairs_per_sec"]["4_executors_of_4"]
+    t8 = report["throughput_pairs_per_sec"]["local[8]"]
+    t32 = report["throughput_pairs_per_sec"]["local[32]"]
+    t4x8 = report["throughput_pairs_per_sec"]["4_executors_of_8"]
+    hw = report["hw_ceiling"]
+
     md = f"""# BENCH/BASELINE — scaling evidence (N vs 4N executors)
 
 North rule: throughput scaling efficiency >= 0.8 between N and 4N
@@ -381,7 +404,13 @@ median-of-repeats = **{report["scaling_efficiency_executors_4c_median"]}**;
 drift-paired per-repeat (numerator and denominator from ADJACENT legs of
 the same repeat — the robust number on a VM whose speed can swing 2x
 within an hour): {report["scaling_efficiency_4c_by_repeat"]}, best
-**{report["scaling_efficiency_4c_paired_best"]}**.
+**{report["scaling_efficiency_4c_paired_best"]}**, worst (the
+conservative gate read — every repeat must clear 0.8)
+**{min(report["scaling_efficiency_4c_by_repeat"], default=0.0)}**.
+Ratios above 1.0 are drift, not super-linear scaling: the two legs of a
+repeat run minutes apart, and a ratio >1 means the single-executor
+denominator leg landed in a slower VM minute than the 4-executor leg
+(per-leg q0 calibrations below make the drift visible).
 (gate definition amended in BASELINE.md round 3: N = one pinned 4-core
 executor JVM, 4N = four concurrent — the measurement and the gate now
 use the same topology. The 8-core-executor variant's median efficiency
@@ -408,9 +437,9 @@ artifact exists.
 
 Per-repeat throughput (interleaved levels, best-of-N per level; the VM
 shows double-digit % run-to-run drift):
-local[4] {all_runs[4]} · local[8] {all_runs[8]} · local[32] {all_runs[32]} ·
-4x4-executor aggregates {[r["aggregate_pairs_per_sec"] for r in exec4_runs]} ·
-4x8-executor aggregates {[r["aggregate_pairs_per_sec"] for r in exec8_runs]}
+local[4] {report["all_repeats_pairs_per_sec"]["4"]} · local[8] {report["all_repeats_pairs_per_sec"]["8"]} · local[32] {report["all_repeats_pairs_per_sec"]["32"]} ·
+4x4-executor aggregates {[r["aggregate_pairs_per_sec"] for r in report["executor4_topology_runs"]]} ·
+4x8-executor aggregates {[r["aggregate_pairs_per_sec"] for r in report["executor8_topology_runs"]]}
 (per-executor detail in scaling.json)
 
 ### Hardware-ceiling context
@@ -436,9 +465,16 @@ pairs/sec on this box.
     md += _exec8_root_cause_section(report)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps(report))
-    return report
 
 
 if __name__ == "__main__":
-    main()
+    if "--md-only" in sys.argv:
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            _rep = json.load(f)
+        write_md(
+            _rep,
+            _rep.get("sf", "/root/testdata/sf0.1"),
+            len(_rep.get("scaling_efficiency_4c_by_repeat", [])) or 1,
+        )
+    else:
+        main()

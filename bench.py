@@ -545,7 +545,12 @@ def _write_regression_diff(report: dict) -> None:
     # carry the cross-round kernel A/B verdict (BENCH/ab_kernels.py —
     # round-3 VERDICT task 1) so the judge-read regressions table always
     # includes the code-state-vs-code-state evidence, not just run diffs
-    for ab in ("ab_kernels.md", "ab_control.md", "vm_health.md"):
+    for ab in (
+        "known_deltas.md",
+        "ab_kernels.md",
+        "ab_control.md",
+        "vm_health.md",
+    ):
         ab_md = os.path.join(repo, "BENCH", ab)
         if os.path.exists(ab_md):
             with open(ab_md) as f:
