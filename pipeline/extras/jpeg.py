@@ -180,8 +180,16 @@ class _BitReader:
     def align_restart(self) -> None:
         """Consume padding bits + an RSTn marker (T.81 F.2.1.3.1)."""
         if self.bit:
+            # Flush the partially-consumed byte. If that byte is 0xFF
+            # (its unread tail is 1-padding), the encoder emitted a
+            # stuffed 0x00 after it (T.81 F.1.2.3) — skip BOTH, exactly
+            # as read_bit does on byte completion; landing on the
+            # stuffed 0x00 here misread it as a missing RST marker.
+            b = self.d[self.pos]
             self.bit = 0
             self.pos += 1
+            if b == 0xFF:
+                self.pos += 1
         if (
             self.pos + 1 < len(self.d)
             and self.d[self.pos] == 0xFF

@@ -94,6 +94,18 @@ def test_restart_intervals_reset_predictors():
     )
 
 
+def test_restart_alignment_skips_stuffed_padding_byte():
+    """Random-noise content maximizes the chance an interval's final
+    entropy byte pads to 0xFF (encoder then emits FF 00 FF Dn): before
+    the align_restart stuffing fix ~30% of 16x16 noise images raised
+    'expected JPEG restart marker' at restart_interval=1. Every noise
+    image must round-trip decodable (lossy, so only shape is pinned)."""
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        g = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(g, restart_interval=1)).shape == g.shape
+
+
 def test_feature_parity_with_ppm_twin():
     """The same pixels through the JPEG path and the PPM path give the
     same thumbnail features (within the all-ones-quant rounding)."""
