@@ -214,6 +214,10 @@ def build_contracted_plan(
         "hot_key_audit": hot_audit,
         "scored": scored,
         "edges": edges,
+        # the full-population (token, df) snapshot the pairing used —
+        # commit it next to the state so increments/retractions pin
+        # anchors to the SAME statistics (incremental_link's anchor_df)
+        "anchor_df": weighted_df,
     }
 
 

@@ -294,38 +294,57 @@ def _link_batch(
     kdir = os.path.join(state_dir, f"keys_b{batch_id}")
     cdir = os.path.join(state_dir, f"counts_b{batch_id}")
     ldir = os.path.join(state_dir, f"clusters_b{batch_id}")
+    adir = os.path.join(state_dir, f"anchors_b{batch_id}")
     if state is None:
-        from pipeline.blocking import key_table_with_counts
+        from pipeline.blocking import key_table_with_counts, token_df
 
         if contracted:
             plan = build_contracted_plan(batch_df, cfg)
             # committed feature state holds REP rows only; the labeling
             # covers every doc (collapsed members ride dup_map edges)
             stored_feats = plan["rep_features"]
+            # class-multiplicity-weighted (token, df) == token_df over
+            # the FULL base corpus — the snapshot the rep pairing used
+            anchor_snapshot = plan["anchor_df"]
         else:
             plan = build_plan(batch_df, cfg)
             stored_feats = plan["features"]
+            # the same (token, df) stats candidate_pairs derived
+            # internally — frozen here so every increment (and
+            # retraction) blocks against base-population anchors
+            # instead of recomputing df over its own tiny slice
+            anchor_snapshot = token_df(plan["features"], cfg)
         clusters, _ = cluster_edges(plan["edges"], plan["features"])
-        keys, counts = key_table_with_counts(stored_feats, cfg)
+        anchor_snapshot.write.mode("overwrite").parquet(adir)
+        anchor_snapshot = spark.read.parquet(adir)
+        # the committed keys MUST be built with the same anchor stats as
+        # the pairing: unweighted token_df over rep rows only would
+        # commit an anchor-key table inconsistent with the clusters
+        keys, counts = key_table_with_counts(
+            stored_feats, cfg, anchor_snapshot
+        )
         stored_feats.write.mode("overwrite").parquet(fdir)
         keys.write.mode("overwrite").parquet(kdir)
         counts.write.mode("overwrite").parquet(cdir)
         clusters.write.mode("overwrite").parquet(ldir)
         feature_dirs, key_dirs = [fdir], [kdir]
+        anchors_dir = adir
     else:
         from pipeline.incremental import increment_tuning
 
         feats, keys, counts, clusters0 = _load_state(spark, state)
+        anchors_dir = state.get("anchors")
+        adf = spark.read.parquet(anchors_dir) if anchors_dir else None
         with increment_tuning(spark):
             if contracted:
                 out = incremental_link_contracted(
-                    feats, clusters0, batch_df, cfg,
+                    feats, clusters0, batch_df, cfg, anchor_df=adf,
                     existing_keys=keys, existing_key_counts=counts,
                 )
                 new_feats = out["new_rep_features"]
             else:
                 out = incremental_link(
-                    feats, clusters0, batch_df, cfg,
+                    feats, clusters0, batch_df, cfg, anchor_df=adf,
                     existing_keys=keys, existing_key_counts=counts,
                 )
                 new_feats = out["new_features"]
@@ -348,6 +367,8 @@ def _link_batch(
         "counts": cdir,
         "clusters": ldir,
     }
+    if anchors_dir:
+        payload["anchors"] = anchors_dir
     if state is not None:
         # carry maintenance metadata (retraction tombstones, revision
         # counter) forward through increment commits
@@ -381,6 +402,11 @@ def streaming_incremental_link(
       keys_b{n}/       append-only per-batch increment blocking keys
       counts_b{n}/     FULL merged member counts as of batch n (narrow)
       clusters_b{n}/   FULL labeling as of batch n (narrow)
+      anchors_b0/      frozen (token, df) anchor snapshot of the BASE
+                       corpus — every increment/retraction blocks
+                       against these population statistics (the
+                       incremental_link anchor_df contract); refresh by
+                       rebuilding the base, never per-increment
       _LATEST.json     atomic pointer {batch_id, feature_dirs, key_dirs,
                        counts, clusters} — rename-committed through the
                        Hadoop FS API, so it lives on the SAME filesystem
@@ -539,9 +565,11 @@ def retract_from_state(
     cdir = os.path.join(state_dir, f"counts_rev{rev}")
     ldir = os.path.join(state_dir, f"clusters_rev{rev}")
 
+    anchors_dir = state.get("anchors")
+    adf = spark.read.parquet(anchors_dir) if anchors_dir else None
     with increment_tuning(spark):
         out = retract(
-            feats, clusters, remove_ids, cfg,
+            feats, clusters, remove_ids, cfg, anchor_df=adf,
             existing_keys=keys, existing_key_counts=counts,
         )
         # tombstones accumulate until compaction; clusters/counts are
@@ -564,6 +592,8 @@ def retract_from_state(
         "tombstones": tdir,
         "rev": rev,
     }
+    if anchors_dir:
+        payload["anchors"] = anchors_dir
     _pointer_commit(spark, latest_path, payload)
     return payload
 
@@ -601,6 +631,8 @@ def compact_state(spark: SparkSession, state_dir: str) -> dict:
         "clusters": state["clusters"],
         "rev": rev,
     }
+    if state.get("anchors"):
+        payload["anchors"] = state["anchors"]
     _pointer_commit(spark, latest_path, payload)
     return payload
 
@@ -625,6 +657,7 @@ def vacuum_state(spark: SparkSession, state_dir: str) -> list[str]:
             + state["key_dirs"]
             + [state["counts"], state["clusters"]]
             + ([state["tombstones"]] if state.get("tombstones") else [])
+            + ([state["anchors"]] if state.get("anchors") else [])
         )
     }
     jvm, conf, fs, root = _pointer_fs(spark, state_dir)

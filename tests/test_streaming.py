@@ -249,10 +249,10 @@ def _nocap_cfg():
     )
 
 
-def _batch_reference(spark, t, cfg):
+def _batch_reference(spark, t, cfg, anchor_df=None):
     from pipeline.linkage import build_plan, cluster_edges
 
-    plan = build_plan(spark.createDataFrame(t), cfg)
+    plan = build_plan(spark.createDataFrame(t), cfg, anchor_df=anchor_df)
     full, _ = cluster_edges(plan["edges"], plan["features"])
     return (
         full.select("conv_id", "entity_id")
@@ -260,6 +260,82 @@ def _batch_reference(spark, t, cfg):
         .sort_values("conv_id")
         .reset_index(drop=True)
     )
+
+
+@pytest.mark.parametrize("contracted", [False, True])
+def test_streaming_link_anchors_on_matches_frozen_batch(
+    spark, tmp_path, contracted
+):
+    """Anchors ENABLED (the production default family): batch 0 freezes
+    its (token, df) snapshot into the committed state (``anchors_b0``,
+    class-weighted in contracted mode == token_df over the full base
+    corpus), and every increment and retraction blocks against THOSE
+    population statistics — not df recomputed over its own tiny slice,
+    which silently diverges from the committed pairing (round-5 review
+    findings: retract_from_state ran anchorless; the contracted first
+    batch committed keys built with unweighted rep-df). The equality
+    theorem needs frozen anchors on BOTH sides, so the batch reference
+    consumes the committed snapshot."""
+    import json
+    from dataclasses import replace
+
+    from pipeline.config import DEFAULT_CONFIG
+    from pipeline.streaming import retract_from_state, streaming_incremental_link
+
+    cfg = replace(
+        DEFAULT_CONFIG,
+        pairs_per_key_cap=1_000_000,
+        block_key_cap=1_000_000,
+        # anchors ON: DEFAULT anchor_max_df (8) binds on this corpus
+    )
+    corpus = synth.generate(n_base=60, seed=37)
+    src = str(tmp_path / "src")
+    t = _conv_complete_drops(corpus, src, n_drops=3)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_incremental_link(
+        spark, src, state, ckpt, cfg=cfg, contracted=contracted
+    )
+    q.awaitTermination(300)
+
+    with open(os.path.join(state, "_LATEST.json")) as f:
+        latest = json.load(f)
+    assert latest["batch_id"] == 2 and latest.get("anchors"), latest
+    adf = spark.read.parquet(latest["anchors"])
+    assert adf.count() > 0, "anchors must actually bind in this fixture"
+
+    got = (
+        spark.read.parquet(latest["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    want = _batch_reference(spark, t, cfg, anchor_df=adf)
+    pd.testing.assert_frame_equal(got, want)
+
+    if contracted:
+        # retract_from_state is documented UNCONTRACTED-only (rep-row
+        # state needs member-aware retraction) — the retraction leg of
+        # this test only runs on the uncontracted state
+        return
+
+    # retraction repairs against the SAME frozen snapshot
+    import zlib
+
+    doomed = sorted(
+        c for c in t["conv_id"].unique()
+        if zlib.crc32(c.encode()) % 7 == 0
+    )
+    assert doomed
+    ptr = retract_from_state(spark, state, doomed, cfg=cfg)
+    assert ptr.get("anchors") == latest["anchors"]
+    remaining = t[~t["conv_id"].isin(doomed)]
+    got2 = (
+        spark.read.parquet(ptr["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    want2 = _batch_reference(spark, remaining, cfg, anchor_df=adf)
+    pd.testing.assert_frame_equal(got2, want2)
 
 
 def test_pointer_io_roundtrip_hadoop_fs(spark, tmp_path):
@@ -543,6 +619,7 @@ def test_retract_compact_vacuum_state(spark, tmp_path):
         os.path.basename(p)
         for p in ptr3["feature_dirs"] + ptr3["key_dirs"]
         + [ptr3["counts"], ptr3["clusters"]]
+        + ([ptr3["anchors"]] if ptr3.get("anchors") else [])
     }
     got3 = (
         spark.read.parquet(ptr3["clusters"])
