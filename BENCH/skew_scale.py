@@ -23,7 +23,9 @@ Also times the minhash/simhash dedup family with production bucket caps
 binding on the same corpus (``hot_bucket_star=True``), validating the
 20k-member bucket stays ONE connected component of verified pairs.
 
-Writes BENCH/skew_scale.{json,md}.
+Writes BENCH/skew_scale.json; BENCH/skew_scale.md is the hand-written
+narrative — after re-running, sync its tables to the fresh json by hand
+(the md explains cap semantics and correctness checks, not just walls).
 Usage: python BENCH/skew_scale.py [n_base] [boiler_members] [cpus]
 """
 

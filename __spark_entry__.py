@@ -1781,6 +1781,16 @@ def _linkage_scored_sql(mode: str = "default") -> str:
             scored["tier"], scored["is_match"],
         )
     )
+    if not vals:
+        # schema-only: zero scored pairs at this SF ('from (values )' is
+        # malformed SQL — same class as the audit-sample fallback)
+        return (
+            "select cast(null as varchar) as conv_id_a, "
+            "cast(null as varchar) as conv_id_b, "
+            "cast(null as double) as confidence, "
+            "cast(null as varchar) as tier, "
+            "cast(null as boolean) as is_match where false"
+        )
     return (
         "select conv_id_a, conv_id_b, confidence, tier, is_match\n"
         f"from (values\n{vals}\n)"
@@ -2206,9 +2216,19 @@ def _fs_patterns_sql(mode: str = "docs_nocap") -> str:
     )
     concat = " || ".join(f"cast(g_{name} as varchar)" for name in names)
     gsel = ", ".join(f"g_{name}" for name in names)
+    vals = _fs_channel_vals(mode)
+    if not vals:
+        # schema-only: zero scored pairs -> zero pattern rows
+        cols = ", ".join(
+            f"cast(null as integer) as g_{name}" for name in names
+        )
+        return (
+            f"select cast(null as varchar) as pattern, {cols}, "
+            "cast(0 as bigint) as n_pairs where false"
+        )
     return f"""
 with raw({", ".join("s_" + n for n in names)}) as (values
-{_fs_channel_vals(mode)}
+{vals}
 ),
 g as (select {gcols} from raw)
 select {concat} as pattern, {gsel},
@@ -2465,10 +2485,18 @@ def _blocking_eval_sql(mode: str = "docs_nocap") -> str:
             docs["conv_id"], docs["norm_text"], docs["roles_sig"]
         )
     )
+    cand_cte = (
+        f"cand(conv_id_a, conv_id_b) as (values\n{cand_vals}\n)"
+        if cand_vals
+        # schema-only empty candidate set: metrics still well-defined
+        # (completeness 0 vs a non-empty truth, reduction ratio 1.0)
+        else (
+            "cand as (select cast(null as varchar) as conv_id_a, "
+            "cast(null as varchar) as conv_id_b where false)"
+        )
+    )
     return f"""
-with cand(conv_id_a, conv_id_b) as (values
-{cand_vals}
-),
+with {cand_cte},
 sig(conv_id, nt, rs) as (values
 {sig_vals}
 ),

@@ -169,7 +169,6 @@ def _cap_members(
     keys: DataFrame,
     counts: DataFrame,
     cfg: MatchConfig,
-    hub_scope: DataFrame | None = None,
     hubs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The ONE member-cap rule: down-sample keys whose member count
@@ -200,23 +199,15 @@ def _cap_members(
         # is force-kept so the self-join emits (hub, kept-member) pairs;
         # hot_star_pairs adds (hub, dropped-member) edges — together
         # every member of a hot key stays one scored hop from the hub.
-        # ``hub_scope`` (incremental fast path): restrict the hub pass
-        # to these (family, key) rows — a key with NO new member cannot
-        # produce a new-touching pair, so force-keeping its hub is dead
-        # work in a restricted join; the batch path passes None (all
-        # hot keys). ``hubs``: a PRE-MATERIALIZED (family, key, hub)
-        # table — the incremental path computes it once and driver-pins
-        # it, because every lazy reference to the hub-agg subtree
-        # otherwise re-executes as AQE broadcast jobs per consuming
-        # action (round-5 profiling: 131 sub-1.5s jobs, the step wall
-        # was pure scheduling).
+        # ``hubs``: a PRE-BUILT (family, key, hub) table — the batch
+        # path shares one with hot_star_pairs; the incremental path
+        # computes a scoped one ONCE and driver-pins it, because every
+        # lazy reference to the hub-agg subtree otherwise re-executes
+        # as AQE broadcast jobs per consuming action (round-5
+        # profiling: 131 sub-1.5s jobs, the step wall was pure
+        # scheduling).
         if hubs is None:
-            hot_for_hubs = hot
-            if hub_scope is not None:
-                hot_for_hubs = hot.join(
-                    F.broadcast(hub_scope), ["family", "key"], "semi"
-                )
-            hubs = _hot_hubs(keys, hot_for_hubs)
+            hubs = _hot_hubs(keys, hot)
         joined = joined.join(
             F.broadcast(hubs), ["family", "key"], "left"
         )
@@ -478,7 +469,16 @@ def candidate_pairs(
         # cap filter, star edges) — cache the explode once
         keys, counts = key_table_with_counts(feats, cfg, anchor_df)
         keys = track_cache(keys)
-        kept, audit = _cap_members(keys, counts, cfg)
+        # ONE hot list + ONE hub aggregation shared by the cap filter
+        # and the star edges: identical subplans let ReuseExchange
+        # dedupe the semi-join + groupBy over the cached key table
+        # (previously each side re-derived its own — two hub scans per
+        # batch run)
+        star_hot = counts.filter(
+            F.col("members") > cfg.block_key_cap
+        ).select("family", "key", "members")
+        star_hubs = _hot_hubs(keys, star_hot)
+        kept, audit = _cap_members(keys, counts, cfg, hubs=star_hubs)
     else:
         kept, audit = capped_key_table(feats, cfg, anchor_df)
     # both self-join sides + (upstream) the frequency pass read this —
@@ -499,7 +499,9 @@ def candidate_pairs(
         )
     )
     if cfg.hot_key_star:
-        raw = raw.unionByName(hot_star_pairs(keys, counts, cfg))
+        raw = raw.unionByName(
+            hot_star_pairs(keys, counts, cfg, hot=star_hot, hubs=star_hubs)
+        )
 
     if not return_pair_audit:
         return star_capped_pairs(raw, cfg), audit

@@ -85,6 +85,16 @@ def _em(
     arithmetic (the twin mirrors the op order exactly)."""
     pats = sorted(patterns)
     total = float(sum(n for _, n in pats))
+    if total == 0.0:
+        # no scored pairs (e.g. blocking found no candidates at tiny SF):
+        # EM has nothing to update — return the clamped initial params
+        # instead of dividing by the zero pair total. The twin
+        # (``pipeline.twin.fs_em_pd``) mirrors this exactly.
+        return (
+            min(max(init_p, _EPS), 1.0 - _EPS),
+            [min(max(init_m, _EPS), 1.0 - _EPS)] * n_channels,
+            [min(max(init_u, _EPS), 1.0 - _EPS)] * n_channels,
+        )
     p = init_p
     m = [init_m] * n_channels
     u = [init_u] * n_channels
@@ -160,10 +170,15 @@ def em_weights(
     return spark.createDataFrame(out, _WEIGHTS_SCHEMA)
 
 
-def fs_score_col(weights: list[tuple[str, float, float, float, float]]):
-    """Composite FS log-odds column from a collected weight table:
-    sum over channels of (agree ? w_agree : w_disagree). JVM-only —
-    usable as an unsupervised is_match signal next to the cascade."""
+def fs_score_col(weights: list[tuple[str, float, float, float]]):
+    """Composite FS log-odds column: sum over channels of
+    (agree ? w_agree : w_disagree). JVM-only — usable as an
+    unsupervised is_match signal next to the cascade.
+
+    ``weights``: one (channel, threshold, w_agree, w_disagree) tuple per
+    channel — i.e. the ``em_weights`` table's (channel, w_agree,
+    w_disagree) columns zipped with the channel thresholds the weights
+    were fit at (the weight table itself does not carry thresholds)."""
     from pyspark.sql import Column
 
     total: Column | None = None

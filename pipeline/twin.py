@@ -268,6 +268,12 @@ def fs_em_pd(
     C = len(channels)
     p, m, u = init_p, np.full(C, init_m), np.full(C, init_u)
     eps = 1e-6
+    if total == 0.0:
+        # empty pattern table: mirror _em's no-update fallback exactly
+        p = min(max(init_p, eps), 1.0 - eps)
+        m = np.clip(m, eps, 1.0 - eps)
+        u = np.clip(u, eps, 1.0 - eps)
+        iters = 0
     for _ in range(iters):
         pm = p * np.prod(np.where(gam == 1.0, m, 1.0 - m), axis=1)
         pu = (1.0 - p) * np.prod(np.where(gam == 1.0, u, 1.0 - u), axis=1)
