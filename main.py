@@ -3,10 +3,14 @@
 Usage (production shape, north_rule):
 
     spark-submit --py-files pipeline.zip main.py \
-        --input  /path/to/transcripts_turns   (iceberg table or parquet dir)
+        --input  /path/to/transcripts_turns   (parquet dir; other formats
+                                               via --input-format, e.g.
+                                               --input-format iceberg with
+                                               a catalog table identifier)
         --output /path/to/out                 (stage tables + manifests)
         [--synthetic N]                       (generate N base convs instead)
-        [--resume]                            (default: on — skip committed stages)
+        [--no-resume]                         (ignore committed stages;
+                                               default resumes them)
 
 Each stage commits a manifest; rerunning after a kill resumes from the
 last committed stage (see pipeline.io.StageRunner).
@@ -22,7 +26,12 @@ import time
 
 def parse_args(argv: list[str]) -> argparse.Namespace:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", help="turns table (parquet dir or iceberg id)")
+    p.add_argument("--input", help="turns table (path or iceberg id)")
+    p.add_argument(
+        "--input-format", default="parquet",
+        choices=["parquet", "iceberg", "json", "csv"],
+        help="how to read --input (pipeline.sources.read_turns)",
+    )
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate a synthetic corpus of N base conversations")
@@ -77,14 +86,11 @@ def main(argv: list[str] | None = None) -> dict:
         corpus = synth.generate(n_base=args.synthetic, seed=args.seed)
         turns = spark.createDataFrame(corpus.turns)
     elif args.input:
-        turns = spark.read.parquet(args.input)
+        from pipeline.sources import read_turns
+
+        turns = read_turns(spark, args.input, fmt=args.input_format)
     else:
         raise SystemExit("need --input or --synthetic")
-
-    if args.no_resume:
-        import shutil, os
-        if os.path.isdir(args.output):
-            shutil.rmtree(args.output)
 
     review_band = None
     if args.review_band is not None:
@@ -103,6 +109,10 @@ def main(argv: list[str] | None = None) -> dict:
         audit_sample_rate=args.audit_sample,
         contract_dups=args.contract_exact_dups,
         review_band=review_band,
+        # --no-resume = ignore committed manifests (recompute +
+        # overwrite-commit every stage). Never delete the output dir:
+        # it may hold non-stage artifacts (committed incremental state)
+        resume=not args.no_resume,
     )
     # ONE driver action for the whole report: the three tiny aggregates
     # (1-row summary, doc count, distinct-entity count) crossJoin into a

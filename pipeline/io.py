@@ -206,6 +206,11 @@ class StageRunner:
     out_dir: str
     fingerprint: str = "default"
     use_iceberg: bool = False
+    # resume=False ignores existing commit manifests: every stage
+    # recomputes and overwrite-commits in place. This is the whole of
+    # --no-resume — nothing is ever deleted (the output dir may hold
+    # non-stage artifacts, e.g. committed incremental state)
+    resume: bool = True
     metrics: list[dict] = field(default_factory=list)
 
     def stage_dir(self, name: str) -> str:
@@ -214,6 +219,8 @@ class StageRunner:
         return os.path.join(self.out_dir, name)
 
     def _committed(self, ident: str) -> bool:
+        if not self.resume:
+            return False
         if self.use_iceberg:
             return _iceberg_fingerprint(self.spark, ident) == self.fingerprint
         return is_committed(ident, self.fingerprint)

@@ -266,6 +266,7 @@ def run_staged(
     audit_sample_rate: float | None = None,
     contract_dups: bool = False,
     review_band: tuple[float, float, float, int] | None = None,
+    resume: bool = True,
 ) -> dict[str, DataFrame]:
     """Materialize every stage with commit manifests (resumable).
 
@@ -312,7 +313,9 @@ def run_staged(
             + (f":review={review_band}" if review_band else "")
         ).encode("utf-8")
     ).hexdigest()
-    runner = StageRunner(spark, out_dir, fingerprint=fingerprint)
+    runner = StageRunner(
+        spark, out_dir, fingerprint=fingerprint, resume=resume
+    )
 
     docs = runner.run("docs", lambda: canonicalize(turns))
     feats = runner.run("features", lambda: featurize(docs, cfg))

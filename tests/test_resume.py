@@ -125,3 +125,39 @@ def test_audit_sample_seam(spark, turns_df, tmp_path):
     assert int(
         again["match_summary"].toPandas()["pairs_scored"].iloc[0]
     ) == n_sampled
+
+
+def test_no_resume_recomputes_without_deleting(spark, tmp_path):
+    """Round-5 review fix: --no-resume used to rmtree the whole output
+    directory — destroying any NON-stage artifacts living next to the
+    stage tables (e.g. committed incremental state). StageRunner
+    resume=False must recompute + overwrite-commit every stage and
+    leave foreign files untouched."""
+    import os
+
+    from pipeline.io import StageRunner
+
+    out = str(tmp_path)
+    # a foreign artifact sharing the output dir
+    foreign = os.path.join(out, "committed_state.txt")
+    with open(foreign, "w") as f:
+        f.write("precious")
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(3).toDF("v")
+
+    StageRunner(spark, out, fingerprint="v1").run("s", build)
+    assert calls["n"] == 1
+    # resume=True skips; resume=False recomputes in place
+    StageRunner(spark, out, fingerprint="v1").run("s", build)
+    assert calls["n"] == 1
+    r = StageRunner(spark, out, fingerprint="v1", resume=False)
+    got = r.run("s", build)
+    assert calls["n"] == 2
+    assert got.count() == 3
+    assert r.metrics[-1]["resumed"] is False
+    with open(foreign) as f:
+        assert f.read() == "precious"
