@@ -2441,7 +2441,7 @@ select new_e as entity_id, n_members, n_carried, n_added,
             when n_src_entities = 1 and n_whole_srcs = 1 and n_added = 0
                  then 'identical'
             when n_src_entities = 1 and n_whole_srcs = 1 then 'grew'
-            when n_src_entities = 1 then 'split'
+            when n_src_entities = 1 and n_added = 0 then 'split'
             when n_src_entities = n_whole_srcs and n_added = 0 then 'merged'
             else 'mixed' end as change
 from per_new

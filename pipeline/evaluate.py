@@ -16,12 +16,17 @@ def pairwise_f1(scored: DataFrame, labels: DataFrame) -> dict:
     hit), mirroring the reference's "no candidate returned" failure mode
     (ultimate_address_matcher.py:950-952).
     """
-    pred = scored.select(
-        "conv_id_a", "conv_id_b", F.col("is_match").alias("pred")
-    )
-    lab = labels.select(
-        "conv_id_a", "conv_id_b", F.col("is_match").alias("truth")
-    )
+    def _canon(df: DataFrame, val: str, alias: str) -> DataFrame:
+        # enforce the canonical (a < b) ordering instead of assuming it:
+        # a label row carried as (b, a) must still join its scored twin
+        return df.select(
+            F.least("conv_id_a", "conv_id_b").alias("conv_id_a"),
+            F.greatest("conv_id_a", "conv_id_b").alias("conv_id_b"),
+            F.col(val).alias(alias),
+        )
+
+    pred = _canon(scored, "is_match", "pred")
+    lab = _canon(labels, "is_match", "truth")
     j = lab.join(pred, ["conv_id_a", "conv_id_b"], "left").fillna(
         {"pred": False}
     )
@@ -61,7 +66,14 @@ def cluster_agreement(clusters: DataFrame, expected: DataFrame) -> dict:
         j.select(
             F.col("e.conv_id").alias("conv_id"),
             F.col("e.entity_id").alias("true_e"),
-            F.col("g.entity_id").alias("got_e"),
+            # a conv the produced clustering is MISSING must still score:
+            # NULL == NULL is NULL and the pair would vanish from tp/fn,
+            # silently inflating both metrics. A per-row sentinel entity
+            # ("__missing__<conv_id>") makes it a singleton instead.
+            F.coalesce(
+                F.col("g.entity_id"),
+                F.concat(F.lit("__missing__"), F.col("e.conv_id")),
+            ).alias("got_e"),
         )
     )
     a = pairs.alias("a")
@@ -154,23 +166,28 @@ def clustering_metrics(pred: DataFrame, truth: DataFrame) -> DataFrame:
         F.col(num) * F.col(num) * F.lit(1_000_000_000.0) / F.col(den)
     ).cast("long")
     c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
+    # sum over an EMPTY cells frame is NULL, not 0 — and NULL == 0 is
+    # NULL, so none of the empty-denominator defaults below would fire
+    # (the whole row came back NULL). Coalesce every aggregate so zero
+    # shared conv_ids yields the documented defined values.
+    zsum = lambda c: F.coalesce(F.sum(c), F.lit(0))  # noqa: E731
     stats = cells.agg(
-        F.sum("n_pt").cast("long").alias("n_items"),
-        F.sum(F.when(F.col("rn_p") == 1, 1).otherwise(0))
+        zsum("n_pt").cast("long").alias("n_items"),
+        zsum(F.when(F.col("rn_p") == 1, 1).otherwise(0))
         .cast("long")
         .alias("n_pred_entities"),
-        F.sum(F.when(F.col("rn_t") == 1, 1).otherwise(0))
+        zsum(F.when(F.col("rn_t") == 1, 1).otherwise(0))
         .cast("long")
         .alias("n_truth_entities"),
-        F.sum(c2("n_pt")).cast("long").alias("pair_tp"),
-        F.sum(F.when(F.col("rn_p") == 1, c2("n_p")).otherwise(0))
+        zsum(c2("n_pt")).cast("long").alias("pair_tp"),
+        zsum(F.when(F.col("rn_p") == 1, c2("n_p")).otherwise(0))
         .cast("long")
         .alias("pair_pred"),
-        F.sum(F.when(F.col("rn_t") == 1, c2("n_t")).otherwise(0))
+        zsum(F.when(F.col("rn_t") == 1, c2("n_t")).otherwise(0))
         .cast("long")
         .alias("pair_truth"),
-        F.sum(nano("n_pt", "n_p")).cast("long").alias("bp_nano"),
-        F.sum(nano("n_pt", "n_t")).cast("long").alias("br_nano"),
+        zsum(nano("n_pt", "n_p")).cast("long").alias("bp_nano"),
+        zsum(nano("n_pt", "n_t")).cast("long").alias("br_nano"),
     )
     # ratios: ONE integer-fed division + round each -> deterministic
     # across engines; empty denominator => metric defined as 1.0 (no
@@ -331,8 +348,10 @@ def blocking_metrics(pairs: DataFrame, labels: DataFrame) -> DataFrame:
         lab.groupBy("entity_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
-            F.sum("n").cast("long").alias("n_docs"),
-            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            # coalesce: sum over an empty labels frame is NULL and the
+            # empty-denominator defaults downstream never fire on NULL
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0))
             .cast("long")
             .alias("n_truth_pairs"),
         )
@@ -443,7 +462,9 @@ def cluster_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         F.when(src == 0, F.lit("new"))
         .when((src == 1) & (whole == 1) & (added == 0), F.lit("identical"))
         .when((src == 1) & (whole == 1), F.lit("grew"))
-        .when(src == 1, F.lit("split"))
+        # split = a STRICT SUBSET of one source entity (docstring):
+        # partial source + additions is 'mixed', not 'split'
+        .when((src == 1) & (added == 0), F.lit("split"))
         .when((src == whole) & (added == 0), F.lit("merged"))
         .otherwise(F.lit("mixed"))
     )

@@ -402,6 +402,7 @@ def minhash_lsh_pairs(
     hash_impl: str = "md5",
     return_audit: bool = False,
     hot_bucket_star: bool = False,
+    return_pair_audit: bool = False,
 ):
     """Near-duplicate pairs via MinHash banding + n-gram Jaccard verify.
 
@@ -427,6 +428,16 @@ def minhash_lsh_pairs(
     normed = track_cache(
         normed.repartition(normed.sparkSession.sparkContext.defaultParallelism * 2)
     )
+    if bands < 1 or hashes % bands != 0:
+        # silent degeneracy otherwise: hashes=12, bands=16 -> rows=0 ->
+        # every band key is a CONSTANT and the whole corpus lands in one
+        # bucket per band (recall collapses to the cap sample); leftover
+        # minhashes (hashes % bands) would silently never participate
+        raise ValueError(
+            f"hashes ({hashes}) must be a positive multiple of bands "
+            f"({bands}): rows-per-band = hashes // bands must be >= 1 "
+            "with no remainder"
+        )
     mh = _shingle_minhash(normed, n, hashes, hash_impl)
     rows = hashes // bands
     band_keys = [
@@ -462,13 +473,27 @@ def minhash_lsh_pairs(
     )
     if star is not None:
         raw_pairs = raw_pairs.unionByName(star)
-    cand = _bucket_pair_cap(
-        raw_pairs, ["band_key"], pairs_per_bucket_cap
-    ).dropDuplicates(["doc_id_a", "doc_id_b"])
+    cand, pair_audit = _bucket_pair_cap(
+        raw_pairs, ["band_key"], pairs_per_bucket_cap, return_audit=True
+    )
+    cand = track_cache(cand.dropDuplicates(["doc_id_a", "doc_id_b"]))
     # verify on HASHED shingle sets: same Jaccard (60-bit collisions are
     # ~|S|^2/2^60 per pair — negligible), but long arrays shuffle ~2x
-    # smaller and intersect far faster than string arrays
-    grams = track_cache(normed.select("doc_id", _hashed_grams(n, hash_impl)))
+    # smaller and intersect far faster than string arrays. Compute them
+    # ONLY for candidate endpoints (semi-join): LSH typically touches a
+    # small fraction of a large corpus, and a corpus-wide gram cache is
+    # the dominant verify-stage cost at 10^8+ docs (same `touched`
+    # pattern as pipeline.incremental).
+    touched = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    grams = track_cache(
+        normed.join(touched, "doc_id", "semi").select(
+            "doc_id", _hashed_grams(n, hash_impl)
+        )
+    )
     ga = grams.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("_sa"))
     gb = grams.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("_sb"))
     verified = (
@@ -482,6 +507,10 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
+    if return_pair_audit:
+        # never-silent contract, pair-cap half: buckets whose clique
+        # extras were truncated at pairs_per_bucket_cap
+        return verified, audit, pair_audit
     return (verified, audit) if return_audit else verified
 
 
@@ -536,6 +565,7 @@ def simhash_dedup_pairs(
     hash_impl: str = "md5",
     return_audit: bool = False,
     hot_bucket_star: bool = False,
+    return_pair_audit: bool = False,
 ):
     """SimHash near-dup pairs: docs whose 60-bit SimHash agrees on one of
     ``max_hamming + 1`` equal-width bit blocks; verify Hamming distance.
@@ -614,9 +644,11 @@ def simhash_dedup_pairs(
             .select("table", "block", "doc_id_a", "doc_id_b", "_ha", "_hb")
         )
         raw_pairs = raw_pairs.unionByName(star)
-    cand = _bucket_pair_cap(
-        raw_pairs, ["table", "block"], pairs_per_bucket_cap
-    ).dropDuplicates(["doc_id_a", "doc_id_b"])
+    cand, pair_audit = _bucket_pair_cap(
+        raw_pairs, ["table", "block"], pairs_per_bucket_cap,
+        return_audit=True,
+    )
+    cand = cand.dropDuplicates(["doc_id_a", "doc_id_b"])
     out = (
         cand.withColumn(
             "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
@@ -624,4 +656,6 @@ def simhash_dedup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+    if return_pair_audit:
+        return out, audit, pair_audit
     return (out, audit) if return_audit else out

@@ -349,3 +349,77 @@ def test_cluster_diff_incremental_is_mostly_identical(spark, turns_df):
     assert {r["entity_id"] for r in out} == {
         r["entity_id"] for r in clusters.select("entity_id").distinct().collect()
     }
+
+
+def test_cluster_diff_partial_source_plus_adds_is_mixed(spark):
+    """Round-5 review fix: a new entity holding a PARTIAL source plus
+    newly-appeared docs is 'mixed' per the documented taxonomy ('split'
+    = a strict subset of ONE source entity) — the old rule classified
+    {1,2,+new} as 'split'."""
+    from pipeline.evaluate import cluster_diff
+
+    old = spark.createDataFrame(
+        [("1", "O1"), ("2", "O1"), ("3", "O1")], ["conv_id", "entity_id"]
+    )
+    new = spark.createDataFrame(
+        [("1", "N1"), ("2", "N1"), ("9", "N1"), ("3", "N2")],
+        ["conv_id", "entity_id"],
+    )
+    got = {r["entity_id"]: r for r in cluster_diff(old, new).collect()}
+    assert got["N1"]["change"] == "mixed"
+    assert got["N2"]["change"] == "split"
+
+
+def test_cluster_agreement_missing_convs_count_against(spark):
+    """Round-5 review fix: a conv absent from the produced clustering
+    must count as a recall failure — NULL entity ids used to NULL the
+    pair comparison out of tp AND fn, so a clustering missing half the
+    labeled docs could still score f1 = 1.0."""
+    from pipeline.evaluate import cluster_agreement
+
+    expected = spark.createDataFrame(
+        [("1", "E"), ("2", "E")], ["conv_id", "entity_id"]
+    )
+    got_full = spark.createDataFrame(
+        [("1", "E"), ("2", "E")], ["conv_id", "entity_id"]
+    )
+    got_half = spark.createDataFrame([("1", "E")], ["conv_id", "entity_id"])
+    assert cluster_agreement(got_full, expected)["f1"] == 1.0
+    half = cluster_agreement(got_half, expected)
+    assert half["fn"] == 1 and half["recall"] == 0.0
+
+
+def test_pairwise_f1_normalizes_pair_ordering(spark):
+    """Round-5 review fix: a label row carried as (b, a) must still join
+    its (a, b) scored twin instead of silently counting as a blocking
+    miss."""
+    from pipeline.evaluate import pairwise_f1
+
+    scored = spark.createDataFrame(
+        [("a1", "a2", True)], ["conv_id_a", "conv_id_b", "is_match"]
+    )
+    labels_rev = spark.createDataFrame(
+        [("a2", "a1", True)], ["conv_id_a", "conv_id_b", "is_match"]
+    )
+    out = pairwise_f1(scored, labels_rev)
+    assert out["tp"] == 1 and out["fn"] == 0 and out["f1"] == 1.0
+
+
+def test_clustering_and_blocking_metrics_defined_on_empty(spark):
+    """Round-5 review fix: zero shared conv_ids used to return an
+    all-NULL row (sum of empty is NULL and NULL == 0 never fires the
+    defined-value defaults)."""
+    from pipeline.evaluate import blocking_metrics
+
+    empty_assign = spark.createDataFrame([], "conv_id string, entity_id string")
+    row = clustering_metrics(empty_assign, empty_assign).collect()[0]
+    assert row["n_items"] == 0
+    assert row["pair_f1_x1e6"] == 1_000_000
+    assert row["bcubed_f1_x1e6"] == 1_000_000
+
+    empty_pairs = spark.createDataFrame(
+        [], "conv_id_a string, conv_id_b string"
+    )
+    brow = blocking_metrics(empty_pairs, empty_assign).collect()[0]
+    assert brow["n_docs"] == 0 and brow["n_truth_pairs"] == 0
+    assert brow["pairs_completeness_x1e6"] == 1_000_000

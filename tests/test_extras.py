@@ -1054,3 +1054,46 @@ def test_png_palette_and_corrupt_payloads():
     )
     with pytest.raises(ValueError):
         mm._decode_image(trunc, strict=True)
+
+
+def test_minhash_rejects_degenerate_banding(spark):
+    from pipeline.extras.dedup import minhash_lsh_pairs
+
+    """Round-5 review fix: hashes=12, bands=16 used to make rows=0 —
+    every band key a CONSTANT, the whole corpus in one bucket per band —
+    and hashes=16, bands=5 silently ignored the leftover minhash."""
+    df = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_lsh_pairs(df, hashes=12, bands=16)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_lsh_pairs(df, hashes=16, bands=5)
+
+
+def test_dedup_pair_cap_drops_are_audited(spark):
+    from pipeline.extras.dedup import minhash_lsh_pairs, simhash_dedup_pairs
+
+    """Round-5 review fix: the per-bucket PAIR cap used to drop clique
+    extras silently; return_pair_audit surfaces (pairs_total,
+    pairs_kept) rows for every truncated bucket — the same never-silent
+    contract as the member cap."""
+    # 30 identical docs in one bucket -> C(30,2)=435 proposed pairs vs
+    # pairs_per_bucket_cap=10 (+ star edges)
+    docs = spark.createDataFrame(
+        [(i, "the exact same boilerplate text") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    pairs, audit, pair_audit = minhash_lsh_pairs(
+        docs, pairs_per_bucket_cap=10, return_pair_audit=True
+    )
+    pa = pair_audit.toPandas()
+    assert len(pa) > 0
+    assert (pa["pairs_kept"] < pa["pairs_total"]).all()
+    # star preservation: every doc still appears in a verified pair
+    p = pairs.toPandas()
+    assert set(p["doc_id_a"]).union(p["doc_id_b"]) == set(range(30))
+
+    sp, s_audit, s_pair_audit = simhash_dedup_pairs(
+        docs, pairs_per_bucket_cap=10, return_pair_audit=True
+    )
+    spa = s_pair_audit.toPandas()
+    assert len(spa) > 0 and (spa["pairs_kept"] < spa["pairs_total"]).all()

@@ -135,3 +135,30 @@ def test_fs_score_col_separates_classes(spark):
     scored = sdf.withColumn("fs", fs_score_col(weights))
     by_pid = {r["pid"]: r["fs"] for r in scored.dropDuplicates(["pid"]).collect()}
     assert by_pid["hi"] > by_pid["lo"] + 1.0
+
+
+def test_em_weights_empty_scored_returns_initial_params(spark):
+    """Round-5 review fix: an empty scored table (blocking found no
+    candidates at tiny SF) used to crash _em with ZeroDivisionError;
+    both engines now return the clamped INITIAL parameters, agreeing
+    bit-for-bit."""
+    import pandas as pd
+
+    from pipeline.fellegi_sunter import (
+        DEFAULT_CHANNELS, EM_ITERS, INIT_M, INIT_P, INIT_U, em_weights,
+    )
+    from pipeline.twin import fs_em_pd
+
+    cols = ", ".join(f"s_{name} double" for name, _ in DEFAULT_CHANNELS)
+    empty = spark.createDataFrame([], cols)
+    got = em_weights(spark, empty).toPandas()
+    assert len(got) == len(DEFAULT_CHANNELS)
+    assert (got["match_prior"] == round(INIT_P, 6)).all()
+
+    twin = fs_em_pd(
+        pd.DataFrame({"pattern": [], "n_pairs": []}),
+        DEFAULT_CHANNELS, EM_ITERS, INIT_P, INIT_M, INIT_U,
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), twin.reset_index(drop=True)
+    )
