@@ -1457,7 +1457,7 @@ def _embedding_near_dup_sql(threshold: float = 0.4, n_bits: int = 6,
                             n_tables: int = 4, cap: int = 1024,
                             pair_cap: int = 200) -> str:
     bucket_selects = " union all ".join(
-        f"select doc_id, e, ({_hyperplane_bucket_sql('e', n_bits, t)}) * 10 + {t} as bkey from v"
+        f"select doc_id, e, ({_hyperplane_bucket_sql('e', n_bits, t)}) * {n_tables} + {t} as bkey from v"
         for t in range(n_tables)
     )
     coin = h60_sql("'coin'", "doc_id", "bkey")
@@ -1604,7 +1604,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         n_dims, n_bits, n_tables, "_qv",
     )
-    bkeys = [F.col(f"bucket_{t}") * F.lit(10) + t for t in range(n_tables)]
+    bkeys = [F.col(f"bucket_{t}") * F.lit(n_tables) + t for t in range(n_tables)]
     v_keyed = v.select("neighbor_id", "_nv", F.explode(F.array(*bkeys)).alias("bkey"))
     v_keyed, _ = cap_hot_buckets(v_keyed, ["bkey"], "neighbor_id", 4096)
     q_keyed = q.select("query_id", "_qv", F.explode(F.array(*bkeys)).alias("bkey"))
@@ -1636,12 +1636,12 @@ def _lsh_topk_sql(n_bits: int = 6, n_tables: int = 4, k: int = 3,
                   cap: int = 4096) -> str:
     bucket_selects_v = " union all ".join(
         f"select vec_id as neighbor_id, e as nv,"
-        f" ({_hyperplane_bucket_sql('e', n_bits, t)}) * 10 + {t} as bkey from v"
+        f" ({_hyperplane_bucket_sql('e', n_bits, t)}) * {n_tables} + {t} as bkey from v"
         for t in range(n_tables)
     )
     bucket_selects_q = " union all ".join(
         f"select vec_id as query_id, e as qv,"
-        f" ({_hyperplane_bucket_sql('e', n_bits, t)}) * 10 + {t} as bkey from q"
+        f" ({_hyperplane_bucket_sql('e', n_bits, t)}) * {n_tables} + {t} as bkey from q"
         for t in range(n_tables)
     )
     coin = h60_sql("'coin'", "neighbor_id", "bkey")

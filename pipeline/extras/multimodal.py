@@ -466,7 +466,11 @@ def _decode_image(payload: bytes, strict: bool = False) -> np.ndarray:
                 px = _decode_bmp(payload)
             else:
                 px = _decode_ppm(payload)
-        except ValueError as e:
+        # Exception, not just ValueError: truncated/corrupt segments can
+        # raise struct.error or IndexError from the struct.unpack /
+        # slicing inside the decoders — the never-die-on-one-bad-row
+        # contract must hold for those too (round-5 review).
+        except Exception as e:
             if strict:
                 raise ValueError(
                     f"undecodable image payload ({len(payload)} bytes): {e}"
@@ -513,14 +517,15 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            feats = [
-                _decode_image(bytes(p)).tolist() for p in b["payload"]
-            ]
+            # payload is nullable: bytes(None) raises TypeError and would
+            # kill the whole Arrow batch — NULL rows take the fake path.
+            raw = [b"" if p is None else bytes(p) for p in b["payload"]]
+            feats = [_decode_image(p).tolist() for p in raw]
             yield pd.DataFrame(
                 {
                     "doc_id": b["doc_id"],
                     "kind": b["kind"],
-                    "n_bytes": [len(bytes(p)) for p in b["payload"]],
+                    "n_bytes": [len(p) for p in raw],
                     "features": feats,
                 }
             )

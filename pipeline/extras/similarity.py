@@ -28,6 +28,39 @@ def _H(hash_impl: str):
     return F.xxhash64 if hash_impl == "xxhash64" else h60_col
 
 
+def _bucket_key_expr(n_tables: int):
+    """Exploded per-table bucket → one collision-free long ``bkey``.
+
+    Packs as ``bucket * n_tables + t`` (t < n_tables, so distinct
+    (bucket, table) pairs never merge). The previous hardcoded
+    ``bucket * 10 + t`` silently merged table 10's bucket b with table
+    0's bucket b+1 whenever ``n_tables > 10`` — inflated candidate
+    volume and caps applied to merged pseudo-buckets (round-5 review).
+    """
+    return F.explode(
+        F.array(
+            *[
+                F.col(f"bucket_{t}") * F.lit(n_tables) + t
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("bkey")
+
+
+def _topk_tail(scored: DataFrame, k: int) -> DataFrame:
+    """Shared per-query top-k tail: rank by (cosine desc, neighbor asc),
+    keep ``rank <= k``. One definition so the tie-break ordering cannot
+    drift between the brute-force / LSH / IVF variants."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -73,14 +106,7 @@ def brute_force_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_nv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_tail(scored, k)
 
 
 def _hyperplane_sign(vec, n_dims: int, bit: int, table: int, hash_impl: str = "md5"):
@@ -154,29 +180,16 @@ def lsh_topk(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
         n_dims, n_bits, n_tables, "_qv", hash_impl,
     )
-    v_keyed = v.select(
-        "neighbor_id", "_nv",
-        F.explode(F.array(*[F.col(f"bucket_{t}") * F.lit(10) + t for t in range(n_tables)])).alias("bkey"),
-    )
+    v_keyed = v.select("neighbor_id", "_nv", _bucket_key_expr(n_tables))
     v_keyed, _ = cap_hot_buckets(v_keyed, ["bkey"], "neighbor_id", bucket_cap, hash_impl)
-    q_keyed = q.select(
-        "query_id", "_qv",
-        F.explode(F.array(*[F.col(f"bucket_{t}") * F.lit(10) + t for t in range(n_tables)])).alias("bkey"),
-    )
+    q_keyed = q.select("query_id", "_qv", _bucket_key_expr(n_tables))
     cand = (
         v_keyed.join(q_keyed, "bkey")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_nv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_tail(cand, k)
 
 
 def ivf_fit_cells(
@@ -330,12 +343,7 @@ def ivf_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_nv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_tail(cand, k)
 
 
 def ivf_topk_fixed(
@@ -447,12 +455,7 @@ def embedding_near_dup_pairs(
         vectors.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v")),
         n_dims, n_bits, n_tables, "_v", hash_impl,
     )
-    keyed = v.select(
-        "doc_id", "_v",
-        F.explode(
-            F.array(*[F.col(f"bucket_{t}") * F.lit(10) + t for t in range(n_tables)])
-        ).alias("bkey"),
-    )
+    keyed = v.select("doc_id", "_v", _bucket_key_expr(n_tables))
     from pipeline.session import track_cache
 
     star = None

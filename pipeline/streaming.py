@@ -78,10 +78,16 @@ def stream_exact_dedup(
         .option("maxFilesPerTrigger", 4)
         .parquet(input_dir)
     )
+    # Dedup key = (conv_id, turn_idx, hash(text)), NOT the bare 64-bit
+    # hash of the triple: with only the hash in the key, a birthday
+    # collision (~2^32 rows at 100-TB scale) silently drops a distinct,
+    # never-seen turn. Keeping the natural keys alongside the text hash
+    # means a loss additionally requires identical conv_id AND turn_idx;
+    # state stays small (two narrow keys + 8 bytes vs the full text).
     deduped = (
-        stream.withColumn("text_hash", F.xxhash64("conv_id", "turn_idx", "text"))
+        stream.withColumn("text_hash", F.xxhash64("text"))
         .withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["text_hash"])
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "text_hash"])
         .drop("text_hash")
     )
     return (
@@ -94,7 +100,7 @@ def stream_exact_dedup(
     )
 
 
-CANON_STATE_SCHEMA = "turns ARRAY<STRUCT<turn_idx: INT, role: STRING, text: STRING>>, last_ts LONG"
+CANON_STATE_SCHEMA = "turns ARRAY<STRUCT<turn_idx: INT, role: STRING, text: STRING>>"
 CANON_OUT_SCHEMA = (
     "conv_id STRING, canonical_text STRING, n_turns INT, roles_sig STRING"
 )
@@ -126,7 +132,7 @@ def streaming_canonicalize(
     def _update(key, pdfs, state: GroupState):
         (conv_id,) = key
         if state.hasTimedOut:
-            turns, _ = state.get
+            (turns,) = state.get
             state.remove()
             ordered = sorted(turns, key=lambda t: t[0])
             yield pd.DataFrame(
@@ -148,9 +154,9 @@ def streaming_canonicalize(
                 for i, r, x in zip(pdf["turn_idx"], pdf["role"], pdf["text"])
             )
         if state.exists:
-            prev, _ = state.get
+            (prev,) = state.get
             rows = list(prev) + rows
-        state.update((rows, 0))
+        state.update((rows,))
         state.setTimeoutDuration(max(idle_timeout_ms, 1))
         return
         yield  # generator function with no batch output

@@ -1097,3 +1097,60 @@ def test_dedup_pair_cap_drops_are_audited(spark):
     )
     spa = s_pair_audit.toPandas()
     assert len(spa) > 0 and (spa["pairs_kept"] < spa["pairs_total"]).all()
+
+
+def test_corrupt_jpeg_non_valueerror_falls_back():
+    """Round-5 review: truncated JPEG segments raise struct.error /
+    IndexError (not ValueError) inside decode_jpeg — the non-strict
+    fallback must catch those too, or one corrupt row kills the whole
+    mapInPandas batch."""
+    import numpy as np
+
+    from pipeline.extras import multimodal as mm
+
+    # SOI + SOF0 marker with a segment too short for its header fields
+    bad = b"\xff\xd8\xff\xc0\x00\x03\x08"
+    got = mm._decode_image(bad, strict=False)
+    assert np.array_equal(got, mm._fake_features(bad))
+    with pytest.raises(ValueError):
+        mm._decode_image(bad, strict=True)
+
+
+def test_extract_features_null_payload_survives(spark):
+    """A NULL payload row must take the deterministic fake path, not
+    raise TypeError from bytes(None) and fail the Arrow batch."""
+    import numpy as np
+
+    from pipeline.extras import multimodal as mm
+
+    media = spark.createDataFrame(
+        [
+            ("d0", "image", None, (0, 0, "png", None)),
+            ("d1", "image", b"P5\n2 2\n255\n\x00\x40\x80\xff", (2, 2, "pgm", None)),
+        ],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    feats = mm.extract_features(media).toPandas().sort_values("doc_id")
+    assert len(feats) == 2
+    null_row = feats[feats["doc_id"] == "d0"].iloc[0]
+    assert null_row["n_bytes"] == 0
+    assert np.allclose(null_row["features"], mm._fake_features(b""))
+    real_row = feats[feats["doc_id"] == "d1"].iloc[0]
+    assert not np.allclose(real_row["features"], mm._fake_features(b""))
+
+
+def test_lsh_bucket_key_packing_no_cross_table_collision(spark):
+    """Round-5 review: the old ``bucket * 10 + t`` packing merged
+    table 10's bucket b with table 0's bucket b+1 for n_tables > 10.
+    The fixed ``bucket * n_tables + t`` packing must keep every
+    (bucket, table) pair distinct."""
+    from pipeline.extras.similarity import _bucket_key_expr
+
+    n_tables = 12
+    # one row whose per-table buckets are all the same value B, plus a
+    # second row at B+1: under the old packing row0/table10 == row1/table0
+    rows = [tuple([7] * n_tables), tuple([8] * n_tables)]
+    df = spark.createDataFrame(rows, [f"bucket_{t}" for t in range(n_tables)])
+    keys = df.select(_bucket_key_expr(n_tables)).toPandas()["bkey"]
+    assert len(keys) == 2 * n_tables
+    assert keys.nunique() == 2 * n_tables
