@@ -364,6 +364,16 @@ def capped_key_table_from_state(
     committed key table (map-side coin filter against a broadcast hot
     list) and the committed counts (narrow (family, key, members) rows,
     co-partitioned merge on bucketed storage)."""
+    if cfg.anchor_max_df >= 2 and anchor_df is None:
+        # increment-local df would mint bogus "rare" anchors for
+        # corpus-common tokens and merge them into the committed counts —
+        # see incremental.incremental_candidate_pairs for the full story
+        raise ValueError(
+            "committed-state mode with anchors enabled (anchor_max_df >= "
+            "2) requires the committed (token, df) snapshot as anchor_df "
+            "(token_df); pass the snapshot the committed keys were built "
+            "with, or disable the family (anchor_max_df < 2)"
+        )
     new_keys, new_counts = key_table_with_counts(new_feats, cfg, anchor_df)
     keys, counts = merge_key_state(
         existing_keys, existing_counts, new_keys, new_counts

@@ -165,6 +165,7 @@ def connected_components(
             )
             clusters = clusters.union(singletons)
         return clusters, metrics
+    converged = False
     for it in range(max_iterations):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         sig = _checksum(nxt)
@@ -173,8 +174,23 @@ def connected_components(
         )
         cur = nxt
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # The star extraction below is only valid at a fixpoint — reading
+        # it from a non-converged edge set would silently split components
+        # (nodes would take a non-root neighbor as their label). Fail
+        # loudly; the caller retries with a higher budget. The SoCC'14
+        # worst case is O(log^2 n) rounds, so pathological chain-shaped
+        # graphs at extreme scale can legitimately need more than the
+        # default 25.
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} alternating-star rounds (last edge "
+            f"checksum still moving: {prev_sig} -> {sig}); re-run with a "
+            f"larger max_iterations"
+        )
 
     # At the fixpoint every component is a star centered at its min node:
     # membership = the edge list itself (u -> root v) plus the roots.

@@ -207,6 +207,22 @@ def incremental_candidate_pairs(
                 "committed-state mode needs existing_keys, "
                 "existing_counts AND new_feats together"
             )
+        if cfg.anchor_max_df >= 2 and anchor_df is None:
+            # Without the committed (token, df) snapshot, the anchor
+            # family's df would be computed over the INCREMENT alone — a
+            # corpus-common token appearing 2..anchor_max_df times in a
+            # small increment would mint a bogus "rare" anchor, and
+            # merge_key_state would fold those keys into the committed
+            # counts permanently. The fallback path (no existing_keys)
+            # computes df over the full union instead, so the two paths
+            # would silently diverge. Fail loudly.
+            raise ValueError(
+                "committed-state mode with anchors enabled "
+                "(anchor_max_df >= 2) requires the committed (token, df) "
+                "snapshot as anchor_df (blocking.token_df); pass the "
+                "snapshot the committed keys were built with, or disable "
+                "the family (anchor_max_df < 2)"
+            )
         nk, nc = key_table_with_counts(new_feats, cfg, anchor_df)
         union_keys, union_counts = merge_key_state(
             existing_keys, existing_counts, nk, nc
@@ -287,15 +303,17 @@ def incremental_candidate_pairs(
     # conservative cross-run pair-cap risk (see docstring): derived from
     # the counts table — a filter on an already-aggregated narrow frame,
     # no extra shuffle
+    # double arithmetic BEFORE the multiply: members*(members-1) in long
+    # wraps past ~3.04e9 members (negative in non-ANSI mode), which would
+    # silently drop exactly the most degenerate keys from this audit
+    _pot = (
+        F.col("members").cast("double")
+        * (F.col("members") - 1).cast("double")
+        / 2
+    )
     cap_risk = (
-        union_counts.where(
-            F.col("members") * (F.col("members") - 1) / 2
-            > F.lit(float(cfg.pairs_per_key_cap))
-        )
-        .withColumn(
-            "potential_pairs",
-            (F.col("members") * (F.col("members") - 1) / 2).cast("long"),
-        )
+        union_counts.where(_pot > F.lit(float(cfg.pairs_per_key_cap)))
+        .withColumn("potential_pairs", _pot.cast("long"))
     )
 
     if existing_keys is not None:
@@ -415,6 +433,50 @@ def _merge_labels(
     return existing_updated.unionByName(new_assign), cc_metrics
 
 
+def _score_increment_pairs(
+    feats_all: DataFrame, pairs: DataFrame, cfg: MatchConfig, pin: bool
+) -> DataFrame:
+    """Score an increment's candidate pairs — the shared tail of
+    ``incremental_link`` and ``incremental_link_contracted`` (one site so
+    the Arrow sizing / caching / pinning tuning cannot drift between the
+    two paths)."""
+    _p = _pin if pin else track_cache
+    pairs = _p(pairs)
+    # Scoring only needs features for docs that actually appear in a
+    # candidate pair (bounded by 2x the restricted pair count — tiny for
+    # a small increment). The broadcast semi-join prunes the corpus
+    # map-side BEFORE score_pairs' text joins, so the step's scoring
+    # stage shuffles pair-touched rows, never the corpus.
+    touched = (
+        pairs.select(F.col("conv_id_a").alias("conv_id"))
+        .union(pairs.select(F.col("conv_id_b").alias("conv_id")))
+        .distinct()
+    )
+    # cache the pair-touched feature slice: it is INCREMENT-sized and
+    # feeds BOTH sides of score_pairs' text joins — uncached, the corpus
+    # semi-join stream runs twice per consuming action (round-4 profiling)
+    feats_scoring = track_cache(
+        feats_all.join(F.broadcast(touched), "conv_id", "semi")
+    )
+    # right-size the Arrow scoring stage from the (cached) pair count:
+    # one kernel batch is ~10k pairs (session arrow maxRecordsPerBatch),
+    # so an increment's few-thousand pairs need a handful of partitions,
+    # not 3x cores of near-empty Python workers — the count doubles as
+    # the cache-fill action (round-5 profiling: per-partition overhead
+    # was a visible slice of the step's fixed cost). Cap at the
+    # saturated default so a BIG increment still spreads over all cores.
+    n_pairs = pairs.count()
+    cores = pairs.sparkSession.sparkContext.defaultParallelism
+    n_score_parts = max(1, min(cores * 3, -(-n_pairs // 2000)))
+    scored = score_pairs(
+        feats_scoring, pairs, cfg, match_only=True,
+        n_partitions=n_score_parts,
+    )
+    if pin:
+        scored = _pin(scored)
+    return scored
+
+
 def incremental_link(
     existing_feats: DataFrame,
     existing_clusters: DataFrame,
@@ -438,7 +500,11 @@ def incremental_link(
     ``existing_keys`` / ``existing_key_counts``: the committed blocking
     state (``blocking.key_table_with_counts`` from the base run) — with
     them the step never re-explodes or re-counts the corpus key table
-    (its output is bit-identical either way, hot caps included).
+    (its output is bit-identical either way, hot caps included, PROVIDED
+    anchors are pinned via ``anchor_df`` or disabled — enforced: the
+    committed-state path raises when anchors are enabled with no
+    snapshot, because increment-local document frequencies would mint
+    bogus rare anchors and corrupt the committed counts).
 
     ``anchor_df``: the committed (token, df) snapshot
     (``blocking.token_df``) — with it, the anchor family is computed
@@ -492,39 +558,7 @@ def incremental_link(
             existing_keys, existing_key_counts, new_feats,
         )
     )
-    pairs = _p(pairs)
-    # Scoring only needs features for docs that actually appear in a
-    # candidate pair (bounded by 2x the restricted pair count — tiny for
-    # a small increment). The broadcast semi-join prunes the corpus
-    # map-side BEFORE score_pairs' text joins, so the step's scoring
-    # stage shuffles pair-touched rows, never the corpus.
-    touched = (
-        pairs.select(F.col("conv_id_a").alias("conv_id"))
-        .union(pairs.select(F.col("conv_id_b").alias("conv_id")))
-        .distinct()
-    )
-    # cache the pair-touched feature slice: it is INCREMENT-sized and
-    # feeds BOTH sides of score_pairs' text joins — uncached, the corpus
-    # semi-join stream runs twice per consuming action (round-4 profiling)
-    feats_scoring = track_cache(
-        feats_all.join(F.broadcast(touched), "conv_id", "semi")
-    )
-    # right-size the Arrow scoring stage from the (cached) pair count:
-    # one kernel batch is ~10k pairs (session arrow maxRecordsPerBatch),
-    # so an increment's few-thousand pairs need a handful of partitions,
-    # not 3x cores of near-empty Python workers — the count doubles as
-    # the cache-fill action (round-5 profiling: per-partition overhead
-    # was a visible slice of the step's fixed cost). Cap at the
-    # saturated default so a BIG increment still spreads over all cores.
-    n_pairs = pairs.count()
-    cores = pairs.sparkSession.sparkContext.defaultParallelism
-    n_score_parts = max(1, min(cores * 3, -(-n_pairs // 2000)))
-    scored = score_pairs(
-        feats_scoring, pairs, cfg, match_only=True,
-        n_partitions=n_score_parts,
-    )
-    if pin:
-        scored = _pin(scored)
+    scored = _score_increment_pairs(feats_all, pairs, cfg, pin)
 
     edges = _edges_to_entities(scored, existing_clusters)
     clusters, cc_metrics = _merge_labels(existing_clusters, edges, new_ids)
@@ -653,24 +687,7 @@ def incremental_link_contracted(
             existing_keys, existing_key_counts, new_rep_feats,
         )
     )
-    pairs = _p(pairs)
-    touched = (
-        pairs.select(F.col("conv_id_a").alias("conv_id"))
-        .union(pairs.select(F.col("conv_id_b").alias("conv_id")))
-        .distinct()
-    )
-    feats_scoring = track_cache(
-        feats_all.join(F.broadcast(touched), "conv_id", "semi")
-    )
-    n_pairs = pairs.count()
-    cores = pairs.sparkSession.sparkContext.defaultParallelism
-    n_score_parts = max(1, min(cores * 3, -(-n_pairs // 2000)))
-    scored = score_pairs(
-        feats_scoring, pairs, cfg, match_only=True,
-        n_partitions=n_score_parts,
-    )
-    if pin:
-        scored = _pin(scored)
+    scored = _score_increment_pairs(feats_all, pairs, cfg, pin)
 
     # --- edges: scored rep matches + both duplicate expansions ---------
     # committed-twin hits target the rep's CURRENT entity label (the

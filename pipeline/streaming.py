@@ -129,16 +129,39 @@ def streaming_canonicalize(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    def _sort_key(t):
+        # Match batch canonicalize's array_sort over struct(turn_idx,
+        # role, text) EXACTLY: ascending, per-field NULLS FIRST (verified
+        # against Spark), full-struct comparison so duplicate turn_idx
+        # values order deterministically instead of by arrival /
+        # micro-batch split (which would silently diverge the canonical
+        # text and exact-dup signature from the batch twin's).
+        i, r, x = t
+        return (
+            i is not None, i if i is not None else 0,
+            r is not None, r if r is not None else "",
+            x is not None, x if x is not None else "",
+        )
+
+    def _opt(v):
+        # nullable columns reach pandas as NaN (ints become float64) —
+        # preserve SQL NULL instead of crashing int() on NaN (a single
+        # null turn_idx row would otherwise wedge the stream permanently:
+        # every replay of the poison micro-batch fails identically)
+        return None if v is None or pd.isna(v) else v
+
     def _update(key, pdfs, state: GroupState):
         (conv_id,) = key
         if state.hasTimedOut:
             (turns,) = state.get
             state.remove()
-            ordered = sorted(turns, key=lambda t: t[0])
+            ordered = sorted(turns, key=_sort_key)
             yield pd.DataFrame(
                 {
                     "conv_id": [conv_id],
-                    "canonical_text": ["\x1e".join(t[2] for t in ordered)],
+                    "canonical_text": [
+                        "\x1e".join((t[2] or "") for t in ordered)
+                    ],
                     "n_turns": [len(ordered)],
                     # match batch canonicalize: array_join silently drops
                     # null entries and substring('',1,1)='' — null/empty
@@ -150,7 +173,11 @@ def streaming_canonicalize(
         rows = []
         for pdf in pdfs:
             rows.extend(
-                (int(i), r, x or "")
+                (
+                    None if _opt(i) is None else int(i),
+                    _opt(r),
+                    _opt(x),
+                )
                 for i, r, x in zip(pdf["turn_idx"], pdf["role"], pdf["text"])
             )
         if state.exists:
@@ -296,6 +323,16 @@ def _link_batch(
         # replay of an already-committed batch (crash landed between the
         # pointer rename and the checkpoint commit): nothing to do
         return
+    if state is not None and bool(state.get("contracted", False)) != contracted:
+        # rep-only vs full feature state are different contracts — a
+        # flipped flag would silently corrupt the committed state (e.g.
+        # an uncontracted step would treat the rep table as the full
+        # corpus and re-add collapsed members as new docs)
+        raise ValueError(
+            f"state at {state_dir} was committed with contracted="
+            f"{bool(state.get('contracted', False))}; don't flip the "
+            f"mode mid-stream"
+        )
     fdir = os.path.join(state_dir, f"features_b{batch_id}")
     kdir = os.path.join(state_dir, f"keys_b{batch_id}")
     cdir = os.path.join(state_dir, f"counts_b{batch_id}")
@@ -357,9 +394,16 @@ def _link_batch(
             # append-only commits for the corpus-sized state; full
             # rewrites only for the two narrow tables
             new_feats.write.mode("overwrite").parquet(fdir)
-            new_keys_only = out["keys"].join(
-                new_feats.select("conv_id"), "conv_id", "semi"
-            )
+            # the increment's key rows are exactly key_table_with_counts
+            # over the (pinned) increment features — recompute them
+            # increment-sized instead of semi-joining the FULL committed
+            # key table against the increment's ids, which streamed every
+            # committed key dir per micro-batch (identical rows: out
+            # ['keys'] = committed ∪ nk with nk built from these same
+            # post-anti-join features, and committed ids are disjoint)
+            from pipeline.blocking import key_table_with_counts as _ktwc
+
+            new_keys_only, _ = _ktwc(new_feats, cfg, adf)
             new_keys_only.write.mode("overwrite").parquet(kdir)
             out["key_counts"].write.mode("overwrite").parquet(cdir)
             out["clusters"].write.mode("overwrite").parquet(ldir)
@@ -372,6 +416,12 @@ def _link_batch(
         "key_dirs": key_dirs,
         "counts": cdir,
         "clusters": ldir,
+        # the state's mode is part of its contract: rep-only feature/key
+        # state (contracted) must never be consumed by an uncontracted
+        # step or by retract_from_state (which re-scores survivor
+        # features — collapsed members have none and would split into
+        # singletons)
+        "contracted": contracted,
     }
     if anchors_dir:
         payload["anchors"] = anchors_dir
@@ -414,7 +464,7 @@ def streaming_incremental_link(
                        incremental_link anchor_df contract); refresh by
                        rebuilding the base, never per-increment
       _LATEST.json     atomic pointer {batch_id, feature_dirs, key_dirs,
-                       counts, clusters} — rename-committed through the
+                       counts, clusters, contracted} — rename-committed through the
                        Hadoop FS API, so it lives on the SAME filesystem
                        as the parquet state (atomic on HDFS/local; on
                        S3A use an atomic table format instead)
@@ -560,6 +610,17 @@ def retract_from_state(
     state = _pointer_read(spark, latest_path)
     if state is None:
         raise ValueError(f"no committed state at {state_dir}")
+    if state.get("contracted"):
+        # rep-only committed features cannot drive the entity-bounded
+        # re-score: a collapsed exact-dup member of an affected entity
+        # has no feature/key rows, so the repair would silently split it
+        # into a singleton. Retraction over contracted state needs the
+        # dup_assign expansion (rebuild uncontracted, or retract the
+        # whole signature class) — refuse rather than corrupt.
+        raise ValueError(
+            f"state at {state_dir} is CONTRACTED (rep-only features); "
+            "retract_from_state only supports uncontracted state"
+        )
     if not isinstance(remove_ids, DataFrame):
         remove_ids = spark.createDataFrame(
             [(str(i),) for i in remove_ids], "conv_id string"
@@ -597,6 +658,7 @@ def retract_from_state(
         "clusters": ldir,
         "tombstones": tdir,
         "rev": rev,
+        "contracted": False,  # guarded above: uncontracted state only
     }
     if anchors_dir:
         payload["anchors"] = anchors_dir
@@ -636,6 +698,7 @@ def compact_state(spark: SparkSession, state_dir: str) -> dict:
         "counts": state["counts"],
         "clusters": state["clusters"],
         "rev": rev,
+        "contracted": bool(state.get("contracted", False)),
     }
     if state.get("anchors"):
         payload["anchors"] = state["anchors"]

@@ -157,3 +157,15 @@ def test_cluster_partition_validity(spark, turns_df, corpus):
     ]
     want = _union_find(edges, set(corpus.conv_meta["conv_id"]))
     assert dict(zip(got["conv_id"], got["entity_id"])) == want
+
+
+def test_cc_non_convergence_raises_not_silent(spark):
+    """An exhausted iteration budget must raise, never return: the star
+    extraction is only valid at a fixpoint, and reading it early silently
+    splits components (round-5 review finding). A 40-node chain cannot
+    converge-and-confirm within one round."""
+    names = [f"c{i:03d}" for i in range(40)]
+    edges = list(zip(names, names[1:]))
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, driver_threshold=0, max_iterations=1)

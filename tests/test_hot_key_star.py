@@ -173,7 +173,7 @@ def test_star_cap_incremental_keeps_group_connected(spark):
     """Incremental path: new members of an already-hot key are coin-
     dropped but still reach the committed entity through restricted star
     edges."""
-    from pipeline.blocking import key_table_with_counts
+    from pipeline.blocking import key_table_with_counts, token_df
     from pipeline.incremental import incremental_link
 
     t = _mega_turns()
@@ -186,7 +186,13 @@ def test_star_cap_incremental_keeps_group_connected(spark):
     base_turns = spark.createDataFrame(base)
     plan = build_plan(base_turns, CFG_STAR)
     clusters0, _ = cluster_edges(plan["edges"], plan["features"])
-    keys, counts = key_table_with_counts(plan["features"], CFG_STAR)
+    # committed-state mode requires pinned anchors (CFG_STAR inherits the
+    # default anchor_max_df) — freeze df over the base, feed it to both
+    # the committed key build and the increment
+    snapshot = token_df(plan["features"], CFG_STAR).localCheckpoint(
+        eager=True
+    )
+    keys, counts = key_table_with_counts(plan["features"], CFG_STAR, snapshot)
     feats0 = plan["features"].localCheckpoint(eager=True)
     clusters0 = clusters0.localCheckpoint(eager=True)
     keys = keys.localCheckpoint(eager=True)
@@ -198,6 +204,7 @@ def test_star_cap_incremental_keeps_group_connected(spark):
         clusters0,
         spark.createDataFrame(inc),
         CFG_STAR,
+        anchor_df=snapshot,
         existing_keys=keys,
         existing_key_counts=counts,
     )

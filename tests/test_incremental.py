@@ -328,3 +328,88 @@ def test_incremental_key_join_broadcasts_new_side(spark, turns_df):
     pairs = incremental_candidate_pairs(feats_all, new_ids)[0]
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_committed_state_mode_requires_pinned_anchors(spark, turns_df):
+    """Committed-state mode with anchors ENABLED and no anchor_df must
+    fail loudly: increment-local document frequencies would mint bogus
+    'rare' anchors for corpus-common tokens and merge_key_state would
+    fold those keys into the committed counts permanently (round-5
+    review finding)."""
+    from dataclasses import replace
+
+    from pipeline.blocking import (
+        capped_key_table_from_state,
+        key_table_with_counts,
+        token_df,
+    )
+    from pipeline.canonicalize import canonicalize
+    from pipeline.config import DEFAULT_CONFIG
+    from pipeline.features import featurize
+
+    cfg = DEFAULT_CONFIG  # anchors ON (anchor_max_df >= 2)
+    parity = F.crc32(F.col("conv_id").cast("binary")) % 2
+    base_turns = turns_df.where(parity == 0)
+    inc_turns = turns_df.where(parity == 1)
+    base_feats = featurize(canonicalize(base_turns), cfg)
+    snapshot = token_df(base_feats, cfg).localCheckpoint(eager=True)
+    ek, ec = key_table_with_counts(base_feats, cfg, snapshot)
+    inc_feats = featurize(canonicalize(inc_turns), cfg)
+
+    with pytest.raises(ValueError, match="anchor"):
+        capped_key_table_from_state(ek, ec, inc_feats, cfg)
+    with pytest.raises(ValueError, match="anchor"):
+        incremental_candidate_pairs(
+            base_feats.unionByName(inc_feats),
+            inc_feats.select("conv_id"),
+            cfg,
+            existing_keys=ek,
+            existing_counts=ec,
+            new_feats=inc_feats,
+        )
+    # pinned or disabled: both fine
+    capped_key_table_from_state(ek, ec, inc_feats, cfg, anchor_df=snapshot)
+    cfg_off = replace(cfg, anchor_max_df=1)
+    ek2, ec2 = key_table_with_counts(base_feats, cfg_off)
+    capped_key_table_from_state(ek2, ec2, inc_feats, cfg_off)
+
+
+def test_cap_risk_audit_survives_mega_member_counts(spark, turns_df):
+    """C(members, 2) for a key with >3e9 members overflows 64-bit long
+    arithmetic (wrapping negative in non-ANSI mode) — which would drop
+    exactly the most degenerate key from the conservative cap-risk audit.
+    Inject a committed count of 4e9 members and assert the key still
+    surfaces with a positive potential_pairs."""
+    from dataclasses import replace
+
+    from pipeline.blocking import key_table_with_counts
+    from pipeline.canonicalize import canonicalize
+    from pipeline.config import DEFAULT_CONFIG
+    from pipeline.features import featurize
+
+    cfg = replace(DEFAULT_CONFIG, anchor_max_df=1)  # anchors off
+    parity = F.crc32(F.col("conv_id").cast("binary")) % 2
+    base_feats = featurize(canonicalize(turns_df.where(parity == 0)), cfg)
+    inc_feats = featurize(canonicalize(turns_df.where(parity == 1)), cfg)
+    ek, ec = key_table_with_counts(base_feats, cfg)
+    # synthetic committed mega-key: a key value no real doc hashes to
+    mega = spark.createDataFrame(
+        [(1, -987654321098765432, 4_000_000_000)],
+        "family int, key long, members long",
+    )
+    ec = ec.unionByName(mega)
+
+    out = incremental_candidate_pairs(
+        base_feats.unionByName(inc_feats),
+        inc_feats.select("conv_id"),
+        cfg,
+        existing_keys=ek,
+        existing_counts=ec,
+        new_feats=inc_feats,
+    )
+    cap_risk = out[3].where(F.col("key") == -987654321098765432).collect()
+    assert len(cap_risk) == 1, "mega-key missing from cap_risk_audit"
+    row = cap_risk[0]
+    assert row["potential_pairs"] > 0
+    # 4e9 * (4e9 - 1) / 2 ~= 8e18 — double precision, then long cast
+    assert abs(row["potential_pairs"] - 7.999999998e18) < 1e13

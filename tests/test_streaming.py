@@ -627,3 +627,129 @@ def test_retract_compact_vacuum_state(spark, tmp_path):
         .toPandas().sort_values("conv_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got3, want2)
+
+
+def test_streaming_canonicalize_null_and_duplicate_turn_idx(spark, tmp_path):
+    """The stateful canonicalizer must match the batch twin on the two
+    adversarial shapes the round-5 review flagged: a NULL turn_idx (which
+    reaches pandas as NaN and previously crashed int(), wedging the
+    stream permanently) and duplicate turn_idx values (previously
+    arrival-order ties — the batch twin orders by the full
+    (turn_idx, role, text) struct)."""
+    import time
+
+    from pipeline.canonicalize import canonicalize
+    from pipeline.streaming import streaming_canonicalize
+
+    ts = pd.Series(pd.to_datetime(["2024-01-01"] * 5)).astype(
+        "datetime64[us]"
+    )
+    # deliberately ANTI-sorted arrival order, split across two files so
+    # the rows straddle micro-batches
+    rows = pd.DataFrame(
+        {
+            "conv_id": pd.Series(["dup"] * 5, dtype="string"),
+            "turn_idx": pd.Series([1, 0, 0, None, 0], dtype="Int32"),
+            "role": pd.Series(
+                ["user", "user", "assistant", "user", None], dtype="string"
+            ),
+            "text": pd.Series(["z", "a", "b", "nullidx", "nullrole"],
+                              dtype="string"),
+            "tool": pd.Series([None] * 5, dtype="string"),
+            "ts": ts,
+        }
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows.iloc[:2].to_parquet(os.path.join(src, "f0.parquet"), index=False)
+    rows.iloc[2:].to_parquet(os.path.join(src, "f1.parquet"), index=False)
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = streaming_canonicalize(spark, src, out, ck, idle_timeout_ms=1)
+    q.awaitTermination(120)
+    time.sleep(0.2)
+    # keep the Int32 dtype: a bare `turn_idx=0` assign upcasts to int64
+    # and the restarted stream's pinned int32 schema can't read the file
+    sentinel = rows.iloc[:1].assign(
+        conv_id="zz_flush", turn_idx=pd.Series([0], dtype="Int32")
+    )
+    sentinel.to_parquet(os.path.join(src, "sentinel.parquet"), index=False)
+    q2 = streaming_canonicalize(spark, src, out, ck, idle_timeout_ms=1)
+    q2.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .where(F.col("conv_id") == "dup")
+        .collect()
+    )
+    assert len(got) == 1, got
+    want = (
+        canonicalize(
+            spark.createDataFrame(rows).withColumn(
+                "turn_idx", F.col("turn_idx").cast("int")
+            )
+        )
+        .where(F.col("conv_id") == "dup")
+        .collect()[0]
+    )
+    assert got[0]["canonical_text"] == want["canonical_text"]
+    assert got[0]["roles_sig"] == want["roles_sig"]
+    assert got[0]["n_turns"] == want["n_turns"]
+
+
+def test_retract_from_state_refuses_contracted_state(spark, tmp_path):
+    """Contracted committed state holds rep-only features: retraction's
+    entity-bounded re-score would silently split collapsed exact-dup
+    members into singletons (round-5 review finding) — it must refuse."""
+    from pipeline.streaming import retract_from_state, streaming_incremental_link
+
+    cfg = _nocap_cfg()
+    corpus = synth.generate(n_base=30, seed=23)
+    src = str(tmp_path / "src")
+    t = _conv_complete_drops(corpus, src, n_drops=2)
+    state = str(tmp_path / "state")
+    q = streaming_incremental_link(
+        spark, src, state, str(tmp_path / "ckpt"), cfg=cfg, contracted=True
+    )
+    q.awaitTermination(300)
+
+    some_id = sorted(t["conv_id"].unique())[0]
+    with pytest.raises(ValueError, match="CONTRACTED"):
+        retract_from_state(spark, state, [some_id], cfg=cfg)
+
+
+def test_streaming_mode_flip_mid_stream_raises(spark, tmp_path):
+    """A populated state_dir is bound to its contracted mode: continuing
+    the same stream with the flag flipped must fail loudly instead of
+    silently mixing rep-only and full feature state."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from pipeline.streaming import streaming_incremental_link
+
+    cfg = _nocap_cfg()
+    corpus = synth.generate(n_base=30, seed=29)
+    src = str(tmp_path / "src")
+    t = _conv_complete_drops(corpus, src, n_drops=2)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_incremental_link(
+        spark, src, state, ckpt, cfg=cfg, contracted=True
+    )
+    q.awaitTermination(300)
+
+    # new drop arrives; the SAME checkpoint continues batch numbering,
+    # but the caller flips the mode
+    extra = synth.generate(n_base=6, seed=77)
+    _write_turn_files(extra, src, n_files=1)
+    os.replace(
+        os.path.join(src, "part0.parquet"), os.path.join(src, "late.parquet")
+    )
+    q2 = streaming_incremental_link(
+        spark, src, state, ckpt, cfg=cfg, contracted=False
+    )
+    with pytest.raises(
+        (StreamingQueryException, Py4JJavaError), match="contracted"
+    ):
+        q2.awaitTermination(300)
+        raise AssertionError("mode flip did not fail the stream")
