@@ -62,6 +62,20 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "review_queue stage instead of silently dropped",
     )
     p.add_argument(
+        "--profile", choices=["default", "production"], default="default",
+        help="base MatchConfig: 'production' starts from "
+        "PRODUCTION_CONFIG (xxhash64 + hot_key_star — the star-"
+        "preserving mega-dup skew defense, which plain DEFAULT_CONFIG "
+        "leaves off for oracle replay); 'default' starts from "
+        "DEFAULT_CONFIG. --hash-impl still overrides either base",
+    )
+    p.add_argument(
+        "--hot-key-star", action="store_true",
+        help="force hot_key_star=True on top of the chosen profile "
+        "(hub edges keep capped mega-dup groups one scored hop from "
+        "their minimum member instead of shattering them)",
+    )
+    p.add_argument(
         "--hash-impl", choices=["xxhash64", "md5"], default="xxhash64",
         help="blocking/bucketing key hash: xxhash64 (production default, "
         "Spark-native, ~21%% faster on the dedup family) or md5 "
@@ -70,13 +84,29 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+def build_config(args: argparse.Namespace):
+    """Parsed CLI args -> MatchConfig. --profile picks the base
+    (PRODUCTION_CONFIG turns on hot_key_star — the star-preserving
+    mega-dup skew defense); --hash-impl and --hot-key-star override on
+    top. Factored out of main() so the CLI-to-config contract is
+    directly testable (tests/test_submit.py)."""
+    from dataclasses import replace
+
+    from pipeline.config import DEFAULT_CONFIG, PRODUCTION_CONFIG
+
+    base = (
+        PRODUCTION_CONFIG if args.profile == "production" else DEFAULT_CONFIG
+    )
+    cfg = replace(base, hash_impl=args.hash_impl)
+    if args.hot_key_star:
+        cfg = replace(cfg, hot_key_star=True)
+    return cfg
+
+
 def main(argv: list[str] | None = None) -> dict:
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
-    from dataclasses import replace
-
     from pipeline import synth
-    from pipeline.config import DEFAULT_CONFIG
     from pipeline.linkage import run_staged
     from pipeline.session import get_spark
 
@@ -103,7 +133,7 @@ def main(argv: list[str] | None = None) -> dict:
         review_band = (lo, hi, boundary, top_n)
 
     t0 = time.time()
-    cfg = replace(DEFAULT_CONFIG, hash_impl=args.hash_impl)
+    cfg = build_config(args)
     out = run_staged(
         spark, turns, args.output, cfg,
         audit_sample_rate=args.audit_sample,

@@ -475,10 +475,14 @@ def candidate_pairs(
     from pipeline.session import track_cache
 
     if cfg.hot_key_star:
-        # star mode reads the exploded key table three times (counts,
-        # cap filter, star edges) — cache the explode once
+        # star mode reads the exploded key table four times (counts,
+        # cap filter, hubs, star edges) — cache the explode once, and
+        # cache the narrow (family, key, members) agg so each broadcast
+        # consumer (cap filter, hub semi-join, star-edge join) doesn't
+        # re-run the count shuffle over the cached keys
         keys, counts = key_table_with_counts(feats, cfg, anchor_df)
         keys = track_cache(keys)
+        counts = track_cache(counts)
         # ONE hot list + ONE hub aggregation shared by the cap filter
         # and the star edges: identical subplans let ReuseExchange
         # dedupe the semi-join + groupBy over the cached key table
@@ -489,12 +493,18 @@ def candidate_pairs(
         ).select("family", "key", "members")
         star_hubs = _hot_hubs(keys, star_hot)
         kept, audit = _cap_members(keys, counts, cfg, hubs=star_hubs)
+        # do NOT also persist kept: with keys pinned it is one narrow
+        # broadcast-join + filter over the cache, and a second
+        # corpus-sized persist would double peak blocking memory
+        # (round-5 review) — the self-join sides re-derive it from the
+        # cached explode instead
     else:
+        # non-star: kept is the only reader-shared frame — cache it so
+        # both self-join sides + (upstream) the frequency pass get the
+        # explode/cap work once; tracked for session.release_caches
+        # (no persist leaks in long-lived sessions)
         kept, audit = capped_key_table(feats, cfg, anchor_df)
-    # both self-join sides + (upstream) the frequency pass read this —
-    # cache so the explode/cap work happens once; tracked for
-    # session.release_caches (no persist leaks in long-lived sessions)
-    kept = track_cache(kept)
+        kept = track_cache(kept)
 
     a = kept.alias("a")
     b = kept.alias("b")

@@ -185,11 +185,23 @@ def connected_components(
         # worst case is O(log^2 n) rounds, so pathological chain-shaped
         # graphs at extreme scale can legitimately need more than the
         # default 25.
+        # metrics holds one (edges, checksum) per executed round —
+        # prev_sig == sig here (the loop's last statement was the
+        # prev_sig = sig handoff), so read the movement from metrics;
+        # with max_iterations < 1 no round ran and there is no movement
+        # to show (and `sig` would be unbound).
+        tail = ""
+        if len(metrics) >= 2:
+            a, b = metrics[-2], metrics[-1]
+            tail = (
+                f" (last edge checksum still moving: "
+                f"({a['edges']}, {a['checksum']}) -> "
+                f"({b['edges']}, {b['checksum']}))"
+            )
         raise RuntimeError(
             f"connected_components did not converge within "
-            f"{max_iterations} alternating-star rounds (last edge "
-            f"checksum still moving: {prev_sig} -> {sig}); re-run with a "
-            f"larger max_iterations"
+            f"{max_iterations} alternating-star rounds{tail}; re-run "
+            f"with a larger max_iterations"
         )
 
     # At the fixpoint every component is a star centered at its min node:

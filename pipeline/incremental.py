@@ -770,7 +770,8 @@ def retract(
        - else: re-block + re-score survivors of affected entities only
          (``candidate_pairs`` over the survivor feature slice). Anchors
          must be pinned via ``anchor_df`` for population independence,
-         exactly as in ``incremental_link``.
+         exactly as in ``incremental_link`` (enforced: ValueError when
+         anchors are enabled and no snapshot is given).
     4. connected components over that subgraph (+ survivor singletons) —
        affected components are entity-bounded, so the driver union-find
        fast path almost always takes it; relabel = union of untouched
@@ -800,6 +801,22 @@ def retract(
     ``removed`` (the resolved removal set), ``rescored`` (the affected
     re-scored pairs when ``match_edges`` was absent), ``cc_metrics``.
     """
+    if match_edges is None and cfg.anchor_max_df >= 2 and anchor_df is None:
+        # Same hazard the committed-state paths fail loudly on
+        # (incremental_candidate_pairs / capped_key_table_from_state):
+        # the re-scoring mode re-blocks survivors, and without the
+        # committed (token, df) snapshot the anchor family's df would be
+        # computed over the affected-entity SURVIVOR SLICE alone —
+        # corpus-common tokens look rare, bogus anchor keys mint extra
+        # candidate pairs, and two affected entities the equality
+        # theorem keeps separate can silently merge. Fail before any
+        # plan is built (round-5 review).
+        raise ValueError(
+            "retract() without match_edges re-blocks survivors; with "
+            "anchors enabled (anchor_max_df >= 2) pass the committed "
+            "(token, df) snapshot as anchor_df (blocking.token_df), "
+            "or disable the family (anchor_max_df < 2)"
+        )
     removed = F.broadcast(remove_ids.select("conv_id").distinct())
 
     affected_ents = F.broadcast(

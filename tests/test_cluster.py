@@ -169,3 +169,31 @@ def test_cc_non_convergence_raises_not_silent(spark):
     e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(e, driver_threshold=0, max_iterations=1)
+
+
+def test_cc_non_convergence_message_shows_movement(spark):
+    """The non-convergence diagnostic must show two DIFFERENT checksums
+    (round-5 review: the loop's prev_sig = sig handoff used to make the
+    message print 'X -> X', hiding the movement it claims to report)."""
+    import re
+
+    names = [f"m{i:03d}" for i in range(40)]
+    edges = list(zip(names, names[1:]))
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    with pytest.raises(RuntimeError, match="still moving") as ei:
+        connected_components(e, driver_threshold=0, max_iterations=2)
+    pair = re.search(r"\((\d+), (\d+)\) -> \((\d+), (\d+)\)", str(ei.value))
+    assert pair is not None, str(ei.value)
+    assert pair.group(1, 2) != pair.group(3, 4), (
+        "message must show the checksum actually moving"
+    )
+
+
+def test_cc_zero_iteration_budget_raises_cleanly(spark):
+    """max_iterations=0 must raise the RuntimeError, not NameError on the
+    unbound loop variable (round-5 review)."""
+    e = spark.createDataFrame(
+        pd.DataFrame([("a", "b")], columns=["src", "dst"])
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, driver_threshold=0, max_iterations=0)

@@ -215,3 +215,15 @@ def test_retract_then_increment_equals_batch(spark, turns_df):
         spark, turns_df.where((slot == 3) | ((slot != 3) & ~doomed)), cfg
     )
     pd.testing.assert_frame_equal(want, _clusters_pd(out["clusters"]))
+
+
+def test_retract_rescore_requires_pinned_anchors():
+    """With anchors enabled and no match_edges, retract must fail loudly
+    when anchor_df is omitted — df computed over the survivor slice would
+    mint bogus rare-token anchors (round-5 review: the two sibling
+    committed-state paths already raise; retract was the one quiet one).
+    Pure plan-construction check: the ValueError must fire before any
+    Spark job, so no fixtures are needed."""
+    anchored = replace(NOCAP, anchor_max_df=8)
+    with pytest.raises(ValueError, match="anchor_df"):
+        retract(None, None, None, anchored, match_edges=None)

@@ -112,3 +112,25 @@ def test_main_py_has_no_repo_relative_imports():
         "shutil", "pyspark", "pipeline", "__future__",
     }
     assert roots <= allowed, f"unexpected imports in main.py: {roots - allowed}"
+
+
+def test_cli_profile_reaches_hot_key_star():
+    """--profile production / --hot-key-star must actually reach the
+    MatchConfig main() builds (round-5 review: PRODUCTION_CONFIG
+    documented 'production runs enable it' but the CLI could only build
+    DEFAULT_CONFIG, leaving the mega-dup skew defense unreachable from
+    the documented spark-submit path). Exercises main.build_config —
+    the exact function main() calls — without starting Spark."""
+    from main import build_config, parse_args
+
+    def cfg(argv):
+        return build_config(
+            parse_args(argv + ["--output", "/tmp/x", "--synthetic", "1"])
+        )
+
+    assert cfg([]).hot_key_star is False
+    assert cfg(["--profile", "production"]).hot_key_star is True
+    assert cfg(["--profile", "production"]).hash_impl == "xxhash64"
+    assert cfg(["--hot-key-star"]).hot_key_star is True
+    # an explicit hash override still applies on the production base
+    assert cfg(["--profile", "production", "--hash-impl", "md5"]).hash_impl == "md5"
