@@ -98,7 +98,7 @@ def main() -> dict:
     new_ids = new_feats.select("conv_id")
     feats_all = base_feats.unionByName(new_feats)
 
-    pairs, hot_audit, pair_audit, cap_risk, union_keys, union_counts = (
+    pairs, hot_audit, pair_audit, cap_risk, union_keys, union_counts, _nk = (
         incremental_candidate_pairs(
             feats_all, new_ids, cfg, True, anchor_df,
             base_keys, base_counts, new_feats,

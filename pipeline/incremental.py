@@ -177,9 +177,13 @@ def incremental_candidate_pairs(
     column ``conv_id``. ``anchor_df``: the committed (token, df)
     snapshot (``blocking.token_df``) that pins the anchor family —
     see ``incremental_link``. Returns (pairs, hot_key_audit,
-    pair_cap_audit, cap_risk_audit, union_keys, union_counts) — the last
-    two are the NEXT run's committed blocking state, produced at zero
-    extra compute.
+    pair_cap_audit, cap_risk_audit, union_keys, union_counts,
+    new_keys_uncapped) — union_keys/union_counts are the NEXT run's
+    committed blocking state, produced at zero extra compute;
+    new_keys_uncapped is the increment's own pre-cap key table (the
+    ``nk`` already built in committed-state mode — what an append-only
+    state commit writes per batch; None in the no-committed-keys
+    fallback, where no separate increment table exists).
 
     ``cap_risk_audit``: keys whose FULL pair population C(members, 2)
     exceeds ``pairs_per_key_cap``. The restricted ``pair_cap_audit`` can
@@ -228,6 +232,7 @@ def incremental_candidate_pairs(
             existing_keys, existing_counts, nk, nc
         )
     else:
+        nk = None
         union_keys, union_counts = key_table_with_counts(
             feats_all, cfg, anchor_df
         )
@@ -370,7 +375,10 @@ def incremental_candidate_pairs(
         )
         raw = raw.unionByName(star)
     pairs, pair_audit = star_capped_pairs(raw, cfg, return_audit=True)
-    return pairs, hot_audit, pair_audit, cap_risk, union_keys, union_counts
+    return (
+        pairs, hot_audit, pair_audit, cap_risk, union_keys, union_counts,
+        nk,
+    )
 
 
 def _edges_to_entities(
@@ -552,7 +560,7 @@ def incremental_link(
     new_ids = new_feats.select("conv_id")
     feats_all = existing_feats.unionByName(new_feats)
 
-    pairs, hot_audit, pair_audit, cap_risk, union_keys, union_counts = (
+    pairs, hot_audit, pair_audit, cap_risk, union_keys, union_counts, nk = (
         incremental_candidate_pairs(
             feats_all, new_ids, cfg, broadcast_new, anchor_df,
             existing_keys, existing_key_counts, new_feats,
@@ -566,6 +574,11 @@ def incremental_link(
     return {
         "features": feats_all,
         "new_features": new_feats,
+        # the increment's own pre-cap key rows (committed-state mode) —
+        # what an append-only state commit writes per batch without
+        # re-exploding the increment or re-joining the anchor snapshot
+        # (None when no committed keys were given)
+        "new_keys": nk,
         "keys": union_keys,
         "key_counts": union_counts,
         "scored": scored,
@@ -681,7 +694,7 @@ def incremental_link_contracted(
     feats_all = existing_rep_feats.unionByName(new_rep_feats)
 
     # --- standard incremental machinery over REP state only -----------
-    pairs, hot_audit, pair_audit, cap_risk, union_keys, union_counts = (
+    pairs, hot_audit, pair_audit, cap_risk, union_keys, union_counts, nk = (
         incremental_candidate_pairs(
             feats_all, new_rep_ids, cfg, broadcast_new, anchor_df,
             existing_keys, existing_key_counts, new_rep_feats,
@@ -720,6 +733,8 @@ def incremental_link_contracted(
     return {
         "rep_features": feats_all,
         "new_rep_features": new_rep_feats,
+        # increment's pre-cap REP key rows (see incremental_link)
+        "new_keys": nk,
         "keys": union_keys,
         "key_counts": union_counts,
         "scored": scored,

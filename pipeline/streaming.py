@@ -111,15 +111,31 @@ def streaming_canonicalize(
     input_dir: str,
     out_dir: str,
     checkpoint_dir: str,
-    idle_timeout_ms: int = 0,
+    idle_timeout_ms: int = 300_000,
+    max_files_per_trigger: int = 8,
 ):
     """Custom stateful streaming canonicalization via
     ``applyInPandasWithState``: turns arrive in any order across
     micro-batches; per-conv_id state accumulates (turn_idx, role, text);
-    when the conversation goes idle (processing-time timeout; with
-    ``availableNow`` test runs, at end-of-stream state timeout) the
-    canonical document is emitted — same semantics as the batch
-    canonicalizer (sort by turn_idx, \\x1e join), incrementally.
+    when the conversation goes idle for ``idle_timeout_ms`` of
+    processing time the canonical document is emitted — same semantics
+    as the batch canonicalizer (sort by turn_idx, \\x1e join),
+    incrementally.
+
+    ``idle_timeout_ms`` is the operator's ONE correctness knob: it must
+    exceed the longest gap between a conversation's turn arrivals. A
+    conversation that goes idle past the timeout and then resumes emits
+    TWO partial documents (ProcessingTimeTimeout has no retraction), so
+    size it to the ingestion SLA, not to zero — the default is 5
+    minutes; tests pass small values deliberately. Two further
+    consequences of the timeout contract: (a) a timeout only fires
+    while batches run, so an ``availableNow`` pass leaves end-of-stream
+    state unsent until a later pass (continuous deployments always have
+    a next trigger; one-shot runs need a follow-up pass — see
+    ``tests/test_streaming.py``); (b) turns of one conversation split
+    ACROSS micro-batches merge through the keyed state
+    (``state.exists`` below) as long as the gap between those batches
+    stays under the timeout.
 
     This is the streaming twin of ``pipeline.canonicalize.canonicalize``;
     the batch path stays authoritative (north rule: resumable batch), but
@@ -190,7 +206,7 @@ def streaming_canonicalize(
 
     stream = (
         spark.readStream.schema(TURNS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     out = stream.groupBy("conv_id").applyInPandasWithState(
@@ -289,6 +305,24 @@ def _load_state(spark: SparkSession, state: dict):
     return feats, keys, counts, clusters
 
 
+def _load_edges(spark: SparkSession, state: dict):
+    """Committed pointer dict -> the union (src, dst) match-edge table
+    with tombstones applied to BOTH endpoints, or None for states
+    committed before edges were part of the layout. Same append-only +
+    logical-delete contract as features/keys."""
+    dirs = state.get("edge_dirs")
+    if not dirs:
+        return None
+    edges = spark.read.parquet(*dirs)
+    tomb = state.get("tombstones")
+    if tomb:
+        tdf = F.broadcast(spark.read.parquet(tomb).select("conv_id"))
+        edges = edges.join(
+            tdf.withColumnRenamed("conv_id", "src"), "src", "left_anti"
+        ).join(tdf.withColumnRenamed("conv_id", "dst"), "dst", "left_anti")
+    return edges
+
+
 def _link_batch(
     spark: SparkSession, batch_df: DataFrame, batch_id: int,
     state_dir: str, cfg, contracted: bool = False,
@@ -333,11 +367,32 @@ def _link_batch(
             f"{bool(state.get('contracted', False))}; don't flip the "
             f"mode mid-stream"
         )
+    if state is not None and state.get("tombstones"):
+        # A tombstoned conversation is DELETED, not merely hidden: an
+        # at-least-once upstream replaying the very data a takedown
+        # removed must not resurrect it. Without this filter the
+        # re-delivery anti-join (which sees only tombstone-FILTERED
+        # committed features) would admit the id as new — labeled in
+        # clusters but invisible in every _load_state read, since the
+        # tombstone anti-joins ALL dirs including post-retraction ones:
+        # a half-resurrected id that can never match again and silently
+        # splits to a singleton on the next retraction touching its
+        # entity (round-5 review). Legitimate re-admission is an
+        # explicit maintenance sequence: compact_state (clears the
+        # tombstones) first, then ingest.
+        tomb_ids = F.broadcast(
+            spark.read.parquet(state["tombstones"]).select("conv_id")
+        )
+        batch_df = batch_df.join(tomb_ids, "conv_id", "left_anti")
+        if batch_df.isEmpty():
+            return
     fdir = os.path.join(state_dir, f"features_b{batch_id}")
     kdir = os.path.join(state_dir, f"keys_b{batch_id}")
     cdir = os.path.join(state_dir, f"counts_b{batch_id}")
     ldir = os.path.join(state_dir, f"clusters_b{batch_id}")
     adir = os.path.join(state_dir, f"anchors_b{batch_id}")
+    edir = os.path.join(state_dir, f"edges_b{batch_id}")
+    ddir = os.path.join(state_dir, f"dups_b{batch_id}")
     if state is None:
         from pipeline.blocking import key_table_with_counts, token_df
 
@@ -357,7 +412,20 @@ def _link_batch(
             # retraction) blocks against base-population anchors
             # instead of recomputing df over its own tiny slice
             anchor_snapshot = token_df(plan["features"], cfg)
-        clusters, _ = cluster_edges(plan["edges"], plan["features"])
+        # the batch's MATCH-EDGE contribution (src, dst) — append-only
+        # like features/keys. Committing it is what makes
+        # retract_from_state's zero-rescore mode possible (retract's
+        # match_edges path: filter committed edges instead of
+        # re-blocking + re-scoring survivors) — match edges are a small
+        # fraction of pair volume and were being computed then thrown
+        # away every batch (round-5 review). In contracted mode
+        # plan["edges"] already includes the (rep, member) expansions.
+        # Written FIRST and read back so the iterative CC below consumes
+        # the parquet leaf instead of re-running the scoring subtree.
+        plan["edges"].write.mode("overwrite").parquet(edir)
+        clusters, _ = cluster_edges(
+            spark.read.parquet(edir), plan["features"]
+        )
         anchor_snapshot.write.mode("overwrite").parquet(adir)
         anchor_snapshot = spark.read.parquet(adir)
         # the committed keys MUST be built with the same anchor stats as
@@ -370,6 +438,16 @@ def _link_batch(
         keys.write.mode("overwrite").parquet(kdir)
         counts.write.mode("overwrite").parquet(cdir)
         clusters.write.mode("overwrite").parquet(ldir)
+        edge_dirs = [edir]
+        dup_dirs: list[str] = []
+        if contracted:
+            # (conv_id, rep_id, hit) per collapsed member — the audit
+            # trail for docs that skipped the pair pipeline, and the
+            # class enumeration a contracted-state takedown needs
+            plan["dup_map"].withColumn("hit", F.lit(False)).write.mode(
+                "overwrite"
+            ).parquet(ddir)
+            dup_dirs = [ddir]
         feature_dirs, key_dirs = [fdir], [kdir]
         anchors_dir = adir
     else:
@@ -394,26 +472,46 @@ def _link_batch(
             # append-only commits for the corpus-sized state; full
             # rewrites only for the two narrow tables
             new_feats.write.mode("overwrite").parquet(fdir)
-            # the increment's key rows are exactly key_table_with_counts
-            # over the (pinned) increment features — recompute them
-            # increment-sized instead of semi-joining the FULL committed
-            # key table against the increment's ids, which streamed every
-            # committed key dir per micro-batch (identical rows: out
-            # ['keys'] = committed ∪ nk with nk built from these same
-            # post-anti-join features, and committed ids are disjoint)
-            from pipeline.blocking import key_table_with_counts as _ktwc
-
-            new_keys_only, _ = _ktwc(new_feats, cfg, adf)
-            new_keys_only.write.mode("overwrite").parquet(kdir)
+            # the increment's key rows: the exact pre-cap ``nk`` the
+            # step already built inside incremental_candidate_pairs —
+            # returned as out["new_keys"] so the commit neither
+            # re-explodes the increment nor re-joins the anchor
+            # snapshot, and never semi-joins the FULL committed key
+            # table (round-5 review; committed-state mode always
+            # produces it)
+            out["new_keys"].write.mode("overwrite").parquet(kdir)
             out["key_counts"].write.mode("overwrite").parquet(cdir)
             out["clusters"].write.mode("overwrite").parquet(ldir)
+            # this batch's match-edge contribution: scored matches
+            # (match_only scoring — every row IS an edge), plus in
+            # contracted mode the (rep, member) expansions, mirroring
+            # build_contracted_plan's edge semantics
+            new_edges = out["scored"].select(
+                F.col("conv_id_a").alias("src"),
+                F.col("conv_id_b").alias("dst"),
+            )
+            if contracted:
+                new_edges = new_edges.unionByName(
+                    out["dup_assign"].select(
+                        F.col("rep_id").alias("src"),
+                        F.col("conv_id").alias("dst"),
+                    )
+                )
+                out["dup_assign"].write.mode("overwrite").parquet(ddir)
+            new_edges.write.mode("overwrite").parquet(edir)
         feature_dirs = state["feature_dirs"] + [fdir]
         key_dirs = state["key_dirs"] + [kdir]
+        edge_dirs = state.get("edge_dirs", []) + [edir]
+        dup_dirs = (
+            state.get("dup_dirs", []) + [ddir] if contracted else
+            state.get("dup_dirs", [])
+        )
     release_caches()
     payload = {
         "batch_id": batch_id,
         "feature_dirs": feature_dirs,
         "key_dirs": key_dirs,
+        "edge_dirs": edge_dirs,
         "counts": cdir,
         "clusters": ldir,
         # the state's mode is part of its contract: rep-only feature/key
@@ -423,6 +521,8 @@ def _link_batch(
         # singletons)
         "contracted": contracted,
     }
+    if dup_dirs:
+        payload["dup_dirs"] = dup_dirs
     if anchors_dir:
         payload["anchors"] = anchors_dir
     if state is not None:
@@ -456,6 +556,13 @@ def streaming_incremental_link(
 
       features_b{n}/   append-only per-batch increment feature rows
       keys_b{n}/       append-only per-batch increment blocking keys
+      edges_b{n}/      append-only per-batch MATCH edges (src, dst) —
+                       the committed match graph; feeds
+                       retract_from_state's zero-rescore mode
+      dups_b{n}/       (contracted only) per-batch (conv_id, rep_id,
+                       hit) — which collapsed members rode which rep:
+                       the audit/enumeration table for docs that
+                       skipped the pair pipeline
       counts_b{n}/     FULL merged member counts as of batch n (narrow)
       clusters_b{n}/   FULL labeling as of batch n (narrow)
       anchors_b0/      frozen (token, df) anchor snapshot of the BASE
@@ -588,9 +695,15 @@ def retract_from_state(
 
     Deletion is LOGICAL for the corpus-sized tables: the removed ids are
     appended to the tombstone table and every subsequent ``_load_state``
-    anti-joins them out of features/keys; only the two NARROW tables
-    (clusters — repaired via entity-bounded re-scoring, see ``retract``
-    — and key counts) are rewritten. Physical reclamation is
+    anti-joins them out of features/keys/edges; only the two NARROW
+    tables (clusters — repaired entity-bounded, see ``retract`` — and
+    key counts) are rewritten. A tombstoned id is DELETED for good:
+    ``_link_batch`` drops it from every later increment, so an upstream
+    replay cannot resurrect it (re-admit via ``compact_state`` first).
+    States carrying ``edge_dirs`` repair connectivity by FILTERING the
+    committed match edges (``retract``'s zero-rescore ``match_edges``
+    mode); pre-edges layouts fall back to entity-bounded re-scoring.
+    Physical reclamation is
     ``compact_state``. Crash-safe: all dirs are written under a fresh
     revision suffix, the pointer renames last; idempotent — re-running
     the same removal finds no affected entities and commits an identical
@@ -619,7 +732,9 @@ def retract_from_state(
         # whole signature class) — refuse rather than corrupt.
         raise ValueError(
             f"state at {state_dir} is CONTRACTED (rep-only features); "
-            "retract_from_state only supports uncontracted state"
+            "retract_from_state only supports uncontracted state. To "
+            "enumerate a signature class for a class-wide takedown, "
+            "read the committed dup_dirs (conv_id, rep_id, hit) tables"
         )
     if not isinstance(remove_ids, DataFrame):
         remove_ids = spark.createDataFrame(
@@ -634,9 +749,17 @@ def retract_from_state(
 
     anchors_dir = state.get("anchors")
     adf = spark.read.parquet(anchors_dir) if anchors_dir else None
+    # committed match edges (layouts from the edges_b{n} era): the
+    # zero-rescore path — retraction filters the committed edge table to
+    # survivors of affected entities instead of re-featurizing +
+    # re-blocking + re-scoring them (retract's match_edges mode, "the
+    # 100-TB path"). Older states without edge_dirs fall back to the
+    # re-scoring mode.
+    match_edges = _load_edges(spark, state)
     with increment_tuning(spark):
         out = retract(
             feats, clusters, remove_ids, cfg, anchor_df=adf,
+            match_edges=match_edges,
             existing_keys=keys, existing_key_counts=counts,
         )
         # tombstones accumulate until compaction; clusters/counts are
@@ -660,6 +783,10 @@ def retract_from_state(
         "rev": rev,
         "contracted": False,  # guarded above: uncontracted state only
     }
+    # edge dirs stay append-only: removed ids are tombstone-filtered on
+    # both endpoints at load (_load_edges); compact_state reclaims
+    if state.get("edge_dirs"):
+        payload["edge_dirs"] = state["edge_dirs"]
     if anchors_dir:
         payload["anchors"] = anchors_dir
     _pointer_commit(spark, latest_path, payload)
@@ -700,6 +827,29 @@ def compact_state(spark: SparkSession, state_dir: str) -> dict:
         "rev": rev,
         "contracted": bool(state.get("contracted", False)),
     }
+    # Edges MUST compact through the same tombstone filter BEFORE the
+    # tombstones are cleared: the anti-join that hides a retracted id's
+    # edges lives at load time, so folding the raw dirs and dropping the
+    # tombstone table in one commit would resurrect every edge touching
+    # a removed endpoint.
+    edges = _load_edges(spark, state)
+    if edges is not None:
+        edir = os.path.join(state_dir, f"edges_compact_rev{rev}")
+        edges.write.mode("overwrite").parquet(edir)
+        payload["edge_dirs"] = [edir]
+    if state.get("dup_dirs"):
+        ddir = os.path.join(state_dir, f"dups_compact_rev{rev}")
+        dups = spark.read.parquet(*state["dup_dirs"])
+        tomb = state.get("tombstones")
+        if tomb:
+            tdf = F.broadcast(spark.read.parquet(tomb).select("conv_id"))
+            dups = dups.join(tdf, "conv_id", "left_anti").join(
+                tdf.withColumnRenamed("conv_id", "rep_id"),
+                "rep_id",
+                "left_anti",
+            )
+        dups.write.mode("overwrite").parquet(ddir)
+        payload["dup_dirs"] = [ddir]
     if state.get("anchors"):
         payload["anchors"] = state["anchors"]
     _pointer_commit(spark, latest_path, payload)
@@ -724,6 +874,8 @@ def vacuum_state(spark: SparkSession, state_dir: str) -> list[str]:
         for p in (
             state["feature_dirs"]
             + state["key_dirs"]
+            + state.get("edge_dirs", [])
+            + state.get("dup_dirs", [])
             + [state["counts"], state["clusters"]]
             + ([state["tombstones"]] if state.get("tombstones") else [])
             + ([state["anchors"]] if state.get("anchors") else [])

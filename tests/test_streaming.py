@@ -75,9 +75,12 @@ def test_stream_exact_dedup(spark, tmp_path):
 
 
 def test_streaming_canonicalize_stateful(spark, tmp_path):
-    """applyInPandasWithState canonicalization: turns split across files
-    (and so micro-batches), per-conv state accumulates, idle timeout emits
-    the canonical doc — identical text to the batch canonicalizer.
+    """applyInPandasWithState canonicalization, single-batch flow: 3
+    files under the default maxFilesPerTrigger land in ONE micro-batch,
+    per-conv state accumulates within it, the idle timeout emits the
+    canonical doc — identical text to the batch canonicalizer. (The
+    cross-batch state-merge branch is covered separately by
+    test_streaming_canonicalize_merges_state_across_batches.)
 
     Processing-time timeouts only fire while batches run, so after the
     data pass a sentinel conversation is appended and a second
@@ -618,9 +621,16 @@ def test_retract_compact_vacuum_state(spark, tmp_path):
     assert left == {
         os.path.basename(p)
         for p in ptr3["feature_dirs"] + ptr3["key_dirs"]
+        + ptr3.get("edge_dirs", []) + ptr3.get("dup_dirs", [])
         + [ptr3["counts"], ptr3["clusters"]]
         + ([ptr3["anchors"]] if ptr3.get("anchors") else [])
     }
+    # compaction folded the committed match edges too (one dir), and the
+    # physically-compacted edge table carries no tombstoned endpoint
+    assert len(ptr3.get("edge_dirs", [])) == 1
+    eraw = spark.read.parquet(ptr3["edge_dirs"][0])
+    assert eraw.where(F.col("src").isin(doomed)).count() == 0
+    assert eraw.where(F.col("dst").isin(doomed)).count() == 0
     got3 = (
         spark.read.parquet(ptr3["clusters"])
         .select("conv_id", "entity_id")
@@ -753,3 +763,203 @@ def test_streaming_mode_flip_mid_stream_raises(spark, tmp_path):
     ):
         q2.awaitTermination(300)
         raise AssertionError("mode flip did not fail the stream")
+
+
+def test_streaming_canonicalize_merges_state_across_batches(spark, tmp_path):
+    """One conversation's turns split ACROSS micro-batches must merge
+    through the keyed state (the state.exists branch) into ONE canonical
+    doc equal to the batch canonicalizer's — the cross-batch path no
+    prior test executed (round-5 review: 3 files under the default
+    maxFilesPerTrigger=8 was a single micro-batch). maxFilesPerTrigger=1
+    forces one batch per file; the idle timeout is sized well above the
+    inter-batch gap so no partial doc can be emitted mid-stream, then a
+    sleep past the timeout + a sentinel pass flushes everything."""
+    import time
+
+    from pipeline.oracle import canonicalize_pd
+    from pipeline.streaming import streaming_canonicalize
+
+    corpus = synth.generate(n_base=10, seed=41)
+    src = str(tmp_path / "src")
+    _write_turn_files(corpus, src, n_files=4)  # row-interleaved split
+
+    # premise check: the interleave really scatters conversations across
+    # files (otherwise this test silently degrades to the 1-batch one)
+    t = corpus.turns.reset_index(drop=True)
+    spans = t.groupby("conv_id").apply(
+        lambda g: (g.index % 4).nunique(), include_groups=False
+    )
+    assert (spans > 1).mean() > 0.8, "fixture must straddle micro-batches"
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = streaming_canonicalize(
+        spark, src, out, ck, idle_timeout_ms=20_000, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    time.sleep(21)  # let every conversation's idle timeout expire
+
+    sentinel = pd.DataFrame(
+        {
+            "conv_id": pd.Series(["zz_sentinel"], dtype="string"),
+            "turn_idx": pd.Series([0], dtype="int32"),
+            "role": pd.Series(["user"], dtype="string"),
+            "text": pd.Series(["flush"], dtype="string"),
+            "tool": pd.Series([None], dtype="string"),
+            "ts": corpus.turns["ts"].iloc[:1].astype("datetime64[us]").values,
+        }
+    )
+    sentinel.to_parquet(os.path.join(src, "sentinel.parquet"), index=False)
+    q2 = streaming_canonicalize(
+        spark, src, out, ck, idle_timeout_ms=20_000, max_files_per_trigger=1
+    )
+    q2.awaitTermination(180)
+
+    got = spark.read.parquet(out).toPandas()
+    # ONE row per conversation: a premature timeout between micro-batches
+    # would show up here as two partial docs for the same conv_id
+    assert not got["conv_id"].duplicated().any(), got[
+        got["conv_id"].duplicated(keep=False)
+    ]
+    got = got.set_index("conv_id")
+    want = canonicalize_pd(corpus.turns).set_index("conv_id")
+    assert set(want.index) <= set(got.index)
+    for cid in want.index:
+        assert got.loc[cid, "canonical_text"] == want.loc[cid, "canonical_text"]
+        assert int(got.loc[cid, "n_turns"]) == int(want.loc[cid, "n_turns"])
+        assert got.loc[cid, "roles_sig"] == want.loc[cid, "roles_sig"]
+
+
+def test_tombstoned_id_never_resurrects(spark, tmp_path):
+    """A retracted conversation re-delivered by an upstream replay must
+    stay deleted (round-5 review: the re-delivery anti-join saw only
+    tombstone-FILTERED features, so the replayed id re-entered clusters
+    while its features/keys stayed invisible to every _load_state — a
+    half-resurrection that corrupts later retractions). New convs in the
+    same micro-batch still link normally."""
+    import json
+
+    from pipeline.streaming import (
+        _load_state,
+        retract_from_state,
+        streaming_incremental_link,
+    )
+
+    cfg = _nocap_cfg()
+    corpus = synth.generate(n_base=40, seed=53)
+    src = str(tmp_path / "src")
+    t = _conv_complete_drops(corpus, src, n_drops=2)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
+    q.awaitTermination(300)
+
+    victim = sorted(t["conv_id"].unique())[0]
+    retract_from_state(spark, state, [victim], cfg=cfg)
+
+    # upstream replay: the victim's original turns arrive again,
+    # alongside one genuinely new conversation
+    fresh = synth.generate(n_base=6, seed=77).turns.assign(
+        ts=lambda d: d["ts"].astype("datetime64[us]")
+    )
+    fresh["conv_id"] = "fresh_" + fresh["conv_id"]
+    replay = pd.concat(
+        [t[t["conv_id"] == victim], fresh], ignore_index=True
+    )
+    replay.to_parquet(os.path.join(src, "replay.parquet"), index=False)
+    q2 = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
+    q2.awaitTermination(300)
+
+    with open(os.path.join(state, "_LATEST.json")) as f:
+        ptr = json.load(f)
+    clusters = spark.read.parquet(ptr["clusters"])
+    # deleted means deleted: no label, no feature/key rows, anywhere
+    assert clusters.where(F.col("conv_id") == victim).count() == 0
+    feats, keys, _, _ = _load_state(spark, ptr)
+    assert feats.where(F.col("conv_id") == victim).count() == 0
+    assert keys.where(F.col("conv_id") == victim).count() == 0
+    # the tombstone survives the increment commit
+    tomb = spark.read.parquet(ptr["tombstones"]).toPandas()
+    assert victim in set(tomb["conv_id"])
+    # and the new conversations in the same batch linked normally
+    n_fresh = fresh["conv_id"].nunique()
+    assert (
+        clusters.where(F.col("conv_id").startswith("fresh_")).count()
+        == n_fresh
+    )
+
+
+def test_retract_from_state_edges_mode_and_rescore_fallback(
+    spark, tmp_path, monkeypatch
+):
+    """States committed with edge_dirs retract through retract()'s
+    zero-rescore match_edges mode (the committed match graph is
+    filtered, nothing is re-blocked or re-scored — round-5 review: the
+    edges were computed every batch and thrown away); a pre-edges layout
+    (edge_dirs stripped from the pointer) falls back to entity-bounded
+    re-scoring. Both modes repair labels to the same batch reference."""
+    import json
+
+    import pipeline.incremental as pinc
+    from pipeline.streaming import (
+        _pointer_commit,
+        _pointer_read,
+        retract_from_state,
+        streaming_incremental_link,
+    )
+
+    cfg = _nocap_cfg()
+    corpus = synth.generate(n_base=40, seed=59)
+    src = str(tmp_path / "src")
+    t = _conv_complete_drops(corpus, src, n_drops=2)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
+    q.awaitTermination(300)
+
+    seen_modes = []
+    real_retract = pinc.retract
+
+    def spy(*args, **kwargs):
+        seen_modes.append(kwargs.get("match_edges") is not None)
+        return real_retract(*args, **kwargs)
+
+    monkeypatch.setattr(pinc, "retract", spy)
+
+    import zlib
+
+    doomed = sorted(
+        c for c in t["conv_id"].unique()
+        if zlib.crc32(c.encode()) % 5 == 0
+    )
+    assert doomed
+    want = _batch_reference(spark, t[~t["conv_id"].isin(doomed)], cfg)
+
+    # --- edges mode (the committed layout) ---
+    ptr = retract_from_state(spark, state, doomed, cfg=cfg)
+    assert seen_modes == [True], "edge_dirs state must take the edges mode"
+    got = (
+        spark.read.parquet(ptr["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert ptr.get("edge_dirs"), "edge dirs must survive the retraction"
+
+    # --- rescore fallback (pre-edges layout) ---
+    state2 = str(tmp_path / "state2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    q2 = streaming_incremental_link(spark, src, state2, ckpt2, cfg=cfg)
+    q2.awaitTermination(300)
+    p2 = os.path.join(state2, "_LATEST.json")
+    legacy = _pointer_read(spark, p2)
+    legacy.pop("edge_dirs")
+    _pointer_commit(spark, p2, legacy)
+
+    ptr2 = retract_from_state(spark, state2, doomed, cfg=cfg)
+    assert seen_modes == [True, False], "legacy state must re-score"
+    got2 = (
+        spark.read.parquet(ptr2["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, want)
