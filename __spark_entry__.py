@@ -602,7 +602,7 @@ def _sample_stratified_sql() -> str:
 select doc_id, lang
 from (select doc_id, lang,
              row_number() over (partition by lang
-               order by ({h60_sql("'sample'", "doc_id")}) % 1000000 asc,
+               order by ({h60_sql("'sample'", "doc_id")}) % 1099511627776 asc,
                         doc_id asc) as rnk
       from documents)
 where rnk <= 10
@@ -1324,7 +1324,7 @@ keyed as ({band_selects}),
 counts as (select band_key, count(*) as members from keyed group by band_key),
 kept as (select k.doc_id, k.band_key from keyed k join counts using (band_key)
          where members <= {cap}
-            or (({coin}) % 1000000) / 1000000.0 < cast({cap} as double) / members),
+            or (({coin}) % 1099511627776) / 1099511627776.0 < cast({cap} as double) / members),
 rawp as (select a.band_key, a.doc_id as doc_id_a, b.doc_id as doc_id_b
          from kept a join kept b on a.band_key = b.band_key
                                and a.doc_id < b.doc_id),
@@ -1376,7 +1376,7 @@ keyed as ({block_selects}),
 counts as (select tbl, block, count(*) as members from keyed group by tbl, block),
 kept as (select k.* from keyed k join counts using (tbl, block)
          where members <= {cap}
-            or (({coin}) % 1000000) / 1000000.0 < cast({cap} as double) / members),
+            or (({coin}) % 1099511627776) / 1099511627776.0 < cast({cap} as double) / members),
 rawp as (select a.tbl, a.block, a.doc_id as doc_id_a, b.doc_id as doc_id_b,
                 a.simhash as ha, b.simhash as hb
          from kept a join kept b on a.tbl = b.tbl and a.block = b.block
@@ -1468,7 +1468,7 @@ keyed as ({bucket_selects}),
 counts as (select bkey, count(*) as members from keyed group by bkey),
 kept as (select k.doc_id, k.e, k.bkey from keyed k join counts using (bkey)
          where members <= {cap}
-            or (({coin}) % 1000000) / 1000000.0 < cast({cap} as double) / members),
+            or (({coin}) % 1099511627776) / 1099511627776.0 < cast({cap} as double) / members),
 rawp as (select a.bkey, a.doc_id as doc_id_a, b.doc_id as doc_id_b,
                 a.e as ea, b.e as eb
          from kept a join kept b on a.bkey = b.bkey and a.doc_id < b.doc_id),
@@ -1653,7 +1653,7 @@ vk as ({bucket_selects_v}),
 counts as (select bkey, count(*) as members from vk group by bkey),
 vkept as (select vk.* from vk join counts using (bkey)
           where members <= {cap}
-             or (({coin}) % 1000000) / 1000000.0 < cast({cap} as double) / members),
+             or (({coin}) % 1099511627776) / 1099511627776.0 < cast({cap} as double) / members),
 qk as ({bucket_selects_q}),
 cand as (select distinct on (query_id, neighbor_id)
                 query_id, neighbor_id, {cos} as score_x10000
@@ -2025,7 +2025,7 @@ def _linkage_audit_sampled_sql() -> str:
         for a, b, t in zip(
             scored["conv_id_a"], scored["conv_id_b"], scored["tier"]
         )
-        if (h60_py("audit", a, b) % 1_000_000) / 1_000_000.0 < 0.25
+        if (h60_py("audit", a, b) % 1_099_511_627_776) / 1_099_511_627_776.0 < 0.25
     ]
     if not tiers:
         # schema-only result: no scored pair passed the coin at this SF

@@ -418,7 +418,17 @@ def cap_hot_buckets(
 
     H = F.xxhash64 if hash_impl == "xxhash64" else h60_col
     keyed = track_cache(keyed)
-    counts = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("members"))
+    # the narrow (key, members) agg feeds 2-3 broadcast consumers (audit,
+    # cap join, hub semi-join) — cache it so each broadcast doesn't
+    # re-aggregate the cached bucket table. The post-cap output is NOT
+    # cached here or by callers: with the pre-cap table pinned it is one
+    # broadcast-join + filter per read, and a second bucket-table-sized
+    # persist (vectors x n_tables in the embedding leg) doubles peak
+    # memory for nothing (round-5 review — same fix as blocking's star
+    # mode).
+    counts = track_cache(
+        keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("members"))
+    )
     hot = counts.filter(F.col("members") > cap)
     audit = hot.withColumn("est_kept", F.lit(cap).cast("long"))
     joined = keyed.join(F.broadcast(hot), key_cols, "left")
@@ -529,30 +539,60 @@ def candidate_pairs(
     return pairs, audit, pair_audit
 
 
+def star_pair_flag(
+    raw: DataFrame,
+    key_cols: list[str],
+    id_a: str,
+    id_b: str,
+    cap: int,
+) -> DataFrame:
+    """THE star-preserving pair-cap rule, annotated not filtered: per
+    bucket (``key_cols``), keep the first ``cap`` pairs in (a, b) order
+    PLUS every pair whose left side is the bucket's minimum member, so
+    all members stay reachable from the minimum (one definition shared
+    by the blocking layer and the dedup/ANN bucket layer — round-5
+    review: two hand-maintained twins of this rule had already drifted
+    on caching). Adds ``_rn`` / ``_min_a`` / ``_keep``; callers filter
+    on ``_keep`` and may audit via ``star_pair_audit``."""
+    w = Window.partitionBy(*key_cols).orderBy(id_a, id_b)
+    wm = Window.partitionBy(*key_cols)
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_min_a", F.min(id_a).over(wm))
+        .withColumn(
+            "_keep",
+            (F.col("_rn") <= cap) | (F.col(id_a) == F.col("_min_a")),
+        )
+    )
+
+
+def star_pair_audit(flagged: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(key_cols..., pairs_total, pairs_kept) for buckets where the
+    star+cap rule dropped anything — the never-silent contract."""
+    return (
+        flagged.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("pairs_total"),
+            F.sum(F.col("_keep").cast("long")).alias("pairs_kept"),
+        )
+        .where(F.col("pairs_kept") < F.col("pairs_total"))
+    )
+
+
 def star_capped_pairs(
     raw: DataFrame, cfg: MatchConfig, return_audit: bool = False
 ):
     """(family, key, conv_id_a, conv_id_b) -> deduplicated capped pairs.
 
-    Per-(family,key) pair cap — deterministic AND star-preserving: the
-    first cap pairs in (a, b) order PLUS every pair whose left side is
-    the key's minimum member, so all members of a capped key stay
-    reachable from its minimum (a key has <= block_key_cap members, so
-    the star adds <= block_key_cap - 1 - cap extra pairs). Shared by the
-    batch self-join (``candidate_pairs``) and the incremental restricted
-    join (``pipeline.incremental``)."""
-    w = Window.partitionBy("family", "key").orderBy("conv_id_a", "conv_id_b")
-    wm = Window.partitionBy("family", "key")
+    Per-(family,key) pair cap — deterministic AND star-preserving (see
+    ``star_pair_flag``). Shared by the batch self-join
+    (``candidate_pairs``) and the incremental restricted join
+    (``pipeline.incremental``)."""
     from pipeline.session import track_cache
 
-    flagged = (
-        raw.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_min_a", F.min("conv_id_a").over(wm))
-        .withColumn(
-            "_keep",
-            (F.col("_rn") <= cfg.pairs_per_key_cap)
-            | (F.col("conv_id_a") == F.col("_min_a")),
-        )
+    flagged = star_pair_flag(
+        raw, ["family", "key"], "conv_id_a", "conv_id_b",
+        cfg.pairs_per_key_cap,
     )
     if return_audit:
         # the audit AND the pairs table both derive from flagged; without
@@ -570,12 +610,4 @@ def star_capped_pairs(
     )
     if not return_audit:
         return pairs
-    pair_audit = (
-        flagged.groupBy("family", "key")
-        .agg(
-            F.count(F.lit(1)).alias("pairs_total"),
-            F.sum(F.col("_keep").cast("long")).alias("pairs_kept"),
-        )
-        .where(F.col("pairs_kept") < F.col("pairs_total"))
-    )
-    return pairs, pair_audit
+    return pairs, star_pair_audit(flagged, ["family", "key"])

@@ -13,8 +13,9 @@ groupBy+join rounds, converges in O(log n) iterations:
 
 Each iteration is ``localCheckpoint``-ed (eager) to cut lineage — without
 it the iterated plan grows exponentially (SURVEY.md §4.2). Convergence =
-edge multiset stable (count + xor-hash checksum, both computed in the same
-action). Works directly on string conv_ids (min = lexicographic).
+edge multiset stable (count + modular-sum + 64-bit-xor signature, all
+computed in one action — see ``_checksum`` for the collision budget).
+Works directly on string conv_ids (min = lexicographic).
 
 Output: clusters(conv_id, entity_id) where entity_id = min conv_id of the
 component — matching FIXTURES.md §3. Singletons keep themselves.
@@ -70,16 +71,29 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
-    # order-insensitive content hash; pmod keeps the ANSI-mode sum far from
-    # long overflow (< 2^63 even at ~9e9 edges per checksum)
+def _checksum(edges: DataFrame) -> tuple[int, int, int]:
+    # Order-insensitive content signature: (count, modular SUM, full-width
+    # XOR) of per-edge hashes, ONE aggregation. Convergence is declared on
+    # signature equality between rounds, so signature width is a
+    # correctness parameter, not hygiene: a collision between two
+    # DIFFERENT consecutive edge sets would exit the loop before the
+    # fixpoint and silently split components. Count+sum alone leave
+    # ~2^-30 of independent state; the xor adds an independent 64-bit
+    # channel (sum tracks multiset content mod p, xor tracks parity
+    # structure), pushing a simultaneous collision past 2^-90 — smaller
+    # than a cosmic-ray bitflip, without the extra exceptAll shuffle an
+    # exact set-equality round would cost. pmod keeps the ANSI-mode sum
+    # far from long overflow (< 2^63 even at ~9e9 edges); xor cannot
+    # overflow by construction.
+    h = F.xxhash64("u", "v")
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(
-            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))), F.lit(0)
-        ).alias("h"),
+        F.coalesce(F.sum(F.pmod(h, F.lit(1_000_000_007))), F.lit(0)).alias(
+            "s"
+        ),
+        F.coalesce(F.bit_xor(h), F.lit(0)).alias("x"),
     ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    return int(row["n"]), int(row["s"]), int(row["x"])
 
 
 def _driver_union_find(rows: list) -> list[tuple[str, str]]:

@@ -304,28 +304,26 @@ def _bucket_pair_cap(
     With ``return_audit``, also returns (key_cols..., pairs_total,
     pairs_kept) for buckets where the cap dropped anything — the same
     never-silent contract as ``cap_hot_buckets``.
+
+    The keep rule and audit are ``blocking.star_pair_flag`` /
+    ``star_pair_audit`` — the SAME definition the blocking layer's
+    ``star_capped_pairs`` applies, so the cap rule cannot drift between
+    the linkage and dedup layers (round-5 review: the two
+    hand-maintained copies had already drifted on caching).
     """
-    w = Window.partitionBy(*key_cols).orderBy("doc_id_a", "doc_id_b")
-    wb = Window.partitionBy(*key_cols)
-    flagged = (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_min_a", F.min("doc_id_a").over(wb))
-        .withColumn(
-            "_keep", (F.col("_rn") <= cap) | (F.col("doc_id_a") == F.col("_min_a"))
-        )
-    )
+    from pipeline.blocking import star_pair_audit, star_pair_flag
+
+    flagged = star_pair_flag(cand, key_cols, "doc_id_a", "doc_id_b", cap)
+    if return_audit:
+        # the audit AND the pairs table both derive from flagged; without
+        # this cache consuming both re-executes the bucket self-join plus
+        # both window passes. Bounded by the upstream member cap
+        # (<= C(bucket_cap, 2) + members per bucket).
+        flagged = track_cache(flagged)
     kept = flagged.where("_keep").drop("_rn", "_min_a", "_keep", *key_cols)
     if not return_audit:
         return kept
-    audit = (
-        flagged.groupBy(*key_cols)
-        .agg(
-            F.count(F.lit(1)).alias("pairs_total"),
-            F.sum(F.col("_keep").cast("long")).alias("pairs_kept"),
-        )
-        .where(F.col("pairs_kept") < F.col("pairs_total"))
-    )
-    return kept, audit
+    return kept, star_pair_audit(flagged, key_cols)
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -460,7 +458,9 @@ def minhash_lsh_pairs(
         keyed, audit = cap_hot_buckets(
             keyed, ["band_key"], "doc_id", bucket_cap, hash_impl
         )
-    keyed = track_cache(keyed)  # both self-join sides read it
+    # NOT re-persisted post-cap: cap_hot_buckets pins the pre-cap table
+    # and the cap is a broadcast-join + filter over it — a second
+    # bucket-table-sized persist doubled peak memory (round-5 review)
     a, b = keyed.alias("a"), keyed.alias("b")
     raw_pairs = (
         a.join(b, "band_key")
@@ -611,7 +611,9 @@ def simhash_dedup_pairs(
         keyed, audit = cap_hot_buckets(
             keyed, ["table", "block"], "doc_id", bucket_cap, hash_impl
         )
-    keyed = track_cache(keyed)  # both self-join sides read it
+    # NOT re-persisted post-cap: cap_hot_buckets pins the pre-cap table
+    # and the cap is a broadcast-join + filter over it — a second
+    # bucket-table-sized persist doubled peak memory (round-5 review)
     a, b = keyed.alias("a"), keyed.alias("b")
     raw_pairs = (
         a.join(b, ["table", "block"])

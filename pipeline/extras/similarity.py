@@ -76,10 +76,18 @@ def _norm(a):
 
 
 def cosine_col(a, b):
-    """Cosine similarity of two float-array columns, JVM-only."""
+    """Cosine similarity of two float-array columns, JVM-only.
+
+    Zero-norm guard: an all-zeros embedding (empty doc, padding row,
+    failed encoder) has no direction — its cosine to anything is
+    defined as 0.0 here. Without the guard the division raises
+    DIVIDE_BY_ZERO under ANSI mode (the Spark 4 default this repo runs
+    with) and one degenerate row kills the whole job (round-5 review,
+    confirmed by execution)."""
     a_d = F.transform(a, lambda v: v.cast("double"))
     b_d = F.transform(b, lambda v: v.cast("double"))
-    return _dot(a_d, b_d) / (_norm(a_d) * _norm(b_d))
+    denom = _norm(a_d) * _norm(b_d)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(a_d, b_d) / denom)
 
 
 def brute_force_topk(
@@ -142,11 +150,33 @@ def with_lsh_buckets(
     vec_col: str = "embedding",
     hash_impl: str = "md5",
 ) -> DataFrame:
-    """Add ``bucket_0..n_tables-1`` columns (random-hyperplane LSH)."""
+    """Add ``bucket_0..n_tables-1`` columns (random-hyperplane LSH).
+
+    Fails loudly when a vector's length differs from ``n_dims``:
+    ``zip_with`` null-pads the shorter side, the null propagates through
+    the dot product, and ``when(s >= 0).otherwise(0)`` would quietly map
+    EVERY mismatched row to bucket 0 of every table — collapsing the
+    corpus into one hot bucket whose cap then returns a near-arbitrary
+    sample with no audit signal (round-5 review, confirmed by
+    execution). assert_true keeps the check codegen'd and row-level."""
+    checked = F.when(
+        F.assert_true(
+            F.size(F.col(vec_col)) == n_dims,
+            F.concat(
+                F.lit(
+                    f"with_lsh_buckets: {vec_col} length != n_dims="
+                    f"{n_dims} (got "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(") — every mismatched row would land in bucket 0"),
+            ),
+        ).isNull(),
+        F.col(vec_col),
+    )
     out = vectors
     for t in range(n_tables):
         bits = [
-            _hyperplane_sign(F.col(vec_col), n_dims, b, t, hash_impl)
+            _hyperplane_sign(checked, n_dims, b, t, hash_impl)
             for b in range(n_bits)
         ]
         key = F.lit(0)
@@ -473,7 +503,9 @@ def embedding_near_dup_pairs(
             keyed, ["bkey"], "doc_id", bucket_cap, hash_impl
         )
 
-    keyed = track_cache(keyed)  # both self-join sides read it
+    # NOT re-persisted post-cap: cap_hot_buckets pins the pre-cap table
+    # and the cap is a broadcast-join + filter over it — a second
+    # bucket-table-sized persist doubled peak memory (round-5 review)
     a, b = keyed.alias("a"), keyed.alias("b")
     # cap BEFORE the cosine: the vectors ride through the cap window so a
     # hot bucket never pays more than pairs_per_bucket_cap dot products

@@ -47,16 +47,27 @@ def h60_col(*cols: Column | str) -> Column:
     return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
 
 
+COIN_MOD = 1_099_511_627_776  # 2^40 — exact in a double (52-bit mantissa)
+
+
 def coin_col(hash_col_fn, seed: str, *cols: Column | str) -> Column:
     """Deterministic uniform coin in [0, 1): ``pmod(hash(seed, cols...),
-    1e6) / 1e6`` — the ONE down-sampling idiom shared by the hot-key
+    2^40) / 2^40`` — the ONE down-sampling idiom shared by the hot-key
     caps, the hot-bucket caps and the curation samplers, so a change to
     coin resolution or seeding lands everywhere at once and the
     DuckDB/pandas twins stay in lockstep. ``hash_col_fn`` is ``h60_col``
-    (engine-neutral) or ``F.xxhash64`` (production fast path)."""
+    (engine-neutral) or ``F.xxhash64`` (production fast path).
+
+    Resolution matters at degenerate scale: a coin quantized to k steps
+    floors the keep probability at 1/k, so a cap of c stops holding once
+    members > c*k — with the old 1e-6 resolution a 10^9-member key kept
+    ~1000 members instead of 64 with NO audit signal (round-5 review).
+    2^40 pushes that regime past 2^40 * cap members (~10^14 at the
+    default caps) while staying exactly representable in the double
+    divisions all three engines perform."""
     return (
-        F.pmod(hash_col_fn(F.lit(seed), *cols), F.lit(1_000_000))
-        / 1_000_000.0
+        F.pmod(hash_col_fn(F.lit(seed), *cols), F.lit(COIN_MOD))
+        / float(COIN_MOD)
     )
 
 

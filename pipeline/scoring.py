@@ -273,6 +273,15 @@ def with_decisions(
                         F.lit("low_confidence_level"),
                     ),
                     F.when(s["text"] < 50.0, F.lit("low_similarity")),
+                    # STRUCTURALLY UNREACHABLE in this recast, kept for
+                    # F17 parity: the reference's retrieval score is the
+                    # ES rank (UAM:855-864 — can be < 5 for a weak index
+                    # hit), ours is 10 * n_families and a pair exists
+                    # only because >= 1 blocking family proposed it, so
+                    # es >= 10 always. The oracle twin replicates the
+                    # same condition, so both engines agree on the empty
+                    # set; a consumer filtering on this warning gets the
+                    # same (zero) rows the recast semantics imply.
                     F.when(es < 5.0, F.lit("low_retrieval_score")),
                 )
             )

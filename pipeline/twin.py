@@ -24,7 +24,7 @@ import pandas as pd
 
 from pipeline import oracle
 from pipeline.config import DEFAULT_CONFIG, MatchConfig
-from pipeline.hashing import h60_py
+from pipeline.hashing import COIN_MOD, h60_py
 
 ANCHOR_FAMILY = 4
 
@@ -134,8 +134,8 @@ def blocking_pairs_pd(
     # hot-key capping — twin of blocking.capped_key_table
     counts = keyed.groupby(["family", "key"])["conv_id"].transform("size")
     coin = keyed.apply(
-        lambda r: (h60_py("coin", r["conv_id"], r["key"]) % 1_000_000)
-        / 1_000_000.0,
+        lambda r: (h60_py("coin", r["conv_id"], r["key"]) % COIN_MOD)
+        / float(COIN_MOD),
         axis=1,
     )
     keep = (counts <= cfg.block_key_cap) | (

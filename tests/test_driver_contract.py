@@ -99,7 +99,13 @@ def test_audit_sampled_oracle_handles_empty_coin(monkeypatch):
     schema and zero rows."""
     import pipeline.hashing as hashing
 
-    monkeypatch.setattr(hashing, "h60_py", lambda *parts: 999_999)
+    # a stub hash whose coin (h % COIN_MOD / COIN_MOD) lands above the
+    # 0.25 threshold for the CURRENT coin modulus — not a hardcoded
+    # magic number that silently stops forcing the branch when the coin
+    # resolution changes (it did: 999_999 forced ~1.0 under the 1e-6
+    # coin but ~9e-7 under the 2^40 one)
+    high_coin = hashing.COIN_MOD - 1
+    monkeypatch.setattr(hashing, "h60_py", lambda *parts: high_coin)
     sql = entrymod._linkage_audit_sampled_sql()
     out = duckdb.sql(sql).df()
     assert list(out.columns) == ["tier", "n_pairs", "sample_rate"]

@@ -1154,3 +1154,47 @@ def test_lsh_bucket_key_packing_no_cross_table_collision(spark):
     keys = df.select(_bucket_key_expr(n_tables)).toPandas()["bkey"]
     assert len(keys) == 2 * n_tables
     assert keys.nunique() == 2 * n_tables
+
+
+def test_cosine_zero_norm_vector_scores_zero(spark):
+    """An all-zeros embedding (empty doc / padding / failed encoder) has
+    no direction: its cosine is defined 0.0. Without the guard the norm
+    product divides by zero and ANSI mode (the Spark 4 default this repo
+    runs with) kills the whole job on one degenerate row (round-5
+    review, confirmed by execution)."""
+    import pipeline.extras.similarity as sim
+
+    df = spark.createDataFrame(
+        [("z", [0.0, 0.0, 0.0]), ("b", [1.0, 2.0, 2.0]), ("c", [2.0, 4.0, 4.0])],
+        "vec_id string, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [("q1", [1.0, 2.0, 2.0]), ("q0", [0.0, 0.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim.brute_force_topk(df, q, k=3).collect()
+    }
+    assert got[("q1", "z")] == 0.0          # zero corpus row
+    assert got[("q0", "b")] == 0.0          # zero query row
+    assert abs(got[("q1", "b")] - 1.0) < 1e-12
+
+
+def test_lsh_buckets_reject_dims_mismatch(spark):
+    """A vector whose length differs from n_dims must raise, not land in
+    bucket 0 of every table: zip_with null-pads, the null propagates to
+    the sign, and the whole corpus would silently collapse into one hot
+    bucket whose cap returns an arbitrary sample (round-5 review,
+    confirmed by execution)."""
+    import pytest as _pytest
+
+    import pipeline.extras.similarity as sim
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0, 3.0])], "vec_id string, embedding array<double>"
+    )
+    ok = sim.with_lsh_buckets(df, n_dims=3)
+    assert ok.select("bucket_0").count() == 1
+    with _pytest.raises(Exception, match="with_lsh_buckets"):
+        sim.with_lsh_buckets(df, n_dims=8).select("bucket_0").collect()
