@@ -14,6 +14,28 @@ from pipeline import synth
 from pipeline.streaming import arrival_stats_stream, ingest_turns_stream
 
 
+def _await_done(q, timeout=900):
+    """Block until an ``availableNow`` query terminates; fail LOUDLY on a
+    deadline miss instead of letting the test read partial state.
+
+    The old bare ``q.awaitTermination(N)`` pattern returned False on a
+    deadline miss and the test marched on: the assertion then compared
+    against a half-written state dir (confusing shape mismatches) and the
+    still-running query leaked into every later test's timing — observed
+    as a suite-wide failure storm on a drift-degraded VM window
+    (BENCH/vm_health.md). Stop the query before failing so nothing leaks."""
+    done = q.awaitTermination(timeout)
+    if not done:
+        try:
+            q.stop()
+        finally:
+            pytest.fail(
+                f"streaming query still running after {timeout}s "
+                "(VM drift? see BENCH/vm_health.md) — failing loudly "
+                "instead of asserting on partial state"
+            )
+
+
 def _write_turn_files(corpus, d, n_files=3):
     os.makedirs(d, exist_ok=True)
     t = corpus.turns
@@ -32,12 +54,12 @@ def test_exactly_once_ingest_with_resume(spark, tmp_path):
     n = _write_turn_files(corpus, src)
 
     q = ingest_turns_stream(spark, src, bronze, ckpt)
-    q.awaitTermination(120)
+    _await_done(q)
     assert spark.read.parquet(bronze).count() == n
 
     # restart with NO new files: checkpoint makes it a no-op
     q2 = ingest_turns_stream(spark, src, bronze, ckpt)
-    q2.awaitTermination(120)
+    _await_done(q2)
     assert spark.read.parquet(bronze).count() == n
 
     # new file arrives -> only the delta is ingested
@@ -48,7 +70,7 @@ def test_exactly_once_ingest_with_resume(spark, tmp_path):
         os.path.join(src, "part0.parquet"), os.path.join(src, "extra.parquet")
     )
     q3 = ingest_turns_stream(spark, src, bronze, ckpt)
-    q3.awaitTermination(120)
+    _await_done(q3)
     assert spark.read.parquet(bronze).count() == n + m
 
 
@@ -68,7 +90,7 @@ def test_stream_exact_dedup(spark, tmp_path):
     q = stream_exact_dedup(
         spark, src, str(tmp_path / "out"), str(tmp_path / "ck")
     )
-    q.awaitTermination(120)
+    _await_done(q)
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == len(t)
     assert out.select("conv_id", "turn_idx").distinct().count() == len(t)
@@ -95,7 +117,7 @@ def test_streaming_canonicalize_stateful(spark, tmp_path):
 
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
     q = streaming_canonicalize(spark, src, out, ck, idle_timeout_ms=1)
-    q.awaitTermination(120)
+    _await_done(q)
     time.sleep(0.2)  # let the 1ms processing-time timeouts expire
 
     sentinel = pd.DataFrame(
@@ -110,7 +132,7 @@ def test_streaming_canonicalize_stateful(spark, tmp_path):
     )
     sentinel.to_parquet(os.path.join(src, "sentinel.parquet"), index=False)
     q2 = streaming_canonicalize(spark, src, out, ck, idle_timeout_ms=1)
-    q2.awaitTermination(120)
+    _await_done(q2)
 
     got = spark.read.parquet(out).toPandas().set_index("conv_id")
     from pipeline.oracle import canonicalize_pd
@@ -130,7 +152,7 @@ def test_arrival_stats_windowed(spark, tmp_path):
     _write_turn_files(corpus, src)
 
     q = arrival_stats_stream(spark, src, out, ckpt)
-    q.awaitTermination(120)
+    _await_done(q)
     stats = spark.read.parquet(out).toPandas()
     assert len(stats) > 0
     assert set(stats["role"]).issubset({"user", "assistant", "system", "tool"})
@@ -190,7 +212,7 @@ def test_streaming_incremental_link_matches_batch(spark, tmp_path):
     state = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt")
     q = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
-    q.awaitTermination(300)
+    _await_done(q)
 
     with open(os.path.join(state, "_LATEST.json")) as f:
         latest = json.load(f)
@@ -220,7 +242,7 @@ def test_streaming_incremental_link_matches_batch(spark, tmp_path):
 
     # restart with no new files: checkpoint makes it a no-op
     q2 = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
-    q2.awaitTermination(300)
+    _await_done(q2)
     with open(os.path.join(state, "_LATEST.json")) as f:
         assert json.load(f) == latest
 
@@ -299,7 +321,7 @@ def test_streaming_link_anchors_on_matches_frozen_batch(
     q = streaming_incremental_link(
         spark, src, state, ckpt, cfg=cfg, contracted=contracted
     )
-    q.awaitTermination(300)
+    _await_done(q)
 
     with open(os.path.join(state, "_LATEST.json")) as f:
         latest = json.load(f)
@@ -377,7 +399,7 @@ def test_crash_replay_after_pointer_commit_is_noop(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     q = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
-    q.awaitTermination(300)
+    _await_done(q)
     with open(os.path.join(state, "_LATEST.json")) as f:
         latest = json.load(f)
     assert latest["batch_id"] == 2, latest
@@ -392,7 +414,7 @@ def test_crash_replay_after_pointer_commit_is_noop(spark, tmp_path):
         os.remove(crc)
 
     q2 = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
-    q2.awaitTermination(300)
+    _await_done(q2)
 
     with open(os.path.join(state, "_LATEST.json")) as f:
         latest2 = json.load(f)
@@ -490,7 +512,7 @@ def test_streaming_incremental_link_contracted_matches_batch(spark, tmp_path):
     q = streaming_incremental_link(
         spark, src, state, ckpt, cfg=cfg, contracted=True
     )
-    q.awaitTermination(300)
+    _await_done(q)
 
     with open(os.path.join(state, "_LATEST.json")) as f:
         latest = json.load(f)
@@ -521,7 +543,7 @@ def test_streaming_incremental_link_contracted_matches_batch(spark, tmp_path):
     q2 = streaming_incremental_link(
         spark, src, state, ckpt, cfg=cfg, contracted=True
     )
-    q2.awaitTermination(300)
+    _await_done(q2)
     with open(os.path.join(state, "_LATEST.json")) as f:
         assert json.load(f) == latest
 
@@ -550,7 +572,7 @@ def test_retract_compact_vacuum_state(spark, tmp_path):
     state = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt")
     q = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
-    q.awaitTermination(300)
+    _await_done(q)
 
     # retract every conv whose crc32 % 7 == 0 (deterministic, non-empty)
     import zlib
@@ -583,7 +605,7 @@ def test_retract_compact_vacuum_state(spark, tmp_path):
     extra["conv_id"] = "x_" + extra["conv_id"]
     extra.to_parquet(os.path.join(src, "drop_extra.parquet"), index=False)
     q2 = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
-    q2.awaitTermination(300)
+    _await_done(q2)
     with open(os.path.join(state, "_LATEST.json")) as f:
         ptr2 = json.load(f)
     assert ptr2["batch_id"] == 3 and ptr2.get("tombstones"), ptr2
@@ -676,7 +698,7 @@ def test_streaming_canonicalize_null_and_duplicate_turn_idx(spark, tmp_path):
 
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
     q = streaming_canonicalize(spark, src, out, ck, idle_timeout_ms=1)
-    q.awaitTermination(120)
+    _await_done(q)
     time.sleep(0.2)
     # keep the Int32 dtype: a bare `turn_idx=0` assign upcasts to int64
     # and the restarted stream's pinned int32 schema can't read the file
@@ -685,7 +707,7 @@ def test_streaming_canonicalize_null_and_duplicate_turn_idx(spark, tmp_path):
     )
     sentinel.to_parquet(os.path.join(src, "sentinel.parquet"), index=False)
     q2 = streaming_canonicalize(spark, src, out, ck, idle_timeout_ms=1)
-    q2.awaitTermination(120)
+    _await_done(q2)
 
     got = (
         spark.read.parquet(out)
@@ -721,7 +743,7 @@ def test_retract_from_state_refuses_contracted_state(spark, tmp_path):
     q = streaming_incremental_link(
         spark, src, state, str(tmp_path / "ckpt"), cfg=cfg, contracted=True
     )
-    q.awaitTermination(300)
+    _await_done(q)
 
     some_id = sorted(t["conv_id"].unique())[0]
     with pytest.raises(ValueError, match="CONTRACTED"):
@@ -746,7 +768,7 @@ def test_streaming_mode_flip_mid_stream_raises(spark, tmp_path):
     q = streaming_incremental_link(
         spark, src, state, ckpt, cfg=cfg, contracted=True
     )
-    q.awaitTermination(300)
+    _await_done(q)
 
     # new drop arrives; the SAME checkpoint continues batch numbering,
     # but the caller flips the mode
@@ -795,7 +817,7 @@ def test_streaming_canonicalize_merges_state_across_batches(spark, tmp_path):
     q = streaming_canonicalize(
         spark, src, out, ck, idle_timeout_ms=20_000, max_files_per_trigger=1
     )
-    q.awaitTermination(180)
+    _await_done(q)
     time.sleep(21)  # let every conversation's idle timeout expire
 
     sentinel = pd.DataFrame(
@@ -812,7 +834,7 @@ def test_streaming_canonicalize_merges_state_across_batches(spark, tmp_path):
     q2 = streaming_canonicalize(
         spark, src, out, ck, idle_timeout_ms=20_000, max_files_per_trigger=1
     )
-    q2.awaitTermination(180)
+    _await_done(q2)
 
     got = spark.read.parquet(out).toPandas()
     # ONE row per conversation: a premature timeout between micro-batches
@@ -851,7 +873,7 @@ def test_tombstoned_id_never_resurrects(spark, tmp_path):
     state = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt")
     q = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
-    q.awaitTermination(300)
+    _await_done(q)
 
     victim = sorted(t["conv_id"].unique())[0]
     retract_from_state(spark, state, [victim], cfg=cfg)
@@ -867,7 +889,7 @@ def test_tombstoned_id_never_resurrects(spark, tmp_path):
     )
     replay.to_parquet(os.path.join(src, "replay.parquet"), index=False)
     q2 = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
-    q2.awaitTermination(300)
+    _await_done(q2)
 
     with open(os.path.join(state, "_LATEST.json")) as f:
         ptr = json.load(f)
@@ -914,7 +936,7 @@ def test_retract_from_state_edges_mode_and_rescore_fallback(
     state = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt")
     q = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
-    q.awaitTermination(300)
+    _await_done(q)
 
     seen_modes = []
     real_retract = pinc.retract
@@ -949,7 +971,7 @@ def test_retract_from_state_edges_mode_and_rescore_fallback(
     state2 = str(tmp_path / "state2")
     ckpt2 = str(tmp_path / "ckpt2")
     q2 = streaming_incremental_link(spark, src, state2, ckpt2, cfg=cfg)
-    q2.awaitTermination(300)
+    _await_done(q2)
     p2 = os.path.join(state2, "_LATEST.json")
     legacy = _pointer_read(spark, p2)
     legacy.pop("edge_dirs")
