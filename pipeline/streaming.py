@@ -137,6 +137,18 @@ def streaming_canonicalize(
     (``state.exists`` below) as long as the gap between those batches
     stays under the timeout.
 
+    No-data micro-batches are disabled for this query (conf set around
+    ``start()`` below): Spark's ``FlatMapGroupsWithStateExec.
+    shouldRunAnotherBatch`` is unconditionally true under
+    ProcessingTimeTimeout, so with no-data batches enabled an
+    ``availableNow`` run never reaches termination — it spins empty
+    micro-batches forever after the data is drained (observed as
+    hundreds of checkpoint versions and a leaked CPU-burning query per
+    test). With them disabled the one-shot drain terminates after the
+    data batches and expired timers fire on the NEXT pass's batches —
+    the contract documented above and exercised by the sentinel-pass
+    tests.
+
     This is the streaming twin of ``pipeline.canonicalize.canonicalize``;
     the batch path stays authoritative (north rule: resumable batch), but
     a deployment that wants fresh canonical docs within minutes of
@@ -216,14 +228,30 @@ def streaming_canonicalize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
-    return (
-        out.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Set/restore around start(): StreamingQueryManager clones the
+    # session synchronously inside start(), so the cloned stream session
+    # keeps noDataMicroBatches=false for its whole life while the
+    # caller's session is restored before this function returns.
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "false")
+    try:
+        return (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 def _pointer_fs(spark: SparkSession, path_str: str):
