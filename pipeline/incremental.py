@@ -910,3 +910,239 @@ def retract(
                 .where(F.col("members") > 0)
             )
     return out
+
+
+def retract_contracted(
+    existing_rep_feats: DataFrame,
+    existing_clusters: DataFrame,
+    dup_map: DataFrame,
+    remove_ids: DataFrame,
+    cfg: MatchConfig = DEFAULT_CONFIG,
+    match_edges: DataFrame | None = None,
+    existing_keys: DataFrame | None = None,
+    existing_key_counts: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """``retract`` over CONTRACTED committed state (rep-only features) —
+    deletion with REPRESENTATIVE PROMOTION.
+
+    A contracted state stores one feature/key row per exact-duplicate
+    signature class (``linkage.contract_exact_dups``: rep = class-min
+    conv_id) and attaches every collapsed member to its rep through one
+    ``dup_map`` row and one (rep, member) star edge. Deleting a doc from
+    that state has three shapes:
+
+    * a collapsed MEMBER: drop its cluster row, dup row and star edge —
+      members are star leaves, so nothing can split;
+    * a REP whose class has survivors: the class's signature is still in
+      the corpus, so a fresh contracted build over the survivors would
+      elect ``new_rep = min(surviving members)``. The repair PROMOTES
+      that member: the rep's feature and key rows are re-issued under
+      ``new_rep`` (legal because scoring and every blocking key are pure
+      functions of the shared ``(norm_text, roles_sig)`` signature — the
+      ``contract_exact_dups`` interchangeability argument), every
+      committed match edge touching the old rep is endpoint-rewritten to
+      ``new_rep``, and the class's surviving dup rows re-point at it.
+      Connectivity is preserved exactly: the rewritten edge set equals
+      what re-scoring the promoted rep against the same candidates would
+      produce, with ZERO re-scoring;
+    * a REP whose whole class is removed: its edges disappear with it —
+      the entity-bounded CC repair below resolves any split it bridged.
+
+    Labels are then repaired ONLY inside affected entities, exactly like
+    ``retract``: CC over the patched surviving edge subgraph, untouched
+    entities never enter a shuffle. Equality theorem (same cap/anchor
+    scope as ``retract``): the patched graph restricted to survivors IS
+    the fresh contracted-batch match graph over the remaining corpus —
+    scored rep-rep edges survive endpoint rewriting unchanged in truth
+    value, and each class's star re-centers on the new class minimum —
+    so repaired labels equal ``build_contracted_plan`` + CC over the
+    remaining turns (pinned by ``tests/test_retract.py``).
+
+    ``match_edges`` is REQUIRED: rep-only features cannot re-score
+    collapsed members (they have no feature rows), so there is no
+    re-scoring fallback in contracted mode — committed match edges are
+    part of the contracted state's contract (``streaming._link_batch``
+    commits them every batch).
+
+    One documented approximation: a promoted feature row inherits the
+    retracted rep's non-signature provenance columns (``first_ts``,
+    ``n_turns`` is signature-determined, ``first_ts`` is not) — the
+    class's first-seen timestamp, not the promoted member's own. No
+    blocking key, score channel, signature hash or cluster label reads
+    that column, so linkage behavior is bit-identical; a fresh rebuild
+    from raw turns would carry the member's own timestamp.
+
+    Returns dict:
+      ``rep_features`` / ``keys`` / ``key_counts`` — the patched
+      committed state (removed rows dropped, promoted rows added);
+      ``promoted_features`` / ``promoted_keys`` / ``promoted_edges`` /
+      ``promoted_dups`` — the promotion DELTAS alone (what an
+      append-only + tombstone state layout commits,
+      ``streaming.retract_from_state``);
+      ``match_edges`` — the full patched edge table;
+      ``dup_map`` — the patched member->rep table (extra columns, e.g.
+      the streaming layout's ``hit`` flag, pass through);
+      ``promotions`` — (old, new_rep) promotion pairs;
+      ``clusters`` — repaired labels; ``removed``; ``cc_metrics``.
+    """
+    if match_edges is None:
+        raise ValueError(
+            "retract_contracted requires the committed match-edge table: "
+            "rep-only features cannot re-score collapsed members, so "
+            "there is no re-scoring fallback in contracted mode"
+        )
+    removed = F.broadcast(remove_ids.select("conv_id").distinct())
+
+    # --- representative promotion ---------------------------------------
+    # surviving members only; a removed member can never be promoted
+    dup_clean = dup_map.join(removed, "conv_id", "left_anti")
+    promotions = F.broadcast(
+        dup_clean.join(
+            removed.select(F.col("conv_id").alias("rep_id")), "rep_id", "semi"
+        )
+        .groupBy("rep_id")
+        .agg(F.min("conv_id").alias("new_rep"))
+        .select(F.col("rep_id").alias("old"), "new_rep")
+    )
+
+    promoted_feats = (
+        existing_rep_feats.join(
+            promotions, existing_rep_feats["conv_id"] == promotions["old"]
+        )
+        .drop("conv_id", "old")
+        .withColumnRenamed("new_rep", "conv_id")
+        .select(existing_rep_feats.columns)
+    )
+    rep_features = existing_rep_feats.join(
+        removed, "conv_id", "left_anti"
+    ).unionByName(promoted_feats)
+
+    # class survivors re-point at the promoted rep; the promoted member's
+    # own row disappears (it IS the rep now). Extra columns (streaming's
+    # ``hit``) ride along untouched.
+    dup_patched = (
+        dup_clean.join(
+            promotions, dup_clean["rep_id"] == promotions["old"], "left"
+        )
+        .withColumn("rep_id", F.coalesce("new_rep", "rep_id"))
+        .drop("old", "new_rep")
+        .where(F.col("conv_id") != F.col("rep_id"))
+    )
+    promoted_dups = dup_patched.join(
+        promotions.select(F.col("new_rep").alias("rep_id")), "rep_id", "semi"
+    ).select(dup_clean.columns)
+    dup_patched = dup_patched.select(dup_clean.columns)
+
+    # --- edge patch: endpoint-rewrite, then drop removed + self-loops ---
+    rewritten = (
+        match_edges.join(
+            promotions.select(
+                F.col("old").alias("src"), F.col("new_rep").alias("_nsrc")
+            ),
+            "src",
+            "left",
+        )
+        .join(
+            promotions.select(
+                F.col("old").alias("dst"), F.col("new_rep").alias("_ndst")
+            ),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("_nsrc", "src").alias("src"),
+            F.coalesce("_ndst", "dst").alias("dst"),
+            (F.col("_nsrc").isNotNull() | F.col("_ndst").isNotNull()).alias(
+                "_patched"
+            ),
+        )
+    )
+    # rewritten endpoints are survivors by construction, so the removed
+    # anti-joins only ever drop edges touching removed-and-not-promoted
+    # ids; the (old_rep, new_rep) star edge rewrites to a self-loop and
+    # is dropped (the promoted rep needs no edge to itself).
+    edges_patched = (
+        rewritten.join(
+            removed.select(F.col("conv_id").alias("src")), "src", "left_anti"
+        )
+        .join(
+            removed.select(F.col("conv_id").alias("dst")), "dst", "left_anti"
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    promoted_edges = edges_patched.where("_patched").select("src", "dst")
+    edges_patched = edges_patched.select("src", "dst")
+
+    # --- entity-bounded label repair (identical shape to ``retract``) ---
+    affected_ents = F.broadcast(
+        existing_clusters.join(removed, "conv_id", "semi")
+        .select("entity_id")
+        .distinct()
+    )
+    members = existing_clusters.join(affected_ents, "entity_id", "semi")
+    survivors = members.join(removed, "conv_id", "left_anti")
+    survivor_ids = survivors.select("conv_id")
+    # committed edges are entity-internal and promotion stays inside the
+    # entity (new_rep was a member of old_rep's entity), so a src-side
+    # semi-join selects exactly the affected subgraph
+    sub_edges = edges_patched.join(
+        members.select(F.col("conv_id").alias("src")), "src", "semi"
+    )
+    repaired, cc_metrics = connected_components(
+        sub_edges, all_nodes=survivor_ids
+    )
+    clusters = existing_clusters.join(
+        affected_ents, "entity_id", "left_anti"
+    ).unionByName(repaired.select("conv_id", "entity_id"))
+
+    out: dict[str, DataFrame] = {
+        "rep_features": rep_features,
+        "promoted_features": promoted_feats,
+        "promoted_edges": promoted_edges,
+        "promoted_dups": promoted_dups,
+        "match_edges": edges_patched,
+        "dup_map": dup_patched,
+        "promotions": promotions,
+        "clusters": clusters,
+        "removed": removed,
+        "cc_metrics": cc_metrics,
+    }
+    if existing_keys is not None:
+        promoted_keys = (
+            existing_keys.join(
+                promotions, existing_keys["conv_id"] == promotions["old"]
+            )
+            .drop("conv_id", "old")
+            .withColumnRenamed("new_rep", "conv_id")
+            .select(existing_keys.columns)
+        )
+        out["promoted_keys"] = promoted_keys
+        out["keys"] = existing_keys.join(
+            removed, "conv_id", "left_anti"
+        ).unionByName(promoted_keys)
+        if existing_key_counts is not None:
+            # a promoted class's keys are identical under old and new rep
+            # (keys are functions of norm_text), so promotion is
+            # count-neutral; only keys of FULLY-removed classes decrement
+            gone_keys = existing_keys.join(removed, "conv_id", "semi").join(
+                promotions.select(F.col("old").alias("conv_id")),
+                "conv_id",
+                "left_anti",
+            )
+            gone_counts = gone_keys.groupBy("family", "key").agg(
+                F.count(F.lit(1)).alias("_gone")
+            )
+            out["key_counts"] = (
+                existing_key_counts.join(
+                    F.broadcast(gone_counts), ["family", "key"], "left"
+                )
+                .select(
+                    "family",
+                    "key",
+                    (F.col("members") - F.coalesce("_gone", F.lit(0))).alias(
+                        "members"
+                    ),
+                )
+                .where(F.col("members") > 0)
+            )
+    return out

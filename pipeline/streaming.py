@@ -351,6 +351,27 @@ def _load_edges(spark: SparkSession, state: dict):
     return edges
 
 
+def _load_dups(spark: SparkSession, state: dict):
+    """Committed pointer dict -> the union ``(conv_id, rep_id, hit)``
+    collapsed-member table (contracted states), tombstone-filtered on
+    BOTH columns, or None when the state has no dup dirs. The ``rep_id``
+    filter is what makes representative promotion read-consistent: a
+    promoted class's superseded rows point at the tombstoned old rep and
+    vanish at load, leaving only the re-pointed rows the promotion
+    appended (``retract_from_state``)."""
+    dirs = state.get("dup_dirs")
+    if not dirs:
+        return None
+    dups = spark.read.parquet(*dirs)
+    tomb = state.get("tombstones")
+    if tomb:
+        tdf = F.broadcast(spark.read.parquet(tomb).select("conv_id"))
+        dups = dups.join(tdf, "conv_id", "left_anti").join(
+            tdf.withColumnRenamed("conv_id", "rep_id"), "rep_id", "left_anti"
+        )
+    return dups
+
+
 def _link_batch(
     spark: SparkSession, batch_df: DataFrame, batch_id: int,
     state_dir: str, cfg, contracted: bool = False,
@@ -544,9 +565,8 @@ def _link_batch(
         "clusters": ldir,
         # the state's mode is part of its contract: rep-only feature/key
         # state (contracted) must never be consumed by an uncontracted
-        # step or by retract_from_state (which re-scores survivor
-        # features — collapsed members have none and would split into
-        # singletons)
+        # step, and retraction routes by it (_retract_contracted_state's
+        # representative promotion vs retract's survivor re-score)
         "contracted": contracted,
     }
     if dup_dirs:
@@ -713,9 +733,12 @@ def retract_from_state(
     spark: SparkSession, state_dir: str, remove_ids, cfg=None
 ) -> dict:
     """Delete conversations from a committed ``streaming_incremental_link``
-    state (UNCONTRACTED mode) and repair the labeling — the operational
-    form of ``pipeline.incremental.retract`` (right-to-be-forgotten /
-    takedown requests against the continuously-maintained entity state).
+    state and repair the labeling — the operational form of
+    ``pipeline.incremental.retract`` / ``retract_contracted``
+    (right-to-be-forgotten / takedown requests against the
+    continuously-maintained entity state). Both state modes are
+    supported: CONTRACTED states route through representative promotion
+    (``_retract_contracted_state`` below).
 
     Run with the stream STOPPED (maintenance window): the pointer rename
     is atomic, but a concurrently-running increment would commit a
@@ -751,22 +774,13 @@ def retract_from_state(
     state = _pointer_read(spark, latest_path)
     if state is None:
         raise ValueError(f"no committed state at {state_dir}")
-    if state.get("contracted"):
-        # rep-only committed features cannot drive the entity-bounded
-        # re-score: a collapsed exact-dup member of an affected entity
-        # has no feature/key rows, so the repair would silently split it
-        # into a singleton. Retraction over contracted state needs the
-        # dup_assign expansion (rebuild uncontracted, or retract the
-        # whole signature class) — refuse rather than corrupt.
-        raise ValueError(
-            f"state at {state_dir} is CONTRACTED (rep-only features); "
-            "retract_from_state only supports uncontracted state. To "
-            "enumerate a signature class for a class-wide takedown, "
-            "read the committed dup_dirs (conv_id, rep_id, hit) tables"
-        )
     if not isinstance(remove_ids, DataFrame):
         remove_ids = spark.createDataFrame(
             [(str(i),) for i in remove_ids], "conv_id string"
+        )
+    if state.get("contracted"):
+        return _retract_contracted_state(
+            spark, state_dir, latest_path, state, remove_ids, cfg
         )
 
     feats, keys, counts, clusters = _load_state(spark, state)
@@ -809,7 +823,7 @@ def retract_from_state(
         "clusters": ldir,
         "tombstones": tdir,
         "rev": rev,
-        "contracted": False,  # guarded above: uncontracted state only
+        "contracted": False,  # contracted states routed above
     }
     # edge dirs stay append-only: removed ids are tombstone-filtered on
     # both endpoints at load (_load_edges); compact_state reclaims
@@ -817,6 +831,99 @@ def retract_from_state(
         payload["edge_dirs"] = state["edge_dirs"]
     if anchors_dir:
         payload["anchors"] = anchors_dir
+    _pointer_commit(spark, latest_path, payload)
+    return payload
+
+
+def _retract_contracted_state(
+    spark: SparkSession,
+    state_dir: str,
+    latest_path: str,
+    state: dict,
+    remove_ids: DataFrame,
+    cfg,
+) -> dict:
+    """``retract_from_state`` for CONTRACTED (rep-only) states —
+    representative promotion over the committed layout.
+
+    The committed tables stay append-only + tombstoned exactly like an
+    increment commit: the removal set joins the tombstone table (which
+    hides the retracted docs AND every superseded row of a promoted
+    class — old-rep feature/key rows, old-rep-endpoint edges, old-rep
+    dup rows — at load time via ``_load_state`` / ``_load_edges`` /
+    ``_load_dups``), and the promotion DELTAS (the class's rows
+    re-issued under the new rep, ``incremental.retract_contracted``) are
+    appended as one fresh revision-suffixed dir per table. Clusters and
+    key counts are narrow full rewrites, as everywhere else. Crash-safe
+    by the same write-new-dirs-then-rename-pointer protocol; idempotent
+    — a re-run finds the ids already tombstoned, promotes nothing, and
+    commits an identical labeling under a new revision.
+    """
+    import os
+
+    from pipeline.config import DEFAULT_CONFIG
+    from pipeline.incremental import increment_tuning, retract_contracted
+    from pipeline.session import release_caches
+
+    cfg = cfg or DEFAULT_CONFIG
+    match_edges = _load_edges(spark, state)
+    if match_edges is None:
+        raise ValueError(
+            f"contracted state at {state_dir} has no committed edge dirs; "
+            "representative promotion rewrites committed match edges and "
+            "cannot run without them (pre-edges layouts: rebuild the "
+            "state uncontracted)"
+        )
+    feats, keys, counts, clusters = _load_state(spark, state)
+    dups = _load_dups(spark, state)
+    if dups is None:
+        dups = spark.createDataFrame(
+            [], "conv_id string, rep_id string, hit boolean"
+        )
+    rev = int(state.get("rev", 0)) + 1
+    tdir = os.path.join(state_dir, f"tombstones_rev{rev}")
+    cdir = os.path.join(state_dir, f"counts_rev{rev}")
+    ldir = os.path.join(state_dir, f"clusters_rev{rev}")
+    fpdir = os.path.join(state_dir, f"features_prom_rev{rev}")
+    kpdir = os.path.join(state_dir, f"keys_prom_rev{rev}")
+    epdir = os.path.join(state_dir, f"edges_prom_rev{rev}")
+    dpdir = os.path.join(state_dir, f"dups_prom_rev{rev}")
+
+    with increment_tuning(spark):
+        out = retract_contracted(
+            feats, clusters, dups, remove_ids, cfg,
+            match_edges=match_edges,
+            existing_keys=keys, existing_key_counts=counts,
+        )
+        tomb = out["removed"].select("conv_id")
+        if state.get("tombstones"):
+            tomb = tomb.unionByName(
+                spark.read.parquet(state["tombstones"]).select("conv_id")
+            ).distinct()
+        tomb.write.mode("overwrite").parquet(tdir)
+        out["clusters"].write.mode("overwrite").parquet(ldir)
+        out["key_counts"].write.mode("overwrite").parquet(cdir)
+        out["promoted_features"].write.mode("overwrite").parquet(fpdir)
+        out["promoted_keys"].write.mode("overwrite").parquet(kpdir)
+        out["promoted_edges"].write.mode("overwrite").parquet(epdir)
+        out["promoted_dups"].select("conv_id", "rep_id", "hit").write.mode(
+            "overwrite"
+        ).parquet(dpdir)
+    release_caches()
+    payload = {
+        "batch_id": state["batch_id"],
+        "feature_dirs": state["feature_dirs"] + [fpdir],
+        "key_dirs": state["key_dirs"] + [kpdir],
+        "edge_dirs": state["edge_dirs"] + [epdir],
+        "dup_dirs": state.get("dup_dirs", []) + [dpdir],
+        "counts": cdir,
+        "clusters": ldir,
+        "tombstones": tdir,
+        "rev": rev,
+        "contracted": True,
+    }
+    if state.get("anchors"):
+        payload["anchors"] = state["anchors"]
     _pointer_commit(spark, latest_path, payload)
     return payload
 
@@ -865,17 +972,12 @@ def compact_state(spark: SparkSession, state_dir: str) -> dict:
         edir = os.path.join(state_dir, f"edges_compact_rev{rev}")
         edges.write.mode("overwrite").parquet(edir)
         payload["edge_dirs"] = [edir]
-    if state.get("dup_dirs"):
+    # same load-time filter as every dup reader (_load_dups): the rep_id
+    # anti-join must run BEFORE the tombstones are cleared, or a promoted
+    # class's superseded old-rep rows would resurrect
+    dups = _load_dups(spark, state)
+    if dups is not None:
         ddir = os.path.join(state_dir, f"dups_compact_rev{rev}")
-        dups = spark.read.parquet(*state["dup_dirs"])
-        tomb = state.get("tombstones")
-        if tomb:
-            tdf = F.broadcast(spark.read.parquet(tomb).select("conv_id"))
-            dups = dups.join(tdf, "conv_id", "left_anti").join(
-                tdf.withColumnRenamed("conv_id", "rep_id"),
-                "rep_id",
-                "left_anti",
-            )
         dups.write.mode("overwrite").parquet(ddir)
         payload["dup_dirs"] = [ddir]
     if state.get("anchors"):

@@ -729,25 +729,143 @@ def test_streaming_canonicalize_null_and_duplicate_turn_idx(spark, tmp_path):
     assert got[0]["n_turns"] == want["n_turns"]
 
 
-def test_retract_from_state_refuses_contracted_state(spark, tmp_path):
-    """Contracted committed state holds rep-only features: retraction's
-    entity-bounded re-score would silently split collapsed exact-dup
-    members into singletons (round-5 review finding) — it must refuse."""
-    from pipeline.streaming import retract_from_state, streaming_incremental_link
+def test_retract_from_contracted_state_lifecycle(spark, tmp_path):
+    """Retraction over CONTRACTED committed state — representative
+    promotion through the streaming layout: remove a class REP whose
+    signature twins survive (plus a plain member and the rep's class-mate
+    from another angle), assert labels == plain batch over the survivors,
+    then (a) a follow-up streaming increment carrying a twin of the
+    PROMOTED signature still short-circuits — against the NEW rep — and
+    a re-delivery of the removed id stays dead (tombstone permanence),
+    (b) compact + vacuum preserve labels and physically drop the
+    superseded old-rep rows."""
+    import json
+
+    from pipeline.streaming import (
+        _load_dups,
+        _pointer_read,
+        compact_state,
+        retract_from_state,
+        streaming_incremental_link,
+        vacuum_state,
+    )
 
     cfg = _nocap_cfg()
-    corpus = synth.generate(n_base=30, seed=23)
+    corpus = synth.generate(n_base=40, seed=23)
     src = str(tmp_path / "src")
     t = _conv_complete_drops(corpus, src, n_drops=2)
     state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
     q = streaming_incremental_link(
-        spark, src, state, str(tmp_path / "ckpt"), cfg=cfg, contracted=True
+        spark, src, state, ckpt, cfg=cfg, contracted=True
     )
     _await_done(q)
 
-    some_id = sorted(t["conv_id"].unique())[0]
-    with pytest.raises(ValueError, match="CONTRACTED"):
-        retract_from_state(spark, state, [some_id], cfg=cfg)
+    latest = _pointer_read(spark, os.path.join(state, "_LATEST.json"))
+    dups0 = _load_dups(spark, latest).toPandas()
+    assert len(dups0) > 0, "seed 23 must carry collapsed twins"
+    # a rep with >= 1 collapsed member (promotable) and a member of some
+    # class (leaf removal); deterministic picks
+    by_rep = dups0.groupby("rep_id")["conv_id"].apply(list).sort_index()
+    promote_rep = by_rep.index[0]
+    member_victim = sorted(by_rep.iloc[-1])[-1]
+    remove = sorted({promote_rep, member_victim})
+    class_survivors = [c for c in by_rep.iloc[0] if c not in remove]
+    assert class_survivors, "fixture must leave a promotable survivor"
+    expected_new_rep = min(class_survivors)
+
+    payload = retract_from_state(spark, state, remove, cfg=cfg)
+    assert payload["contracted"] is True
+    surv = t[~t["conv_id"].isin(remove)]
+    got = (
+        spark.read.parquet(payload["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _batch_reference(spark, surv, cfg))
+
+    # the promotion is visible in committed state: old rep filtered out
+    # at load, new rep carries the signature, dup rows re-pointed
+    state2 = _pointer_read(spark, os.path.join(state, "_LATEST.json"))
+    from pipeline.streaming import _load_state
+
+    feats2, keys2, _, _ = _load_state(spark, state2)
+    rep_ids = {r["conv_id"] for r in feats2.select("conv_id").collect()}
+    assert promote_rep not in rep_ids and expected_new_rep in rep_ids
+    dups2 = _load_dups(spark, state2).toPandas()
+    assert promote_rep not in set(dups2["rep_id"]) | set(dups2["conv_id"])
+    assert expected_new_rep not in set(dups2["conv_id"])
+
+    # follow-up increment: a twin of the promoted signature (new id,
+    # must short-circuit against the NEW rep) + a verbatim re-delivery
+    # of the removed rep (must stay dead)
+    twin_rows = t[t["conv_id"] == expected_new_rep].copy()
+    twin_rows["conv_id"] = "zz_twin"
+    redelivery = t[t["conv_id"] == promote_rep].copy()
+    inc = pd.concat([twin_rows, redelivery], ignore_index=True)
+    # a two-conv slice can carry an all-null tool column whose parquet
+    # type pyarrow would infer as non-string — pin the turn schema
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    inc_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            inc[[f.name for f in inc_schema]], schema=inc_schema,
+            preserve_index=False,
+        ),
+        os.path.join(src, "part-retract-inc.parquet"),
+    )
+    q2 = streaming_incremental_link(
+        spark, src, state, ckpt, cfg=cfg, contracted=True
+    )
+    _await_done(q2)
+
+    state3 = _pointer_read(spark, os.path.join(state, "_LATEST.json"))
+    surv_plus = pd.concat([surv, twin_rows], ignore_index=True)
+    got3 = (
+        spark.read.parquet(state3["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got3, _batch_reference(spark, surv_plus, cfg))
+    assert promote_rep not in set(got3["conv_id"]), "tombstone permanence"
+    dups3 = _load_dups(spark, state3).toPandas()
+    hit = dups3[dups3["conv_id"] == "zz_twin"]
+    assert hit.to_dict("records") == [
+        {"conv_id": "zz_twin", "rep_id": expected_new_rep, "hit": True}
+    ], "the twin must hit the PROMOTED rep"
+
+    # compact + vacuum: labels unchanged, superseded rows physically gone
+    compact_state(spark, state)
+    vacuum_state(spark, state)
+    state4 = _pointer_read(spark, os.path.join(state, "_LATEST.json"))
+    assert not state4.get("tombstones")
+    got4 = (
+        spark.read.parquet(state4["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got4, got3)
+    feats4 = spark.read.parquet(*state4["feature_dirs"]).toPandas()
+    assert promote_rep not in set(feats4["conv_id"])
+    edges4 = spark.read.parquet(*state4["edge_dirs"]).toPandas()
+    assert promote_rep not in set(edges4["src"]) | set(edges4["dst"])
 
 
 def test_streaming_mode_flip_mid_stream_raises(spark, tmp_path):
