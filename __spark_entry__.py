@@ -1989,6 +1989,35 @@ def q_linkage_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["clusters"]
 
 
+def q_linkage_retract_contracted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decremental ER over CONTRACTED state with representative
+    promotion (round-5 ``pipeline.incremental.retract_contracted``): the
+    corpus is batch-linked contracted (signature classes collapse to
+    reps), then every doc with ``doc_id % 5 == 3`` is retracted — a
+    removed class REP whose twins survive promotes the new class
+    minimum (feature/key rows re-issued, committed edges endpoint-
+    rewritten, ZERO re-scoring); whole-class removals repair
+    entity-bounded. Oracle: the SAME full-batch recursive-CTE CC
+    restricted to remaining ids as ``linkage_retract`` — the driver
+    hash-checks contracted-retract == plain batch over the remainder."""
+    from pipeline.incremental import retract_contracted
+    from pipeline.linkage import build_contracted_plan, cluster_edges
+
+    cfg = _nocap_config()
+    turns = _turns_from_documents(spark, sf_dir)
+    plan = build_contracted_plan(turns, cfg)
+    clusters, _ = cluster_edges(plan["edges"], plan["features"])
+    doomed = F.expr("cast(substring(conv_id, 2) as int) % 5 = 3")
+    remove = plan["features"].where(doomed).select("conv_id")
+    out = retract_contracted(
+        plan["rep_features"], clusters, plan["dup_map"], remove, cfg,
+        match_edges=plan["edges"],
+    )
+    return out["clusters"]
+
+
 def q_linkage_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit-sample seam (round-4 ``run_staged(audit_sample_rate=...)``),
     oracle-checked: the deterministic hash-coin pair sample is scored
@@ -2653,6 +2682,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_linkage": q_incremental_linkage,
         "incremental_linkage_contracted": q_incremental_linkage_contracted,
         "linkage_retract": q_linkage_retract,
+        "linkage_retract_contracted": q_linkage_retract_contracted,
         "linkage_clusters": q_linkage_clusters,
         "linkage_clusters_contracted": q_linkage_clusters_contracted,
         "entity_canonical": q_entity_canonical,
@@ -2728,6 +2758,12 @@ def oracle_sql() -> dict[str, str]:
         # equality proves entity-bounded retraction == batch over the
         # remaining corpus
         "linkage_retract": _linkage_clusters_sql(
+            "docs_nocap", keep=lambda c: not _retract_doomed(c)
+        ),
+        # contracted decremental (representative promotion) vs the same
+        # restricted batch CC: equality proves promotion reconstructs
+        # the survivors' match graph with zero re-scoring
+        "linkage_retract_contracted": _linkage_clusters_sql(
             "docs_nocap", keep=lambda c: not _retract_doomed(c)
         ),
         "linkage_clusters": _linkage_clusters_sql(),
