@@ -868,6 +868,92 @@ def test_retract_from_contracted_state_lifecycle(spark, tmp_path):
     assert promote_rep not in set(edges4["src"]) | set(edges4["dst"])
 
 
+def test_retract_contracted_state_crash_and_idempotent_rerun(
+    spark, tmp_path, monkeypatch
+):
+    """Contracted retraction's crash contract: a crash AFTER the
+    promotion-delta dirs are written but BEFORE the pointer rename
+    leaves the previous committed state fully readable (the rev-suffixed
+    dirs are unreferenced garbage), and simply re-running the retraction
+    completes it — then a THIRD run with the same ids is an idempotent
+    no-op on labels (ids already tombstoned, nothing promotes)."""
+    import pipeline.streaming as streaming_mod
+    from pipeline.streaming import (
+        _load_dups,
+        _pointer_read,
+        retract_from_state,
+        streaming_incremental_link,
+    )
+
+    cfg = _nocap_cfg()
+    corpus = synth.generate(n_base=40, seed=23)
+    src = str(tmp_path / "src")
+    t = _conv_complete_drops(corpus, src, n_drops=2)
+    state = str(tmp_path / "state")
+    q = streaming_incremental_link(
+        spark, src, state, str(tmp_path / "ckpt"), cfg=cfg, contracted=True
+    )
+    _await_done(q)
+    latest0 = _pointer_read(spark, os.path.join(state, "_LATEST.json"))
+    dups0 = _load_dups(spark, latest0).toPandas()
+    promote_rep = sorted(dups0["rep_id"].unique())[0]
+    remove = [promote_rep]
+
+    # CRASH INJECTION: every state dir written, pointer rename never runs
+    real_commit = streaming_mod._pointer_commit
+
+    def _boom(spark_, path, payload):
+        raise RuntimeError("injected crash before pointer rename")
+
+    monkeypatch.setattr(streaming_mod, "_pointer_commit", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        retract_from_state(spark, state, remove, cfg=cfg)
+    monkeypatch.setattr(streaming_mod, "_pointer_commit", real_commit)
+
+    # previous committed state is untouched and fully readable
+    latest_after_crash = _pointer_read(spark, os.path.join(state, "_LATEST.json"))
+    assert latest_after_crash == latest0
+    got_crash = (
+        spark.read.parquet(latest0["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_crash, _batch_reference(spark, t, cfg))
+
+    # re-run completes the retraction (same rev, wholesale overwrite)
+    payload1 = retract_from_state(spark, state, remove, cfg=cfg)
+    surv = t[~t["conv_id"].isin(remove)]
+    want = _batch_reference(spark, surv, cfg)
+    got1 = (
+        spark.read.parquet(payload1["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got1, want)
+
+    # idempotent re-run: already-tombstoned ids promote nothing and
+    # commit an identical labeling under a new revision
+    payload2 = retract_from_state(spark, state, remove, cfg=cfg)
+    assert payload2["rev"] == payload1["rev"] + 1
+    got2 = (
+        spark.read.parquet(payload2["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, got1)
+    assert (
+        spark.read.parquet(
+            payload2["feature_dirs"][-1]
+        ).count() == 0
+    ), "nothing promotes on the idempotent re-run"
+
+
 def test_streaming_mode_flip_mid_stream_raises(spark, tmp_path):
     """A populated state_dir is bound to its contracted mode: continuing
     the same stream with the flag flipped must fail loudly instead of
