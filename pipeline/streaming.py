@@ -113,6 +113,8 @@ def streaming_canonicalize(
     checkpoint_dir: str,
     idle_timeout_ms: int = 300_000,
     max_files_per_trigger: int = 8,
+    continuous: bool = False,
+    trigger_interval: str = "10 seconds",
 ):
     """Custom stateful streaming canonicalization via
     ``applyInPandasWithState``: turns arrive in any order across
@@ -137,22 +139,33 @@ def streaming_canonicalize(
     (``state.exists`` below) as long as the gap between those batches
     stays under the timeout.
 
-    No-data micro-batches are disabled for this query (conf set around
-    ``start()`` below): Spark's ``FlatMapGroupsWithStateExec.
-    shouldRunAnotherBatch`` is unconditionally true under
-    ProcessingTimeTimeout, so with no-data batches enabled an
-    ``availableNow`` run never reaches termination — it spins empty
-    micro-batches forever after the data is drained (observed as
-    hundreds of checkpoint versions and a leaked CPU-burning query per
-    test). With them disabled the one-shot drain terminates after the
-    data batches and expired timers fire on the NEXT pass's batches —
-    the contract documented above and exercised by the sentinel-pass
-    tests.
+    Two deployment modes, because the no-data-micro-batch conf cuts BOTH
+    ways (round-5 review):
+
+    - ``continuous=False`` (default, the test/drain shape): one-shot
+      ``availableNow`` pass with no-data micro-batches DISABLED for this
+      query. Spark's ``FlatMapGroupsWithStateExec.shouldRunAnotherBatch``
+      is unconditionally true under ProcessingTimeTimeout, so with
+      no-data batches enabled an ``availableNow`` run never reaches
+      termination — it spins empty micro-batches forever after the data
+      is drained (observed as hundreds of checkpoint versions and a
+      leaked CPU-burning query per test). Disabled, the drain terminates
+      after the data batches; expired timers fire on the NEXT pass's
+      batches (the sentinel-pass tests).
+    - ``continuous=True`` (the production tail-the-bronze-stream shape):
+      processing-time trigger every ``trigger_interval`` with no-data
+      micro-batches LEFT ENABLED — an idle source still runs empty
+      micro-batches, so ``idle_timeout_ms`` timers flush the last
+      conversations without waiting for more data. Disabling the conf
+      here would withhold the final documents of a quiet stream
+      indefinitely; termination is not wanted in this mode, so the
+      spin that breaks availableNow is exactly the behavior that makes
+      the timeout contract hold.
 
     This is the streaming twin of ``pipeline.canonicalize.canonicalize``;
     the batch path stays authoritative (north rule: resumable batch), but
     a deployment that wants fresh canonical docs within minutes of
-    arrival runs this against the bronze stream.
+    arrival runs this against the bronze stream with ``continuous=True``.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -228,10 +241,21 @@ def streaming_canonicalize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
-    # Set/restore around start(): StreamingQueryManager clones the
-    # session synchronously inside start(), so the cloned stream session
-    # keeps noDataMicroBatches=false for its whole life while the
-    # caller's session is restored before this function returns.
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if continuous:
+        # no-data micro-batches stay at the session default (enabled):
+        # they are what fires idle-timeout flushes on a quiet source
+        return writer.trigger(processingTime=trigger_interval).start()
+    # One-shot drain: set/restore around start(). StreamingQueryManager
+    # clones the session synchronously inside start(), so the cloned
+    # stream session keeps noDataMicroBatches=false for its whole life
+    # while the caller's session is restored before this function
+    # returns — scoped to THIS mode only (see docstring).
     conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     try:
         prev = spark.conf.get(conf_key)
@@ -239,14 +263,7 @@ def streaming_canonicalize(
         prev = None
     spark.conf.set(conf_key, "false")
     try:
-        return (
-            out.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        return writer.trigger(availableNow=True).start()
     finally:
         if prev is None:
             spark.conf.unset(conf_key)
@@ -767,7 +784,6 @@ def retract_from_state(
 
     from pipeline.config import DEFAULT_CONFIG
     from pipeline.incremental import increment_tuning, retract
-    from pipeline.session import release_caches
 
     cfg = cfg or DEFAULT_CONFIG
     latest_path = os.path.join(state_dir, "_LATEST.json")
@@ -784,10 +800,6 @@ def retract_from_state(
         )
 
     feats, keys, counts, clusters = _load_state(spark, state)
-    rev = int(state.get("rev", 0)) + 1
-    tdir = os.path.join(state_dir, f"tombstones_rev{rev}")
-    cdir = os.path.join(state_dir, f"counts_rev{rev}")
-    ldir = os.path.join(state_dir, f"clusters_rev{rev}")
 
     anchors_dir = state.get("anchors")
     adf = spark.read.parquet(anchors_dir) if anchors_dir else None
@@ -804,33 +816,75 @@ def retract_from_state(
             match_edges=match_edges,
             existing_keys=keys, existing_key_counts=counts,
         )
-        # tombstones accumulate until compaction; clusters/counts are
-        # narrow full rewrites (same cadence the stream itself pays)
-        tomb = out["removed"].select("conv_id")
-        if state.get("tombstones"):
-            tomb = tomb.unionByName(
-                spark.read.parquet(state["tombstones"]).select("conv_id")
-            ).distinct()
-        tomb.write.mode("overwrite").parquet(tdir)
-        out["clusters"].write.mode("overwrite").parquet(ldir)
-        out["key_counts"].write.mode("overwrite").parquet(cdir)
-    release_caches()
+        return _commit_retraction(
+            spark, state_dir, latest_path, state, out, contracted=False
+        )
+
+
+def _commit_retraction(
+    spark: SparkSession,
+    state_dir: str,
+    latest_path: str,
+    state: dict,
+    out: dict,
+    *,
+    contracted: bool,
+    promoted=(),
+) -> dict:
+    """Shared commit tail for BOTH retraction modes — the crash/commit
+    protocol lives here and only here (round-5 review: the contracted
+    path had copied this sequence and the two copies had already started
+    to drift). Call inside ``increment_tuning``.
+
+    Tombstones accumulate (union with the committed table) until
+    compaction; clusters/key counts are narrow full rewrites — the same
+    cadence the stream itself pays. ``promoted`` is a sequence of
+    ``(df, dir_suffix, payload_dirs_key)`` promotion deltas (contracted
+    mode): each is written to ``{dir_suffix}_rev{rev}`` and APPENDED to
+    the payload's dir list, keeping the corpus-sized tables append-only.
+    Everything lands under a fresh revision suffix; the pointer renames
+    last, so a crash anywhere before that leaves the previous committed
+    state fully readable.
+    """
+    import os
+
+    from pipeline.session import release_caches
+
+    rev = int(state.get("rev", 0)) + 1
+    tdir = os.path.join(state_dir, f"tombstones_rev{rev}")
+    cdir = os.path.join(state_dir, f"counts_rev{rev}")
+    ldir = os.path.join(state_dir, f"clusters_rev{rev}")
+    tomb = out["removed"].select("conv_id")
+    if state.get("tombstones"):
+        tomb = tomb.unionByName(
+            spark.read.parquet(state["tombstones"]).select("conv_id")
+        ).distinct()
+    tomb.write.mode("overwrite").parquet(tdir)
+    out["clusters"].write.mode("overwrite").parquet(ldir)
+    out["key_counts"].write.mode("overwrite").parquet(cdir)
     payload = {
         "batch_id": state["batch_id"],
-        "feature_dirs": state["feature_dirs"],
-        "key_dirs": state["key_dirs"],
+        "feature_dirs": list(state["feature_dirs"]),
+        "key_dirs": list(state["key_dirs"]),
         "counts": cdir,
         "clusters": ldir,
         "tombstones": tdir,
         "rev": rev,
-        "contracted": False,  # contracted states routed above
+        "contracted": contracted,
     }
-    # edge dirs stay append-only: removed ids are tombstone-filtered on
-    # both endpoints at load (_load_edges); compact_state reclaims
+    # edge/dup dirs stay append-only: removed ids are tombstone-filtered
+    # at load (_load_edges / _load_dups); compact_state reclaims
     if state.get("edge_dirs"):
-        payload["edge_dirs"] = state["edge_dirs"]
-    if anchors_dir:
-        payload["anchors"] = anchors_dir
+        payload["edge_dirs"] = list(state["edge_dirs"])
+    if state.get("dup_dirs"):
+        payload["dup_dirs"] = list(state["dup_dirs"])
+    for df, suffix, dirs_key in promoted:
+        pdir = os.path.join(state_dir, f"{suffix}_rev{rev}")
+        df.write.mode("overwrite").parquet(pdir)
+        payload[dirs_key] = payload.get(dirs_key, []) + [pdir]
+    if state.get("anchors"):
+        payload["anchors"] = state["anchors"]
+    release_caches()
     _pointer_commit(spark, latest_path, payload)
     return payload
 
@@ -855,15 +909,12 @@ def _retract_contracted_state(
     re-issued under the new rep, ``incremental.retract_contracted``) are
     appended as one fresh revision-suffixed dir per table. Clusters and
     key counts are narrow full rewrites, as everywhere else. Crash-safe
-    by the same write-new-dirs-then-rename-pointer protocol; idempotent
-    — a re-run finds the ids already tombstoned, promotes nothing, and
-    commits an identical labeling under a new revision.
+    and idempotent via the shared ``_commit_retraction`` tail — a re-run
+    finds the ids already tombstoned, promotes nothing, and commits an
+    identical labeling under a new revision.
     """
-    import os
-
     from pipeline.config import DEFAULT_CONFIG
     from pipeline.incremental import increment_tuning, retract_contracted
-    from pipeline.session import release_caches
 
     cfg = cfg or DEFAULT_CONFIG
     match_edges = _load_edges(spark, state)
@@ -880,52 +931,25 @@ def _retract_contracted_state(
         dups = spark.createDataFrame(
             [], "conv_id string, rep_id string, hit boolean"
         )
-    rev = int(state.get("rev", 0)) + 1
-    tdir = os.path.join(state_dir, f"tombstones_rev{rev}")
-    cdir = os.path.join(state_dir, f"counts_rev{rev}")
-    ldir = os.path.join(state_dir, f"clusters_rev{rev}")
-    fpdir = os.path.join(state_dir, f"features_prom_rev{rev}")
-    kpdir = os.path.join(state_dir, f"keys_prom_rev{rev}")
-    epdir = os.path.join(state_dir, f"edges_prom_rev{rev}")
-    dpdir = os.path.join(state_dir, f"dups_prom_rev{rev}")
-
     with increment_tuning(spark):
         out = retract_contracted(
             feats, clusters, dups, remove_ids, cfg,
             match_edges=match_edges,
             existing_keys=keys, existing_key_counts=counts,
         )
-        tomb = out["removed"].select("conv_id")
-        if state.get("tombstones"):
-            tomb = tomb.unionByName(
-                spark.read.parquet(state["tombstones"]).select("conv_id")
-            ).distinct()
-        tomb.write.mode("overwrite").parquet(tdir)
-        out["clusters"].write.mode("overwrite").parquet(ldir)
-        out["key_counts"].write.mode("overwrite").parquet(cdir)
-        out["promoted_features"].write.mode("overwrite").parquet(fpdir)
-        out["promoted_keys"].write.mode("overwrite").parquet(kpdir)
-        out["promoted_edges"].write.mode("overwrite").parquet(epdir)
-        out["promoted_dups"].select("conv_id", "rep_id", "hit").write.mode(
-            "overwrite"
-        ).parquet(dpdir)
-    release_caches()
-    payload = {
-        "batch_id": state["batch_id"],
-        "feature_dirs": state["feature_dirs"] + [fpdir],
-        "key_dirs": state["key_dirs"] + [kpdir],
-        "edge_dirs": state["edge_dirs"] + [epdir],
-        "dup_dirs": state.get("dup_dirs", []) + [dpdir],
-        "counts": cdir,
-        "clusters": ldir,
-        "tombstones": tdir,
-        "rev": rev,
-        "contracted": True,
-    }
-    if state.get("anchors"):
-        payload["anchors"] = state["anchors"]
-    _pointer_commit(spark, latest_path, payload)
-    return payload
+        return _commit_retraction(
+            spark, state_dir, latest_path, state, out, contracted=True,
+            promoted=(
+                (out["promoted_features"], "features_prom", "feature_dirs"),
+                (out["promoted_keys"], "keys_prom", "key_dirs"),
+                (out["promoted_edges"], "edges_prom", "edge_dirs"),
+                (
+                    out["promoted_dups"].select("conv_id", "rep_id", "hit"),
+                    "dups_prom",
+                    "dup_dirs",
+                ),
+            ),
+        )
 
 
 def compact_state(spark: SparkSession, state_dir: str) -> dict:

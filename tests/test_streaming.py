@@ -144,6 +144,68 @@ def test_streaming_canonicalize_stateful(spark, tmp_path):
         assert got.loc[cid, "roles_sig"] == want.loc[cid, "roles_sig"]
 
 
+def test_streaming_canonicalize_continuous_flushes_idle_source(
+    spark, tmp_path
+):
+    """continuous=True (processing-time trigger, no-data micro-batches
+    left ENABLED): after the only data the source will ever see is
+    ingested, the idle-timeout timers must still fire — on empty
+    micro-batches — and emit every conversation WITHOUT a sentinel file
+    or a second pass. This is the round-5 review's latent bug made a
+    contract: baking noDataMicroBatches=false into the continuous query
+    would withhold the final documents of a quiet stream forever."""
+    import glob
+    import time
+
+    from pipeline.streaming import streaming_canonicalize
+
+    corpus = synth.generate(n_base=8, seed=29)
+    src = str(tmp_path / "src")
+    _write_turn_files(corpus, src, n_files=2)
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = streaming_canonicalize(
+        spark, src, out, ck,
+        idle_timeout_ms=1,
+        continuous=True,
+        trigger_interval="1 second",
+    )
+    try:
+        from pipeline.oracle import canonicalize_pd
+        from pipeline.streaming import CANON_OUT_SCHEMA
+
+        want = canonicalize_pd(corpus.turns).set_index("conv_id")
+        deadline = time.time() + 300
+        got = None
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if glob.glob(os.path.join(out, "*.parquet")):
+                # explicit schema: the sink's first committed files can
+                # be zero-row, which breaks parquet schema inference
+                got = (
+                    spark.read.schema(CANON_OUT_SCHEMA)
+                    .parquet(out)
+                    .toPandas()
+                )
+                if set(want.index) <= set(got["conv_id"]):
+                    break
+            time.sleep(1.0)
+        assert got is not None and set(want.index) <= set(got["conv_id"]), (
+            "idle-source flush never happened: continuous mode is not "
+            "running no-data micro-batches"
+        )
+        got = got.set_index("conv_id")
+        for cid in want.index:
+            assert (
+                got.loc[cid, "canonical_text"]
+                == want.loc[cid, "canonical_text"]
+            )
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+
 def test_arrival_stats_windowed(spark, tmp_path):
     corpus = synth.generate(n_base=15, seed=21)
     src = str(tmp_path / "src")
@@ -337,13 +399,10 @@ def test_streaming_link_anchors_on_matches_frozen_batch(
     want = _batch_reference(spark, t, cfg, anchor_df=adf)
     pd.testing.assert_frame_equal(got, want)
 
-    if contracted:
-        # retract_from_state is documented UNCONTRACTED-only (rep-row
-        # state needs member-aware retraction) — the retraction leg of
-        # this test only runs on the uncontracted state
-        return
-
-    # retraction repairs against the SAME frozen snapshot
+    # retraction repairs against the SAME frozen snapshot — in BOTH
+    # modes: contracted states route through representative promotion
+    # (_retract_contracted_state), which must also consume the committed
+    # class-weighted anchor snapshot, not df recomputed over survivors
     import zlib
 
     doomed = sorted(
@@ -739,8 +798,6 @@ def test_retract_from_contracted_state_lifecycle(spark, tmp_path):
     a re-delivery of the removed id stays dead (tombstone permanence),
     (b) compact + vacuum preserve labels and physically drop the
     superseded old-rep rows."""
-    import json
-
     from pipeline.streaming import (
         _load_dups,
         _pointer_read,
