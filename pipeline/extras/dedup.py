@@ -473,9 +473,16 @@ def minhash_lsh_pairs(
     )
     if star is not None:
         raw_pairs = raw_pairs.unionByName(star)
-    cand, pair_audit = _bucket_pair_cap(
-        raw_pairs, ["band_key"], pairs_per_bucket_cap, return_audit=True
-    )
+    # the pair audit (and the flagged-table cache that makes it cheap to
+    # share) is built ONLY when the caller consumes it — materializing a
+    # cache for a discarded audit was measurable dead weight on the
+    # audit-less path (round-5 bench A/B)
+    if return_pair_audit:
+        cand, pair_audit = _bucket_pair_cap(
+            raw_pairs, ["band_key"], pairs_per_bucket_cap, return_audit=True
+        )
+    else:
+        cand = _bucket_pair_cap(raw_pairs, ["band_key"], pairs_per_bucket_cap)
     cand = track_cache(cand.dropDuplicates(["doc_id_a", "doc_id_b"]))
     # verify on HASHED shingle sets: same Jaccard (60-bit collisions are
     # ~|S|^2/2^60 per pair — negligible), but long arrays shuffle ~2x
@@ -646,10 +653,17 @@ def simhash_dedup_pairs(
             .select("table", "block", "doc_id_a", "doc_id_b", "_ha", "_hb")
         )
         raw_pairs = raw_pairs.unionByName(star)
-    cand, pair_audit = _bucket_pair_cap(
-        raw_pairs, ["table", "block"], pairs_per_bucket_cap,
-        return_audit=True,
-    )
+    # same audit-on-demand rule as minhash_lsh_pairs: no flagged-table
+    # cache materialization when the pair audit is never consumed
+    if return_pair_audit:
+        cand, pair_audit = _bucket_pair_cap(
+            raw_pairs, ["table", "block"], pairs_per_bucket_cap,
+            return_audit=True,
+        )
+    else:
+        cand = _bucket_pair_cap(
+            raw_pairs, ["table", "block"], pairs_per_bucket_cap
+        )
     cand = cand.dropDuplicates(["doc_id_a", "doc_id_b"])
     out = (
         cand.withColumn(
