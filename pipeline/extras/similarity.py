@@ -158,7 +158,13 @@ def with_lsh_buckets(
     EVERY mismatched row to bucket 0 of every table — collapsing the
     corpus into one hot bucket whose cap then returns a near-arbitrary
     sample with no audit signal (round-5 review, confirmed by
-    execution). assert_true keeps the check codegen'd and row-level."""
+    execution). assert_true keeps the check codegen'd and row-level.
+    The checked vector is projected ONCE into a temp column and every
+    sign reads that column: embedding the when/assert subtree into each
+    of the n_tables*n_bits sign expressions duplicated the check dozens
+    of times per row in the generated projection (round-5 review;
+    CollapseProject keeps a non-cheap multiply-referenced expression in
+    its own project, so the single evaluation survives optimization)."""
     checked = F.when(
         F.assert_true(
             F.size(F.col(vec_col)) == n_dims,
@@ -173,17 +179,18 @@ def with_lsh_buckets(
         ).isNull(),
         F.col(vec_col),
     )
-    out = vectors
+    tmp = f"__{vec_col}_checked"
+    out = vectors.withColumn(tmp, checked)
     for t in range(n_tables):
         bits = [
-            _hyperplane_sign(checked, n_dims, b, t, hash_impl)
+            _hyperplane_sign(F.col(tmp), n_dims, b, t, hash_impl)
             for b in range(n_bits)
         ]
         key = F.lit(0)
         for b, bit in enumerate(bits):
             key = key + bit * F.lit(2 ** b)
         out = out.withColumn(f"bucket_{t}", key)
-    return out
+    return out.drop(tmp)
 
 
 def lsh_topk(

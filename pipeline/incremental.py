@@ -832,7 +832,20 @@ def retract(
             "(token, df) snapshot as anchor_df (blocking.token_df), "
             "or disable the family (anchor_max_df < 2)"
         )
-    removed = F.broadcast(remove_ids.select("conv_id").distinct())
+    # RESOLVE the request against committed membership: clusters cover
+    # every committed doc, so ids never ingested drop out here. Without
+    # this, an unknown id (takedown racing ahead of ingestion, or a
+    # typo) would be tombstoned verbatim and the streaming surface's
+    # tombstone-permanence filter (_link_batch) would then silently
+    # blackhole its future FIRST-EVER arrival (round-5 review). The
+    # unmatched remainder is returned for auditing, never tombstoned.
+    requested = F.broadcast(remove_ids.select("conv_id").distinct())
+    removed = F.broadcast(
+        requested.join(existing_clusters.select("conv_id"), "conv_id", "semi")
+    )
+    unmatched = requested.join(
+        existing_clusters.select("conv_id"), "conv_id", "left_anti"
+    )
 
     affected_ents = F.broadcast(
         existing_clusters.join(removed, "conv_id", "semi")
@@ -876,6 +889,7 @@ def retract(
         "features": existing_feats.join(removed, "conv_id", "left_anti"),
         "clusters": clusters,
         "removed": removed,
+        "unmatched": unmatched,
         "cc_metrics": cc_metrics,
     }
     if rescored is not None:
@@ -991,7 +1005,20 @@ def retract_contracted(
             "rep-only features cannot re-score collapsed members, so "
             "there is no re-scoring fallback in contracted mode"
         )
-    removed = F.broadcast(remove_ids.select("conv_id").distinct())
+    # RESOLVE the request against committed membership: clusters cover
+    # every committed doc, so ids never ingested drop out here. Without
+    # this, an unknown id (takedown racing ahead of ingestion, or a
+    # typo) would be tombstoned verbatim and the streaming surface's
+    # tombstone-permanence filter (_link_batch) would then silently
+    # blackhole its future FIRST-EVER arrival (round-5 review). The
+    # unmatched remainder is returned for auditing, never tombstoned.
+    requested = F.broadcast(remove_ids.select("conv_id").distinct())
+    removed = F.broadcast(
+        requested.join(existing_clusters.select("conv_id"), "conv_id", "semi")
+    )
+    unmatched = requested.join(
+        existing_clusters.select("conv_id"), "conv_id", "left_anti"
+    )
 
     # --- representative promotion ---------------------------------------
     # surviving members only; a removed member can never be promoted
@@ -1105,6 +1132,7 @@ def retract_contracted(
         "promotions": promotions,
         "clusters": clusters,
         "removed": removed,
+        "unmatched": unmatched,
         "cc_metrics": cc_metrics,
     }
     if existing_keys is not None:

@@ -519,6 +519,22 @@ def _link_batch(
     else:
         from pipeline.incremental import increment_tuning
 
+        # a committed state WITHOUT edge dirs predates the match-edge
+        # layout. Appending this batch's edges would commit edge_dirs
+        # holding ONLY post-upgrade batches — retract_from_state would
+        # then see a non-empty edge table and run its zero-rescore
+        # repair over a graph missing every pre-upgrade match edge,
+        # silently splitting old entities (round-5 review). Uncontracted
+        # states stay pre-edges (retraction keeps the rescore
+        # fallback); contracted states REQUIRE the complete layout.
+        has_edges = bool(state.get("edge_dirs"))
+        if contracted and (not has_edges or not state.get("dup_dirs")):
+            raise ValueError(
+                f"contracted state at {state_dir} is missing committed "
+                "edge/dup dirs; representative promotion and the exact-"
+                "dup short-circuit need the complete layout — rebuild "
+                "the state (bootstrap commits both)"
+            )
         feats, keys, counts, clusters0 = _load_state(spark, state)
         anchors_dir = state.get("anchors")
         adf = spark.read.parquet(anchors_dir) if anchors_dir else None
@@ -564,10 +580,13 @@ def _link_batch(
                     )
                 )
                 out["dup_assign"].write.mode("overwrite").parquet(ddir)
-            new_edges.write.mode("overwrite").parquet(edir)
+            if has_edges:
+                new_edges.write.mode("overwrite").parquet(edir)
         feature_dirs = state["feature_dirs"] + [fdir]
         key_dirs = state["key_dirs"] + [kdir]
-        edge_dirs = state.get("edge_dirs", []) + [edir]
+        # pre-edges states stay pre-edges (see the guard above): never
+        # start an edge list that would shadow the rescore fallback
+        edge_dirs = state["edge_dirs"] + [edir] if has_edges else []
         dup_dirs = (
             state.get("dup_dirs", []) + [ddir] if contracted else
             state.get("dup_dirs", [])
@@ -884,6 +903,13 @@ def _commit_retraction(
         payload[dirs_key] = payload.get(dirs_key, []) + [pdir]
     if state.get("anchors"):
         payload["anchors"] = state["anchors"]
+    # never-silent: requested ids that matched no committed doc are NOT
+    # tombstoned (they would blackhole a future first ingestion) — they
+    # are counted into the committed pointer so the no-op is auditable
+    if out.get("unmatched") is not None:
+        n_unmatched = out["unmatched"].count()
+        if n_unmatched:
+            payload["unmatched_removed"] = n_unmatched
     release_caches()
     _pointer_commit(spark, latest_path, payload)
     return payload
@@ -913,10 +939,9 @@ def _retract_contracted_state(
     finds the ids already tombstoned, promotes nothing, and commits an
     identical labeling under a new revision.
     """
-    from pipeline.config import DEFAULT_CONFIG
     from pipeline.incremental import increment_tuning, retract_contracted
 
-    cfg = cfg or DEFAULT_CONFIG
+    # cfg is already defaulted by the only caller (retract_from_state)
     match_edges = _load_edges(spark, state)
     if match_edges is None:
         raise ValueError(

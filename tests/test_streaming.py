@@ -1246,3 +1246,141 @@ def test_retract_from_state_edges_mode_and_rescore_fallback(
         .toPandas().sort_values("conv_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got2, want)
+
+
+def test_pre_edges_state_increment_keeps_rescore_fallback(spark, tmp_path):
+    """An increment over a PRE-EDGES committed state (edge_dirs absent —
+    the layout older deployments committed) must NOT start an edge list:
+    edge_dirs holding only post-upgrade batches would flip
+    retract_from_state into its zero-rescore mode over a match graph
+    missing every pre-upgrade edge, silently splitting old entities
+    (round-5 review). The state stays pre-edges and retraction takes the
+    rescore fallback, repairing to the exact batch reference."""
+    import json
+
+    import pipeline.incremental as pinc
+    from pipeline.streaming import (
+        _pointer_commit,
+        _pointer_read,
+        retract_from_state,
+        streaming_incremental_link,
+    )
+
+    cfg = _nocap_cfg()
+    corpus = synth.generate(n_base=30, seed=61)
+    src = str(tmp_path / "src")
+    t = _conv_complete_drops(corpus, src, n_drops=2)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
+    _await_done(q)
+
+    # simulate the pre-edges layout: strip edge_dirs from the pointer
+    p = os.path.join(state, "_LATEST.json")
+    legacy = _pointer_read(spark, p)
+    legacy.pop("edge_dirs")
+    _pointer_commit(spark, p, legacy)
+
+    # a NEW increment arrives post-upgrade
+    fresh = synth.generate(n_base=8, seed=62).turns.assign(
+        ts=lambda d: d["ts"].astype("datetime64[us]")
+    )
+    fresh["conv_id"] = "fresh_" + fresh["conv_id"]
+    fresh.to_parquet(os.path.join(src, "fresh.parquet"), index=False)
+    q2 = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
+    _await_done(q2)
+
+    ptr = _pointer_read(spark, p)
+    assert not ptr.get("edge_dirs"), (
+        "post-upgrade increment must not seed a partial edge list on a "
+        f"pre-edges state: {ptr.get('edge_dirs')}"
+    )
+    # the fresh convs linked normally
+    clusters = spark.read.parquet(ptr["clusters"])
+    assert (
+        clusters.where(F.col("conv_id").startswith("fresh_")).count()
+        == fresh["conv_id"].nunique()
+    )
+
+    # retraction on the upgraded-but-pre-edges state: rescore fallback,
+    # labels == batch over the remaining corpus (no silent split)
+    seen_modes = []
+    real_retract = pinc.retract
+    orig = pinc.retract
+
+    def spy(*args, **kwargs):
+        seen_modes.append(kwargs.get("match_edges") is not None)
+        return real_retract(*args, **kwargs)
+
+    pinc.retract = spy
+    try:
+        doomed = sorted(t["conv_id"].unique())[:3]
+        ptr2 = retract_from_state(spark, state, doomed, cfg=cfg)
+    finally:
+        pinc.retract = orig
+    assert seen_modes == [False], "pre-edges state must take the rescore mode"
+    all_t = pd.concat([t, fresh], ignore_index=True)
+    want = _batch_reference(spark, all_t[~all_t["conv_id"].isin(doomed)], cfg)
+    got = (
+        spark.read.parquet(ptr2["clusters"])
+        .select("conv_id", "entity_id")
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_retract_unknown_id_is_not_tombstoned(spark, tmp_path):
+    """A takedown request naming an id that was never ingested (racing
+    ahead of ingestion, or a typo) must be a RECORDED no-op, not a
+    tombstone: tombstones are permanent in _link_batch, so tombstoning
+    the unknown id would silently blackhole its future first-ever
+    arrival (round-5 review). The unmatched id is counted into the
+    committed pointer and the conversation still links when its turns
+    eventually arrive."""
+    from pipeline.streaming import (
+        _pointer_read,
+        retract_from_state,
+        streaming_incremental_link,
+    )
+
+    cfg = _nocap_cfg()
+    corpus = synth.generate(n_base=25, seed=67)
+    src = str(tmp_path / "src")
+    t = _conv_complete_drops(corpus, src, n_drops=2)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
+    _await_done(q)
+
+    victim = sorted(t["conv_id"].unique())[0]
+    # the ghost's turns exist upstream but have NOT been ingested yet
+    ghost = synth.generate(n_base=4, seed=68).turns.assign(
+        ts=lambda d: d["ts"].astype("datetime64[us]")
+    )
+    ghost["conv_id"] = "ghost_" + ghost["conv_id"]
+    ghost_ids = sorted(ghost["conv_id"].unique())
+
+    ptr = retract_from_state(
+        spark, state, [victim, ghost_ids[0]], cfg=cfg
+    )
+    tomb = set(
+        spark.read.parquet(ptr["tombstones"]).toPandas()["conv_id"]
+    )
+    assert victim in tomb, "the committed id must be tombstoned"
+    assert ghost_ids[0] not in tomb, (
+        "an id never ingested must NOT be tombstoned"
+    )
+    assert ptr.get("unmatched_removed") == 1, ptr.get("unmatched_removed")
+
+    # the ghost's turns now arrive for the FIRST time: they must link
+    ghost.to_parquet(os.path.join(src, "ghost.parquet"), index=False)
+    q2 = streaming_incremental_link(spark, src, state, ckpt, cfg=cfg)
+    _await_done(q2)
+    ptr2 = _pointer_read(spark, os.path.join(state, "_LATEST.json"))
+    clusters = spark.read.parquet(ptr2["clusters"])
+    assert (
+        clusters.where(F.col("conv_id").startswith("ghost_")).count()
+        == len(ghost_ids)
+    ), "first-ever arrival of a previously-unmatched id was blackholed"
+    # the victim stays deleted
+    assert clusters.where(F.col("conv_id") == victim).count() == 0
