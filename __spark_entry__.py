@@ -2360,12 +2360,12 @@ stats as (select
         as n_pred_entities,
     cast(sum(case when rn_t = 1 then 1 else 0 end) as bigint)
         as n_truth_entities,
-    cast(sum(cast(n_pt * (n_pt - 1) / 2 as bigint)) as bigint) as pair_tp,
+    cast(sum(case when n_pt % 2 = 0 then (n_pt // 2) * (n_pt - 1) else n_pt * ((n_pt - 1) // 2) end) as bigint) as pair_tp,
     cast(sum(case when rn_p = 1
-             then cast(n_p * (n_p - 1) / 2 as bigint) else 0 end) as bigint)
+             then case when n_p % 2 = 0 then (n_p // 2) * (n_p - 1) else n_p * ((n_p - 1) // 2) end else 0 end) as bigint)
         as pair_pred,
     cast(sum(case when rn_t = 1
-             then cast(n_t * (n_t - 1) / 2 as bigint) else 0 end) as bigint)
+             then case when n_t % 2 = 0 then (n_t // 2) * (n_t - 1) else n_t * ((n_t - 1) // 2) end else 0 end) as bigint)
         as pair_truth,
     cast(sum(cast(round(n_pt * n_pt * 1000000000.0 / n_p) as bigint))
         as bigint) as bp_nano,
@@ -2543,7 +2543,7 @@ cand_stats as (select
   from cj),
 truth_stats as (select
     cast(sum(n) as bigint) as n_docs,
-    cast(sum(n * (n - 1) / 2) as bigint) as n_truth_pairs
+    cast(sum(case when n % 2 = 0 then (n // 2) * (n - 1) else n * ((n - 1) // 2) end) as bigint) as n_truth_pairs
   from (select count(*) as n from labels group by entity_id))
 select n_docs, n_candidate_pairs, n_true_candidates, n_truth_pairs,
   case when n_truth_pairs = 0 then cast(1000000 as bigint)
@@ -2551,7 +2551,7 @@ select n_docs, n_candidate_pairs, n_true_candidates, n_truth_pairs,
             as bigint) end as pairs_completeness_x1e6,
   case when n_docs < 2 then cast(1000000 as bigint)
        else cast(round((1.0 - n_candidate_pairs
-            / (n_docs * (n_docs - 1) / 2)) * 1000000.0) as bigint) end
+            / (case when n_docs % 2 = 0 then (n_docs // 2) * (n_docs - 1) else n_docs * ((n_docs - 1) // 2) end)) * 1000000.0) as bigint) end
       as reduction_ratio_x1e6
 from cand_stats cross join truth_stats
 """

@@ -165,7 +165,16 @@ def clustering_metrics(pred: DataFrame, truth: DataFrame) -> DataFrame:
     nano = lambda num, den: F.round(  # noqa: E731
         F.col(num) * F.col(num) * F.lit(1_000_000_000.0) / F.col(den)
     ).cast("long")
-    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
+    # C(n,2) in EXACT integer arithmetic: halve the even factor BEFORE
+    # the multiply. n*(n-1)/2 overflows the long intermediate past
+    # n~3.04e9 (ANSI error at exactly the degenerate everything-merged
+    # inputs these metrics exist to catch) and the double division
+    # silently loses exactness past n~1.3e8 (2^53); div-first is exact
+    # for every n whose C(n,2) fits a BIGINT (round-5 review).
+    c2 = lambda c: F.expr(  # noqa: E731
+        f"case when {c} % 2 = 0 then ({c} div 2) * ({c} - 1) "
+        f"else {c} * (({c} - 1) div 2) end"
+    ).cast("long")
     # sum over an EMPTY cells frame is NULL, not 0 — and NULL == 0 is
     # NULL, so none of the empty-denominator defaults below would fire
     # (the whole row came back NULL). Coalesce every aggregate so zero
@@ -351,7 +360,16 @@ def blocking_metrics(pairs: DataFrame, labels: DataFrame) -> DataFrame:
             # coalesce: sum over an empty labels frame is NULL and the
             # empty-denominator defaults downstream never fire on NULL
             F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0))
+            # same exact halve-first C(n,2) as clustering_metrics
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "case when n % 2 = 0 then (n div 2) * (n - 1) "
+                        "else n * ((n - 1) div 2) end"
+                    )
+                ),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_truth_pairs"),
         )
@@ -377,7 +395,11 @@ def blocking_metrics(pairs: DataFrame, labels: DataFrame) -> DataFrame:
                     (
                         F.lit(1.0)
                         - F.col("n_candidate_pairs")
-                        / (F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+                        / F.expr(
+                            "case when n_docs % 2 = 0 then "
+                            "(n_docs div 2) * (n_docs - 1) else "
+                            "n_docs * ((n_docs - 1) div 2) end"
+                        )
                     )
                     * x1e6
                 ).cast("long")
