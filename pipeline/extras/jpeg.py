@@ -146,7 +146,6 @@ class _BitReader:
         self.d = data
         self.pos = pos
         self.bit = 0
-        self.marker_hit = None
 
     def _byte(self) -> int:
         return self.d[self.pos]
@@ -160,7 +159,6 @@ class _BitReader:
             if nxt == 0x00:
                 pass  # stuffed byte: the 0xFF is data
             else:
-                self.marker_hit = nxt
                 raise ValueError("hit marker inside entropy data")
         bit = (b >> (7 - self.bit)) & 1
         self.bit += 1
@@ -235,6 +233,11 @@ def decode_jpeg(payload: bytes):
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker sync at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — treating the fill as a length-prefixed segment read a
+        # bogus seglen and desynced the parser (round-5 review)
+        while b[pos + 1] == 0xFF and pos + 2 < len(b):
+            pos += 1
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -323,6 +326,17 @@ def _decode_scan(b, data_pos, frame, scan, qt, huff, restart_interval):
         by_id[s["id"]].update(td=s["td"], ta=s["ta"])
     if len(scan) != len(comps):
         raise ValueError("JPEG multi-scan files unsupported (baseline only)")
+    if len(comps) == 1:
+        # Single-component scans are NON-interleaved (T.81 A.2.3): the
+        # MCU is ONE 8x8 data unit in raster order, padded per 8 —
+        # whatever sampling factors the SOF declared (they only shape
+        # interleaved multi-component scans, but e.g. `jpegtran
+        # -grayscale` keeps the color image's 2x2 luma factors).
+        # Decoding such a frame as interleaved 2x2 MCUs silently
+        # scrambles block placement (round-5 review; reproduced by
+        # patching a gray fixture's SOF sampling byte 0x11 -> 0x22).
+        comps = [dict(comps[0], h=1, v=1)]
+        hmax = vmax = 1
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = [

@@ -538,11 +538,16 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     timestamps (JVM sequence — no decode); a downstream mapInPandas decode
     (stubbed, as above) would fetch pixels per (doc_id, frame_ts)."""
     vids = media.where(F.col("kind") == "video")
+    # floor corrupt metadata at 0: sequence(0, negative, +step) throws
+    # at runtime, so ONE row with meta.duration_ms < 0 (or NULL) would
+    # kill the whole job — against the module's never-die-on-one-bad-row
+    # contract (round-5 review). A floored row yields exactly frame 0.
+    dur = F.greatest(
+        F.coalesce(F.col("meta.duration_ms"), F.lit(0)), F.lit(0)
+    )
     return vids.select(
         "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms)
-            )
-        ).alias("frame_ts_ms"),
+        F.explode(F.sequence(F.lit(0), dur, F.lit(every_ms))).alias(
+            "frame_ts_ms"
+        ),
     )

@@ -30,9 +30,13 @@ def entity_canonical(
 ) -> DataFrame:
     """clusters(conv_id, entity_id) ⋈ docs -> one golden record per entity.
 
-    ``docs`` needs conv_id, canonical_text, n_turns, first_ts and
-    norm_text (featurize output; pass canonicalize output through
-    ``oracle.featurize_pd``'s Spark twin first if norm_text is absent).
+    ``docs`` needs conv_id, n_turns, first_ts and norm_text — the
+    ``featurize`` output satisfies the default path. With
+    ``include_text=True`` it additionally needs canonical_text, which
+    ``featurize`` DROPS: pass the ``canonicalize`` output joined with
+    the feature columns (or re-select canonical_text before the
+    projection) for that mode (round-5 review — the old text sent
+    callers to an input that cannot resolve the column).
 
     Returns entity_id, canonical_id (the survivor), n_members,
     total_turns, first_seen_us / last_seen_us (microsecond epochs — the

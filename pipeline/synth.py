@@ -25,10 +25,9 @@ from __future__ import annotations
 
 import random
 import string
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime, timedelta
 
-import numpy as np
 import pandas as pd
 
 ROLES_CYCLE = ["user", "assistant"]
@@ -250,7 +249,7 @@ def generate_skew(
 
       60% exact copies           -> exact-norm key (family 0)
       30% normalization noise    -> same normalized text, same family 0
-      10% token reorder          -> same token_set key (family 2);
+      10% token reorder          -> same token_set key (family 1);
                                     token_sort channel still scores 100
     """
     corpus = generate(n_base=n_base, seed=seed, hotkey_convs=hotkey_convs)

@@ -248,6 +248,25 @@ def test_multimodal_plumbing(spark):
     assert len(frames) > 0
 
 
+def test_frame_sample_plan_survives_corrupt_duration(spark):
+    """ONE video row with negative/NULL meta.duration_ms must not kill
+    the job (sequence(0, -1, +step) throws at runtime — round-5 review):
+    corrupt rows floor to exactly frame 0, healthy rows are unaffected."""
+    from pipeline.extras.multimodal import MEDIA_SCHEMA, frame_sample_plan
+
+    rows = [
+        ("ok", "video", bytearray(b"x"), (1, 1, "fake", 1000)),
+        ("neg", "video", bytearray(b"x"), (1, 1, "fake", -1)),
+        ("null", "video", bytearray(b"x"), (1, 1, "fake", None)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    frames = frame_sample_plan(media, every_ms=500).toPandas()
+    by_doc = frames.groupby("doc_id")["frame_ts_ms"].apply(list).to_dict()
+    assert by_doc["ok"] == [0, 500, 1000]
+    assert by_doc["neg"] == [0]
+    assert by_doc["null"] == [0]
+
+
 def test_multimodal_strict_stub():
     from pipeline.extras.multimodal import _decode_image
 

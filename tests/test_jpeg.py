@@ -141,3 +141,46 @@ def test_decode_image_routes_jpeg_by_magic():
     feats = mm._decode_image(encode_jpeg(g), strict=True)
     want = mm._luma_thumb(g)
     assert np.allclose(feats, want, atol=1e-6)
+
+
+def _patch_sof_sampling(payload: bytes, hv: int) -> bytes:
+    """Rewrite the first (only) component's sampling byte in SOF0."""
+    b = bytearray(payload)
+    i = b.find(b"\xff\xc0")
+    assert i >= 0, "no SOF0 in fixture"
+    # SOF0 seg: len(2) prec(1) h(2) w(2) nc(1) then per-comp id,hv,tq
+    nc = b[i + 9]
+    assert nc == 1, "gray fixture expected"
+    b[i + 11] = hv
+    return bytes(b)
+
+
+def test_gray_nonstandard_sampling_factors_decode_raster_order():
+    """Single-component scans are NON-interleaved per T.81 A.2.3: the
+    declared sampling factors must not change block placement. Patching
+    a gray fixture's SOF sampling byte 0x11 -> 0x22 (what `jpegtran
+    -grayscale` leaves behind on 2x2-sampled color sources) previously
+    decoded WITHOUT error but with pixels scrambled into 2x2 interleaved
+    MCU order (round-5 review)."""
+    g = _gradient(32, 32)  # 16-multiple dims: block counts coincide
+    payload = encode_jpeg(g)
+    ref = decode_jpeg(payload)
+    for hv in (0x22, 0x21, 0x12):
+        got = decode_jpeg(_patch_sof_sampling(payload, hv))
+        assert np.array_equal(got, ref), hex(hv)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    The parser previously read the fill as a length-prefixed segment and
+    desynced (round-5 review)."""
+    g = _gradient(24, 16)
+    payload = encode_jpeg(g)
+    ref = decode_jpeg(payload)
+    # inject fill bytes before every header marker after SOI
+    b = payload
+    for m in (b"\xff\xdb", b"\xff\xc4", b"\xff\xc0", b"\xff\xda"):
+        i = b.find(m)
+        assert i > 0, m
+        b = b[:i] + b"\xff\xff" + b[i:]
+    assert np.array_equal(decode_jpeg(b), ref)
