@@ -103,6 +103,33 @@ def build_config(args: argparse.Namespace):
     return cfg
 
 
+def _input_identity(path: str) -> str:
+    """Fold the input's identity into the resume fingerprint: path plus
+    a digest of (relative name, size, mtime_ns) for every local file
+    under it. Without this, ``--input day2.parquet`` against an out_dir
+    committed from day1 silently serves day1's stages (round-5 review).
+    Non-local URIs (hdfs://, s3a://) fall back to the path string — pin
+    those with an immutable snapshot path per run."""
+    import hashlib
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return path
+    local = path[len("file://"):] if path.startswith("file://") else path
+    parts = []
+    if os.path.isdir(local):
+        for root, _dirs, files in os.walk(local):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), local)
+                parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(local):
+        st = os.stat(local)
+        parts.append(f"{os.path.basename(local)}:{st.st_size}:{st.st_mtime_ns}")
+    digest = hashlib.md5("\n".join(sorted(parts)).encode()).hexdigest()
+    return f"{path}@{digest}"
+
+
 def main(argv: list[str] | None = None) -> dict:
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
@@ -115,10 +142,12 @@ def main(argv: list[str] | None = None) -> dict:
     if args.synthetic:
         corpus = synth.generate(n_base=args.synthetic, seed=args.seed)
         turns = spark.createDataFrame(corpus.turns)
+        input_token = f"synthetic:{args.synthetic}:{args.seed}"
     elif args.input:
         from pipeline.sources import read_turns
 
         turns = read_turns(spark, args.input, fmt=args.input_format)
+        input_token = _input_identity(args.input)
     else:
         raise SystemExit("need --input or --synthetic")
 
@@ -143,6 +172,7 @@ def main(argv: list[str] | None = None) -> dict:
         # overwrite-commit every stage). Never delete the output dir:
         # it may hold non-stage artifacts (committed incremental state)
         resume=not args.no_resume,
+        input_token=input_token,
     )
     # ONE driver action for the whole report: the three tiny aggregates
     # (1-row summary, doc count, distinct-entity count) crossJoin into a

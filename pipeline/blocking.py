@@ -176,7 +176,14 @@ def _cap_members(
     audit the hot keys. Shared by the batch path (``capped_key_table``)
     and the committed-state path (``capped_key_table_from_state``) so the
     cap rule cannot drift between them."""
-    hot = counts.filter(F.col("members") > cfg.block_key_cap)
+    from pipeline.session import track_cache
+
+    # cache the (tiny — over-cap keys only) hot list: it feeds BOTH the
+    # audit and the broadcast cap join, and uncached each consumer
+    # re-runs the full count aggregation that produced `counts` (in the
+    # non-star batch path that was one extra corpus explode + shuffle
+    # per staged run just to materialize hot_key_audit; round-5 review)
+    hot = track_cache(counts.filter(F.col("members") > cfg.block_key_cap))
     audit = hot.withColumn(
         "est_kept", F.lit(cfg.block_key_cap).cast("long")
     )
@@ -343,6 +350,21 @@ def merge_key_state(
     return keys, counts
 
 
+def require_anchor_snapshot(cfg: MatchConfig, anchor_df, context: str) -> None:
+    """THE anchor-snapshot precondition, single-sourced (round-5 review:
+    three hand-maintained copies of the same condition + message). Any
+    path that derives blocking keys for a POPULATION SLICE (increment,
+    retraction survivors, committed-state merge) must block against the
+    committed (token, df) snapshot — df computed over the slice alone
+    mints bogus "rare" anchors for corpus-common tokens."""
+    if cfg.anchor_max_df >= 2 and anchor_df is None:
+        raise ValueError(
+            f"{context} with anchors enabled (anchor_max_df >= 2) "
+            "requires the committed (token, df) snapshot as anchor_df "
+            "(blocking.token_df); pass the snapshot the committed keys "
+            "were built with, or disable the family (anchor_max_df < 2)"
+        )
+
 def capped_key_table_from_state(
     existing_keys: DataFrame,
     existing_counts: DataFrame,
@@ -364,16 +386,10 @@ def capped_key_table_from_state(
     committed key table (map-side coin filter against a broadcast hot
     list) and the committed counts (narrow (family, key, members) rows,
     co-partitioned merge on bucketed storage)."""
-    if cfg.anchor_max_df >= 2 and anchor_df is None:
-        # increment-local df would mint bogus "rare" anchors for
-        # corpus-common tokens and merge them into the committed counts —
-        # see incremental.incremental_candidate_pairs for the full story
-        raise ValueError(
-            "committed-state mode with anchors enabled (anchor_max_df >= "
-            "2) requires the committed (token, df) snapshot as anchor_df "
-            "(token_df); pass the snapshot the committed keys were built "
-            "with, or disable the family (anchor_max_df < 2)"
-        )
+    # increment-local df would mint bogus "rare" anchors for
+    # corpus-common tokens and merge them into the committed counts —
+    # see incremental.incremental_candidate_pairs for the full story
+    require_anchor_snapshot(cfg, anchor_df, "committed-state mode")
     new_keys, new_counts = key_table_with_counts(new_feats, cfg, anchor_df)
     keys, counts = merge_key_state(
         existing_keys, existing_counts, new_keys, new_counts

@@ -145,6 +145,7 @@ def materialize_state(out: dict, keys: tuple = (
 
 
 from pipeline.blocking import (
+    require_anchor_snapshot,
     _cap_members,
     _hot_hubs,
     candidate_pairs,
@@ -158,6 +159,12 @@ from pipeline.config import DEFAULT_CONFIG, MatchConfig
 from pipeline.features import featurize
 from pipeline.scoring import score_pairs
 from pipeline.session import track_cache
+
+# Ceiling on scoped hot-key rows pulled to the driver for the
+# literal-broadcast-leaf star plan (a few MB of narrow rows at this
+# size; same order as the CC driver fast path's edge threshold). Past
+# it the star plans stay distributed — see incremental_candidate_pairs.
+_DRIVER_HOT_LIMIT = 200_000
 
 
 def incremental_candidate_pairs(
@@ -211,22 +218,15 @@ def incremental_candidate_pairs(
                 "committed-state mode needs existing_keys, "
                 "existing_counts AND new_feats together"
             )
-        if cfg.anchor_max_df >= 2 and anchor_df is None:
-            # Without the committed (token, df) snapshot, the anchor
-            # family's df would be computed over the INCREMENT alone — a
-            # corpus-common token appearing 2..anchor_max_df times in a
-            # small increment would mint a bogus "rare" anchor, and
-            # merge_key_state would fold those keys into the committed
-            # counts permanently. The fallback path (no existing_keys)
-            # computes df over the full union instead, so the two paths
-            # would silently diverge. Fail loudly.
-            raise ValueError(
-                "committed-state mode with anchors enabled "
-                "(anchor_max_df >= 2) requires the committed (token, df) "
-                "snapshot as anchor_df (blocking.token_df); pass the "
-                "snapshot the committed keys were built with, or disable "
-                "the family (anchor_max_df < 2)"
-            )
+        # Without the committed (token, df) snapshot, the anchor
+        # family's df would be computed over the INCREMENT alone — a
+        # corpus-common token appearing 2..anchor_max_df times in a
+        # small increment would mint a bogus "rare" anchor, and
+        # merge_key_state would fold those keys into the committed
+        # counts permanently. The fallback path (no existing_keys)
+        # computes df over the full union instead, so the two paths
+        # would silently diverge. Fail loudly.
+        require_anchor_snapshot(cfg, anchor_df, "committed-state mode")
         nk, nc = key_table_with_counts(new_feats, cfg, anchor_df)
         union_keys, union_counts = merge_key_state(
             existing_keys, existing_counts, nk, nc
@@ -282,8 +282,21 @@ def incremental_candidate_pairs(
         hot_scoped = scoped_counts.filter(
             F.col("members") > cfg.block_key_cap
         ).select("family", "key", "members")
-        hot_rows = hot_scoped.collect()
-        if hot_rows:
+        # bounded collect: the literal-leaf optimization assumes a
+        # daily-increment-sized hot list. A giant backfill increment
+        # (millions of boilerplate docs -> millions of scoped keys over
+        # cap) must not be pulled into the driver unguarded (round-5
+        # review) — past the limit, keep the hub/star plans DISTRIBUTED
+        # (cached lazy frames: the pre-optimization shape, a few extra
+        # AQE broadcast jobs instead of a driver OOM).
+        hot_rows = hot_scoped.limit(_DRIVER_HOT_LIMIT + 1).collect()
+        if len(hot_rows) > _DRIVER_HOT_LIMIT:
+            hot_cached = track_cache(hot_scoped)
+            star_hot = F.broadcast(hot_cached)
+            star_hubs = F.broadcast(
+                track_cache(_hot_hubs(union_keys, star_hot))
+            )
+        elif hot_rows:
             spark = union_keys.sparkSession
             star_hot = F.broadcast(
                 spark.createDataFrame(hot_rows, hot_scoped.schema)
@@ -414,12 +427,16 @@ def _merge_labels(
     untouched committed rows pass through unchanged."""
     comp, cc_metrics = connected_components(edges, all_nodes=new_ids)
 
-    # touched existing entities that must be relabeled (tiny; broadcast)
+    # Touched existing entities that must be relabeled (tiny; broadcast).
+    # Every comp node is a new id or a committed entity LABEL by
+    # construction (_edges_to_entities coalesces committed endpoints to
+    # labels; hit/intra edges target labels/new ids), so "is an entity"
+    # = "is not a new id" — an increment-sized broadcast anti-join. The
+    # previous membership join ran distinct() over the ENTIRE committed
+    # clusters table per increment: a corpus-wide shuffle against the
+    # module's O(increment) contract (round-5 review).
     merge_map = (
-        comp.join(
-            existing_clusters.select(F.col("entity_id").alias("conv_id")).distinct(),
-            "conv_id",
-        )
+        comp.join(F.broadcast(new_ids), "conv_id", "left_anti")
         .where(F.col("entity_id") != F.col("conv_id"))
         .select(
             F.col("conv_id").alias("_old_ent"),
@@ -747,6 +764,73 @@ def incremental_link_contracted(
     }
 
 
+def _resolve_removed(
+    remove_ids: DataFrame, existing_clusters: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """RESOLVE a removal request against committed membership — THE
+    shared rule for both retraction modes (round-5 review: two
+    hand-maintained copies). Clusters cover every committed doc, so ids
+    never ingested drop out of ``removed`` here. Without this, an
+    unknown id (takedown racing ahead of ingestion, or a typo) would be
+    tombstoned verbatim and the streaming surface's tombstone-permanence
+    filter (``_link_batch``) would silently blackhole its future
+    FIRST-EVER arrival. The ``unmatched`` remainder is returned for
+    auditing, never tombstoned."""
+    requested = F.broadcast(remove_ids.select("conv_id").distinct())
+    removed = F.broadcast(
+        requested.join(existing_clusters.select("conv_id"), "conv_id", "semi")
+    )
+    unmatched = requested.join(
+        existing_clusters.select("conv_id"), "conv_id", "left_anti"
+    )
+    return removed, unmatched
+
+
+def _affected_survivors(
+    existing_clusters: DataFrame, removed: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(affected entity ids, their members, surviving member ids) — the
+    entity-bounded repair scope shared by both retraction modes.
+    Deletion effects cannot propagate past the removed docs' entities
+    (every match edge is entity-internal), so this is the complete
+    recompute scope."""
+    affected_ents = F.broadcast(
+        existing_clusters.join(removed, "conv_id", "semi")
+        .select("entity_id")
+        .distinct()
+    )
+    members = existing_clusters.join(affected_ents, "entity_id", "semi")
+    survivor_ids = members.join(removed, "conv_id", "left_anti").select(
+        "conv_id"
+    )
+    return affected_ents, members, survivor_ids
+
+
+def _decrement_key_counts(
+    existing_key_counts: DataFrame, gone_keys: DataFrame
+) -> DataFrame:
+    """Decrement the committed (family, key, members) counts by the key
+    rows in ``gone_keys`` (removal-request-sized -> the per-key decrement
+    table broadcasts); keys whose membership reaches zero drop out. The
+    ONE decrement rule for both retraction modes."""
+    gone_counts = gone_keys.groupBy("family", "key").agg(
+        F.count(F.lit(1)).alias("_gone")
+    )
+    return (
+        existing_key_counts.join(
+            F.broadcast(gone_counts), ["family", "key"], "left"
+        )
+        .select(
+            "family",
+            "key",
+            (F.col("members") - F.coalesce("_gone", F.lit(0))).alias(
+                "members"
+            ),
+        )
+        .where(F.col("members") > 0)
+    )
+
+
 def retract(
     existing_feats: DataFrame,
     existing_clusters: DataFrame,
@@ -816,45 +900,22 @@ def retract(
     ``removed`` (the resolved removal set), ``rescored`` (the affected
     re-scored pairs when ``match_edges`` was absent), ``cc_metrics``.
     """
-    if match_edges is None and cfg.anchor_max_df >= 2 and anchor_df is None:
-        # Same hazard the committed-state paths fail loudly on
-        # (incremental_candidate_pairs / capped_key_table_from_state):
-        # the re-scoring mode re-blocks survivors, and without the
-        # committed (token, df) snapshot the anchor family's df would be
-        # computed over the affected-entity SURVIVOR SLICE alone —
-        # corpus-common tokens look rare, bogus anchor keys mint extra
-        # candidate pairs, and two affected entities the equality
-        # theorem keeps separate can silently merge. Fail before any
-        # plan is built (round-5 review).
-        raise ValueError(
-            "retract() without match_edges re-blocks survivors; with "
-            "anchors enabled (anchor_max_df >= 2) pass the committed "
-            "(token, df) snapshot as anchor_df (blocking.token_df), "
-            "or disable the family (anchor_max_df < 2)"
+    if match_edges is None:
+        # Same hazard the committed-state paths fail loudly on: the
+        # re-scoring mode re-blocks survivors, and without the committed
+        # (token, df) snapshot the anchor family's df would be computed
+        # over the affected-entity SURVIVOR SLICE alone — corpus-common
+        # tokens look rare, bogus anchor keys mint extra candidate
+        # pairs, and two affected entities the equality theorem keeps
+        # separate can silently merge. Fail before any plan is built.
+        require_anchor_snapshot(
+            cfg, anchor_df, "retract() without match_edges (re-blocks survivors)"
         )
-    # RESOLVE the request against committed membership: clusters cover
-    # every committed doc, so ids never ingested drop out here. Without
-    # this, an unknown id (takedown racing ahead of ingestion, or a
-    # typo) would be tombstoned verbatim and the streaming surface's
-    # tombstone-permanence filter (_link_batch) would then silently
-    # blackhole its future FIRST-EVER arrival (round-5 review). The
-    # unmatched remainder is returned for auditing, never tombstoned.
-    requested = F.broadcast(remove_ids.select("conv_id").distinct())
-    removed = F.broadcast(
-        requested.join(existing_clusters.select("conv_id"), "conv_id", "semi")
-    )
-    unmatched = requested.join(
-        existing_clusters.select("conv_id"), "conv_id", "left_anti"
-    )
+    removed, unmatched = _resolve_removed(remove_ids, existing_clusters)
 
-    affected_ents = F.broadcast(
-        existing_clusters.join(removed, "conv_id", "semi")
-        .select("entity_id")
-        .distinct()
+    affected_ents, members, survivor_ids = _affected_survivors(
+        existing_clusters, removed
     )
-    members = existing_clusters.join(affected_ents, "entity_id", "semi")
-    survivors = members.join(removed, "conv_id", "left_anti")
-    survivor_ids = survivors.select("conv_id")
 
     rescored = None
     if match_edges is not None:
@@ -905,23 +966,9 @@ def retract(
     if existing_keys is not None:
         out["keys"] = existing_keys.join(removed, "conv_id", "left_anti")
         if existing_key_counts is not None:
-            removed_counts = (
-                existing_keys.join(removed, "conv_id", "semi")
-                .groupBy("family", "key")
-                .agg(F.count(F.lit(1)).alias("_gone"))
-            )
-            out["key_counts"] = (
-                existing_key_counts.join(
-                    F.broadcast(removed_counts), ["family", "key"], "left"
-                )
-                .select(
-                    "family",
-                    "key",
-                    (F.col("members") - F.coalesce("_gone", F.lit(0))).alias(
-                        "members"
-                    ),
-                )
-                .where(F.col("members") > 0)
+            out["key_counts"] = _decrement_key_counts(
+                existing_key_counts,
+                existing_keys.join(removed, "conv_id", "semi"),
             )
     return out
 
@@ -1005,20 +1052,7 @@ def retract_contracted(
             "rep-only features cannot re-score collapsed members, so "
             "there is no re-scoring fallback in contracted mode"
         )
-    # RESOLVE the request against committed membership: clusters cover
-    # every committed doc, so ids never ingested drop out here. Without
-    # this, an unknown id (takedown racing ahead of ingestion, or a
-    # typo) would be tombstoned verbatim and the streaming surface's
-    # tombstone-permanence filter (_link_batch) would then silently
-    # blackhole its future FIRST-EVER arrival (round-5 review). The
-    # unmatched remainder is returned for auditing, never tombstoned.
-    requested = F.broadcast(remove_ids.select("conv_id").distinct())
-    removed = F.broadcast(
-        requested.join(existing_clusters.select("conv_id"), "conv_id", "semi")
-    )
-    unmatched = requested.join(
-        existing_clusters.select("conv_id"), "conv_id", "left_anti"
-    )
+    removed, unmatched = _resolve_removed(remove_ids, existing_clusters)
 
     # --- representative promotion ---------------------------------------
     # surviving members only; a removed member can never be promoted
@@ -1101,14 +1135,9 @@ def retract_contracted(
     edges_patched = edges_patched.select("src", "dst")
 
     # --- entity-bounded label repair (identical shape to ``retract``) ---
-    affected_ents = F.broadcast(
-        existing_clusters.join(removed, "conv_id", "semi")
-        .select("entity_id")
-        .distinct()
+    affected_ents, members, survivor_ids = _affected_survivors(
+        existing_clusters, removed
     )
-    members = existing_clusters.join(affected_ents, "entity_id", "semi")
-    survivors = members.join(removed, "conv_id", "left_anti")
-    survivor_ids = survivors.select("conv_id")
     # committed edges are entity-internal and promotion stays inside the
     # entity (new_rep was a member of old_rep's entity), so a src-side
     # semi-join selects exactly the affected subgraph
@@ -1157,20 +1186,7 @@ def retract_contracted(
                 "conv_id",
                 "left_anti",
             )
-            gone_counts = gone_keys.groupBy("family", "key").agg(
-                F.count(F.lit(1)).alias("_gone")
-            )
-            out["key_counts"] = (
-                existing_key_counts.join(
-                    F.broadcast(gone_counts), ["family", "key"], "left"
-                )
-                .select(
-                    "family",
-                    "key",
-                    (F.col("members") - F.coalesce("_gone", F.lit(0))).alias(
-                        "members"
-                    ),
-                )
-                .where(F.col("members") > 0)
+            out["key_counts"] = _decrement_key_counts(
+                existing_key_counts, gone_keys
             )
     return out

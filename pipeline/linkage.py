@@ -267,6 +267,7 @@ def run_staged(
     contract_dups: bool = False,
     review_band: tuple[float, float, float, int] | None = None,
     resume: bool = True,
+    input_token: str | None = None,
 ) -> dict[str, DataFrame]:
     """Materialize every stage with commit manifests (resumable).
 
@@ -302,7 +303,15 @@ def run_staged(
     """
     # deterministic ACROSS PROCESSES: hash() of a dataclass with str
     # fields is salted per interpreter (PYTHONHASHSEED), which would
-    # silently defeat resume; repr() of a frozen dataclass is stable
+    # silently defeat resume; repr() of a frozen dataclass is stable.
+    # ``input_token`` folds INPUT IDENTITY into the fingerprint: without
+    # it, re-running the same out_dir against different data silently
+    # serves the previous input's committed stages (round-5 review —
+    # main.py derives it from the input path + file sizes/mtimes or the
+    # synthetic generator parameters). Library callers passing raw
+    # DataFrames can't be fingerprinted here; pass an input_token (e.g.
+    # a snapshot id / ingest watermark) or leave None and own the
+    # same-input assumption.
     import hashlib
 
     fingerprint = "cfg:" + hashlib.md5(
@@ -311,6 +320,7 @@ def run_staged(
             + f":audit={audit_sample_rate}"
             + (":contract=1" if contract_dups else "")
             + (f":review={review_band}" if review_band else "")
+            + (f":input={input_token}" if input_token else "")
         ).encode("utf-8")
     ).hexdigest()
     runner = StageRunner(

@@ -161,3 +161,50 @@ def test_no_resume_recomputes_without_deleting(spark, tmp_path):
     assert r.metrics[-1]["resumed"] is False
     with open(foreign) as f:
         assert f.read() == "precious"
+
+
+def test_changed_input_invalidates_resume(spark, tmp_path):
+    """Same out_dir, same config, DIFFERENT input: resume must recompute,
+    not serve the previous input's committed stages (round-5 review —
+    the fingerprint used to cover config only, so `main.py --input
+    day2.parquet` against day1's out_dir silently reported day1)."""
+    import main as cli
+
+    out = str(tmp_path / "stages")
+    r1 = cli.main(
+        ["--synthetic", "20", "--seed", "1", "--output", out,
+         "--master", "local[4]"]
+    )
+    # same invocation resumes
+    r2 = cli.main(
+        ["--synthetic", "20", "--seed", "1", "--output", out,
+         "--master", "local[4]"]
+    )
+    assert all(s.get("resumed") for s in r2["stages"] if "resumed" in s)
+    assert r2["docs"] == r1["docs"]
+    # different synthetic input (same config): every stage recomputes
+    r3 = cli.main(
+        ["--synthetic", "30", "--seed", "2", "--output", out,
+         "--master", "local[4]"]
+    )
+    assert not any(s.get("resumed") for s in r3["stages"]), r3["stages"]
+    assert r3["docs"] != r1["docs"], "stale stages served for new input"
+
+    # parquet-input path: touching the file invalidates too
+    from pipeline import synth
+
+    src = str(tmp_path / "pq")
+    synth.write_parquet(synth.generate(n_base=15, seed=3), src)
+    turns_pq = os.path.join(src, "turns.parquet")
+    out2 = str(tmp_path / "stages_pq")
+    p1 = cli.main(["--input", turns_pq, "--output", out2,
+                   "--master", "local[4]"])
+    p2 = cli.main(["--input", turns_pq, "--output", out2,
+                   "--master", "local[4]"])
+    assert all(s.get("resumed") for s in p2["stages"] if "resumed" in s)
+    # rewrite the input with different data -> recompute
+    synth.write_parquet(synth.generate(n_base=25, seed=4), src)
+    p3 = cli.main(["--input", turns_pq, "--output", out2,
+                   "--master", "local[4]"])
+    assert not any(s.get("resumed") for s in p3["stages"]), p3["stages"]
+    assert p3["docs"] != p1["docs"]
