@@ -110,12 +110,11 @@ _TIER_CASE_SQL = """
 
 
 def _tier_from_ratio(col):
-    from pipeline.config import TIERS
+    # THE tier ladder lives in pipeline.scoring (round-5 review: this
+    # was a line-for-line hand copy that could drift from the cascade)
+    from pipeline.scoring import tier_col
 
-    expr = F.lit("none")
-    for name, threshold, _k in reversed(TIERS):
-        expr = F.when(col >= F.lit(threshold), F.lit(name)).otherwise(expr)
-    return expr
+    return tier_col(col)
 
 
 # ---------------------------------------------------------------------------
@@ -141,7 +140,10 @@ SQL_CANONICALIZE = f"""
 with turns as ({_TURNS_SQL})
 select conv_id,
        cast(count(*) as bigint)                                as n_turns,
-       string_agg(text, chr(30) order by turn_idx)             as canonical_text,
+       -- coalesce mirrors canonicalize's per-turn coalesce(text, ''):
+       -- string_agg would DROP a NULL-text turn's separator slot while
+       -- n_turns still counts it (round-5 review)
+       string_agg(coalesce(text, ''), chr(30) order by turn_idx) as canonical_text,
        string_agg(substring(role, 1, 1), '' order by turn_idx) as roles_sig
 from turns
 group by conv_id
@@ -799,15 +801,36 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# zero-norm guard mirrors similarity.cosine_col: an all-zeros embedding's
+# cosine is DEFINED as 0.0 on the Spark side; without the case the SQL
+# divides by zero and diverges (NULL/inf) on exactly that degenerate row
+_COSINE_SQL = """
+  cast(round(
+    case when
+      sqrt(list_reduce(list_prepend(cast(0.0 as double),
+        list_transform({a}, x -> x * x)), (x, y) -> x + y))
+      * sqrt(list_reduce(list_prepend(cast(0.0 as double),
+          list_transform({b}, x -> x * x)), (x, y) -> x + y)) = 0
+    then cast(0.0 as double)
+    else
+      list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_prepend(cast(0.0 as double),
+          list_transform({a}, x -> x * x)), (x, y) -> x + y))
+         * sqrt(list_reduce(list_prepend(cast(0.0 as double),
+            list_transform({b}, x -> x * x)), (x, y) -> x + y)))
+    end * 10000) as bigint)
+"""
+
+
+# cosine channel = the SAME pinned left-fold + zero-norm guard as every
+# other embedding oracle (_COSINE_SQL) — list_sum's unspecified
+# accumulation order was the one unpinned FP channel (round-5 review)
 SQL_KNN = """
 with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
      q as (select vec_id as query_id, e as qv from v where vec_id < 10),
      s as (select q.query_id, v.vec_id as neighbor_id,
-                  cast(round(
-                    list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * v.e[i]))
-                    / (sqrt(list_sum(list_transform(qv, x -> x * x)))
-                       * sqrt(list_sum(list_transform(v.e, x -> x * x))))
-                    * 10000) as bigint) as score_x10000
+                  {cos} as score_x10000
            from q, v where v.vec_id <> q.query_id)
 select cast(query_id as bigint) as query_id,
        cast(neighbor_id as bigint) as neighbor_id,
@@ -817,7 +840,7 @@ from (select s.*, row_number() over (partition by query_id
                                      order by score_x10000 desc, neighbor_id asc) rank
       from s)
 where rank <= 3
-"""
+""".format(cos=_COSINE_SQL.format(a="qv", b="v.e"))
 
 
 def q_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,13 +982,11 @@ _ADJ_CASE_SQL = """
 """
 
 
-def _adj_from_tier(tier_col):
-    from pipeline.config import TIER_ADJUSTMENT
+def _adj_from_tier(tier):
+    # single-sourced from pipeline.scoring, as with _tier_from_ratio
+    from pipeline.scoring import adjustment_col
 
-    expr = F.lit(-80.0)
-    for name, adj in TIER_ADJUSTMENT.items():
-        expr = F.when(tier_col == name, F.lit(adj)).otherwise(expr)
-    return expr
+    return adjustment_col(tier)
 
 
 def q_quality_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1409,17 +1430,6 @@ def _hyperplane_bucket_sql(vec: str, n_bits: int, table: int) -> str:
         bit_terms.append(f"case when ({dot}) >= 0 then {1 << b} else 0 end")
     return " + ".join(bit_terms)
 
-
-_COSINE_SQL = """
-  cast(round(
-    list_reduce(list_prepend(cast(0.0 as double),
-      list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (x, y) -> x + y)
-    / (sqrt(list_reduce(list_prepend(cast(0.0 as double),
-        list_transform({a}, x -> x * x)), (x, y) -> x + y))
-       * sqrt(list_reduce(list_prepend(cast(0.0 as double),
-          list_transform({b}, x -> x * x)), (x, y) -> x + y)))
-    * 10000) as bigint)
-"""
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

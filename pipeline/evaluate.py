@@ -55,41 +55,61 @@ def pairwise_f1(scored: DataFrame, labels: DataFrame) -> dict:
     }
 
 
+def _c2(c: str):
+    """C(n,2) over column ``c`` in EXACT integer arithmetic: halve the
+    even factor BEFORE the multiply. n*(n-1)/2 overflows the long
+    intermediate past n~3.04e9 (ANSI error at exactly the degenerate
+    everything-merged inputs these metrics exist to catch) and the
+    double division silently loses exactness past n~1.3e8 (2^53);
+    div-first is exact for every n whose C(n,2) fits a BIGINT."""
+    return F.expr(
+        f"case when {c} % 2 = 0 then ({c} div 2) * ({c} - 1) "
+        f"else {c} * (({c} - 1) div 2) end"
+    ).cast("long")
+
+
 def cluster_agreement(clusters: DataFrame, expected: DataFrame) -> dict:
-    """Fraction of conv_ids whose co-cluster set matches ground truth
-    exactly, via pair comparison within expected entities."""
+    """Pair-counting precision/recall/F1 of the produced clustering
+    against ground truth, over the expected conv_ids. (Round-5 review:
+    the old docstring claimed an exact-co-cluster-set fraction, which
+    this never was.)
+
+    Contingency-table formulation — tp/fp/fn are C(n,2) sums over the
+    (true_entity, got_entity) cell counts, so cost is O(entities), never
+    the item-level pair enumeration the old non-equi self-join did
+    (quadratic in conv_ids; the exact blowup ``clustering_metrics``
+    exists to avoid)."""
     got = clusters.alias("g")
     exp = expected.alias("e")
     j = exp.join(got, F.col("e.conv_id") == F.col("g.conv_id"), "left")
-    # same expected entity -> same produced entity?
     pairs = (
         j.select(
-            F.col("e.conv_id").alias("conv_id"),
             F.col("e.entity_id").alias("true_e"),
             # a conv the produced clustering is MISSING must still score:
-            # NULL == NULL is NULL and the pair would vanish from tp/fn,
-            # silently inflating both metrics. A per-row sentinel entity
-            # ("__missing__<conv_id>") makes it a singleton instead.
+            # NULL cells would collapse together. A per-row sentinel
+            # entity ("__missing__<conv_id>") makes it a singleton
+            # (contributes zero same-got pairs), exactly as before.
             F.coalesce(
                 F.col("g.entity_id"),
                 F.concat(F.lit("__missing__"), F.col("e.conv_id")),
             ).alias("got_e"),
         )
     )
-    a = pairs.alias("a")
-    b = pairs.alias("b")
-    cross = a.join(
-        b, F.col("a.conv_id") < F.col("b.conv_id")
-    ).select(
-        (F.col("a.true_e") == F.col("b.true_e")).alias("t"),
-        (F.col("a.got_e") == F.col("b.got_e")).alias("g"),
+    cells = pairs.groupBy("true_e", "got_e").agg(
+        F.count(F.lit(1)).alias("n_pt")
     )
-    row = cross.agg(
-        F.sum(F.when(F.col("t") & F.col("g"), 1).otherwise(0)).alias("tp"),
-        F.sum(F.when(~F.col("t") & F.col("g"), 1).otherwise(0)).alias("fp"),
-        F.sum(F.when(F.col("t") & ~F.col("g"), 1).otherwise(0)).alias("fn"),
-    ).collect()[0]
-    tp, fp, fn = int(row["tp"]), int(row["fp"]), int(row["fn"])
+    per_got = cells.groupBy("got_e").agg(F.sum("n_pt").alias("n_p"))
+    per_true = cells.groupBy("true_e").agg(F.sum("n_pt").alias("n_t"))
+    zsum = lambda c: F.coalesce(F.sum(_c2(c)), F.lit(0))  # noqa: E731
+    row = (
+        cells.agg(zsum("n_pt").alias("tp"))
+        .crossJoin(per_got.agg(zsum("n_p").alias("pairs_pred")))
+        .crossJoin(per_true.agg(zsum("n_t").alias("pairs_true")))
+        .collect()[0]
+    )
+    tp = int(row["tp"])
+    fp = int(row["pairs_pred"]) - tp
+    fn = int(row["pairs_true"]) - tp
     precision = tp / (tp + fp) if tp + fp else 1.0
     recall = tp / (tp + fn) if tp + fn else 1.0
     f1 = (
@@ -165,16 +185,7 @@ def clustering_metrics(pred: DataFrame, truth: DataFrame) -> DataFrame:
     nano = lambda num, den: F.round(  # noqa: E731
         F.col(num) * F.col(num) * F.lit(1_000_000_000.0) / F.col(den)
     ).cast("long")
-    # C(n,2) in EXACT integer arithmetic: halve the even factor BEFORE
-    # the multiply. n*(n-1)/2 overflows the long intermediate past
-    # n~3.04e9 (ANSI error at exactly the degenerate everything-merged
-    # inputs these metrics exist to catch) and the double division
-    # silently loses exactness past n~1.3e8 (2^53); div-first is exact
-    # for every n whose C(n,2) fits a BIGINT (round-5 review).
-    c2 = lambda c: F.expr(  # noqa: E731
-        f"case when {c} % 2 = 0 then ({c} div 2) * ({c} - 1) "
-        f"else {c} * (({c} - 1) div 2) end"
-    ).cast("long")
+    c2 = _c2
     # sum over an EMPTY cells frame is NULL, not 0 — and NULL == 0 is
     # NULL, so none of the empty-denominator defaults below would fire
     # (the whole row came back NULL). Coalesce every aggregate so zero

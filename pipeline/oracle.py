@@ -76,10 +76,23 @@ def canonicalize_pd(turns: pd.DataFrame) -> pd.DataFrame:
     g = t.groupby("conv_id", sort=True)
     docs = pd.DataFrame(
         {
-            "canonical_text": g["text"].apply(lambda s: "\x1e".join(s)),
+            # null text keeps its (empty) separator slot, exactly like
+            # the Spark side's per-turn coalesce(text, ''); a raw join
+            # raised TypeError on None and NaN is truthy, so the twin
+            # crashed or diverged on the degenerate row the pipeline
+            # handles (round-5 review)
+            "canonical_text": g["text"].apply(
+                lambda s: "\x1e".join(
+                    "" if pd.isna(x) else x for x in s
+                )
+            ),
             "n_turns": g["turn_idx"].count().astype("int64"),
+            # null/empty roles contribute nothing to the signature
+            # (array_join drops nulls; substring('',1,1) = '')
             "roles_sig": g["role"].apply(
-                lambda s: "".join(x[0] for x in s if x)
+                lambda s: "".join(
+                    x[0] for x in s if isinstance(x, str) and x
+                )
             ),
             "first_ts": g["ts"].min(),
         }

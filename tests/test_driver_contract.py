@@ -5,6 +5,8 @@ CORRECTNESS gate."""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -110,3 +112,76 @@ def test_audit_sampled_oracle_handles_empty_coin(monkeypatch):
     out = duckdb.sql(sql).df()
     assert list(out.columns) == ["tier", "n_pairs", "sample_rate"]
     assert len(out) == 0
+
+
+def test_knn_oracle_parity_with_zero_vector(spark, tmp_path):
+    """Degenerate-input parity pin for the cosine twins: an all-zeros
+    embedding is cosine 0.0 on the Spark side (cosine_col's guard) and
+    must be 0 — not NULL/inf — in the DuckDB oracle (round-5 review:
+    SQL_KNN also used list_sum, the one unpinned FP accumulation)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):
+        v = rng.normal(size=8).astype("float32")
+        if i == 3:
+            v = np.zeros(8, dtype="float32")  # degenerate row
+        rows.append((i, [float(x) for x in v]))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).write.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    got = _normalize(entrymod.q_knn_cosine(spark, sf).toPandas())
+    c = duckdb.connect()
+    c.sql(
+        "create view embeddings as select * from "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    want = _normalize(c.sql(entrymod.SQL_KNN).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    assert got.equals(want), (got, want)
+    # the zero vector is a QUERY too (vec_id 3 < 10): all its scores 0
+    raw = entrymod.q_knn_cosine(spark, sf).toPandas()
+    z = raw[raw["query_id"] == 3]
+    assert len(z) == 3 and (z["score_x10000"] == 0).all()
+
+
+def test_canonicalize_oracle_parity_with_null_value(spark, tmp_path):
+    """NULL event value -> NULL turn text in BOTH engines; the Spark side
+    keeps the empty separator slot (coalesce per turn) and the oracle's
+    string_agg must too (round-5 review: string_agg silently dropped the
+    row, desyncing canonical_text from n_turns)."""
+    import pandas as pd
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["view", "click", "view", "click"],
+            "value": [10.0, None, 30.0, 40.0],
+            "props": ["a", "b", None, "d"],
+            "ts": pd.to_datetime(
+                ["2026-01-01", "2026-01-02", "2026-01-03", "2026-01-04"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(ev).write.parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    got = _normalize(entrymod.q_canonicalize(spark, sf).toPandas())
+    c = duckdb.connect()
+    c.sql(
+        "create view events as select * from "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    want = _normalize(c.sql(entrymod.SQL_CANONICALIZE).df())
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want), (got, want)
+    # the NULL-value turn keeps its slot: separators == n_turns - 1
+    raw = entrymod.q_canonicalize(spark, sf).toPandas()
+    u1 = raw[raw["conv_id"] == "u1"].iloc[0]
+    assert u1["canonical_text"].count("\x1e") == int(u1["n_turns"]) - 1
