@@ -143,7 +143,8 @@ select conv_id,
        -- coalesce mirrors canonicalize's per-turn coalesce(text, ''):
        -- string_agg would DROP a NULL-text turn's separator slot while
        -- n_turns still counts it (round-5 review)
-       string_agg(coalesce(text, ''), chr(30) order by turn_idx) as canonical_text,
+       -- replace() mirrors the Spark side's separator sanitization
+       string_agg(replace(coalesce(text, ''), chr(30), ' '), chr(30) order by turn_idx) as canonical_text,
        string_agg(substring(role, 1, 1), '' order by turn_idx) as roles_sig
 from turns
 group by conv_id
@@ -647,9 +648,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decontaminate_sql(n: int = 5, threshold: float = 0.5) -> str:
+    # docs shorter than n produce NO grams, mirroring curation.decontaminate
+    # (round-5 review); gram-less docs re-join with n_grams = 0, never
+    # contaminated
     shingles = (
-        f"list_distinct(list_transform(range(1, greatest(length(norm_text)-{n-1},1) + 1),"
-        f" i -> substring(norm_text, i, {n})))"
+        f"case when length(norm_text) >= {n} then "
+        f"list_distinct(list_transform(range(1, length(norm_text)-{n-1} + 1),"
+        f" i -> substring(norm_text, i, {n}))) else [] end"
     )
     return f"""
 with nrm as ({_DOCS_NORM_SQL}),
@@ -661,10 +666,14 @@ agg as (select h.doc_id,
                cast(sum(case when hv in (select hv from bset) then 1 else 0 end)
                     as bigint) as n_overlap
         from h group by h.doc_id)
-select doc_id, n_grams, n_overlap,
-       n_overlap / n_grams as overlap_frac,
-       n_overlap / n_grams >= {threshold} as contaminated
-from agg
+select nrm.doc_id,
+       cast(coalesce(agg.n_grams, 0) as bigint) as n_grams,
+       cast(coalesce(agg.n_overlap, 0) as bigint) as n_overlap,
+       case when coalesce(agg.n_grams, 0) = 0 then 0.0
+            else agg.n_overlap / agg.n_grams end as overlap_frac,
+       coalesce(agg.n_grams, 0) > 0
+         and agg.n_overlap / agg.n_grams >= {threshold} as contaminated
+from nrm left join agg on nrm.doc_id = agg.doc_id
 """
 
 

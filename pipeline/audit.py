@@ -14,6 +14,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipeline.config import TIER_THRESHOLDS
+
 
 def tier_histogram(scored: DataFrame) -> DataFrame:
     """Per-tier pair counts + share — reference level_stats (A2).
@@ -44,7 +46,12 @@ def match_summary(scored: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("pairs_scored"),
         F.sum(F.col("is_match").cast("long")).alias("pairs_matched"),
         F.avg("confidence").alias("avg_confidence"),
-        F.sum((F.col("confidence") >= 95.0).cast("long")).alias("exact_pairs"),
+        # derived from the tier table, not hardcoded: the audit must
+        # count the SAME population the scoring cascade calls exact
+        # (the SQL oracle twin pins the default 95.0 literal)
+        F.sum(
+            (F.col("confidence") >= TIER_THRESHOLDS["exact"]).cast("long")
+        ).alias("exact_pairs"),
         F.round(
             F.sum(F.col("is_match").cast("long")) * 100.0
             / F.greatest(F.count(F.lit(1)), F.lit(1)),

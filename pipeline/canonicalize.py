@@ -6,7 +6,10 @@ in ``turn_idx`` order (SURVEY.md §2.5 W6). The per-row invariant
 (BASELINE.json input_hint) is per-turn text equality under stable turn
 ordering: splitting ``canonical_text`` on the \\x1e record separator must
 recover the source turn texts exactly, in ``turn_idx`` order —
-``explode_docs`` provides the inverse for the invariant test.
+``explode_docs`` provides the inverse for the invariant test. The one
+substitution: a literal \\x1e INSIDE a turn text is folded to a space
+before joining (in every engine), otherwise the inverse would split
+that turn in two; the invariant is exact over the sanitized texts.
 
 Scale notes:
   * Single hash-aggregate on conv_id — the one unavoidable shuffle of this
@@ -38,10 +41,29 @@ def canonicalize(turns: DataFrame) -> DataFrame:
     )
     return turns.groupBy("conv_id").agg(
         F.array_join(
-            F.transform(sorted_turns, lambda s: F.coalesce(s["text"], F.lit(""))),
+            F.transform(
+                sorted_turns,
+                # SANITIZE the separator out of turn text: a raw \x1e in
+                # tool output would silently split one turn into two on
+                # the way back (round-5 review). Folding it to a space is
+                # norm-neutral (normalization folds \x1e to space
+                # anyway), and the invariant becomes exact over
+                # sanitized texts. Applied identically in all four
+                # engines (SQL oracle, pandas twin, streaming).
+                lambda s: F.regexp_replace(
+                    F.coalesce(s["text"], F.lit("")), TURN_SEP, " "
+                ),
+            ),
             TURN_SEP,
         ).alias("canonical_text"),
         F.count(F.lit(1)).alias("n_turns"),
+        # NULL/empty roles contribute NOTHING to the signature
+        # (substring(NULL) is NULL and array_join skips nulls) — a
+        # deliberate, engine-consistent choice (SQL string_agg, the
+        # pandas twin and the streaming op all drop them identically).
+        # Consequence: roles_sig positions correspond to the NON-NULL
+        # role turns, not to turn_idx — it is an identity/similarity
+        # signature, not a positional index.
         F.array_join(
             F.transform(sorted_turns, lambda s: F.substring(s["role"], 1, 1)),
             "",

@@ -210,6 +210,18 @@ class MatchConfig:
         # optimized.py:140-146 validates weights sum to 1.
         if abs(total - 1.0) > 1e-9:
             raise ValueError(f"component weights must sum to 1.0, got {total}")
+        # silent LSH degeneracy otherwise (round-5 review, same guard as
+        # extras.dedup.minhash_lsh_pairs): bands > hashes makes
+        # rows_per_band = 0, so every band key is a CONSTANT and the
+        # blocking self-join goes quadratic in corpus size; a remainder
+        # silently discards minhashes the config claims to use
+        if self.minhash_bands < 1 or self.minhash_hashes % self.minhash_bands:
+            raise ValueError(
+                f"minhash_hashes ({self.minhash_hashes}) must be a "
+                f"positive multiple of minhash_bands "
+                f"({self.minhash_bands}): rows-per-band = hashes // "
+                "bands must be >= 1 with no remainder"
+            )
 
     @classmethod
     def from_file(cls, path: str) -> "MatchConfig":

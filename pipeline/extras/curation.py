@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 
 from pipeline.hashing import coin_col, h60_col
 from pipeline.normalize import norm_text_col
-from pipeline.textnorm import ASCII_WS
 
 
 def _coin(seed: str, id_col: str):
@@ -92,12 +91,11 @@ def pack_sequences(
     ordered window is one task, a per-shard window is embarrassingly
     parallel and matches per-worker batch sharding.
     """
-    toks = F.size(
-        F.array_remove(
-        F.split(F.regexp_replace(F.col(text_col), rf"[{ASCII_WS}]+", " "), " "),
-        "",
-    )
-    )
+    # textstats.token_count_col is the one tokenization idiom; its
+    # lower() is count-neutral (case never changes the whitespace split)
+    from pipeline.extras.textstats import token_count_col
+
+    toks = token_count_col(text_col)
     if partition_col is None:
         w = Window.orderBy(F.col(id_col).asc())
         part_cols = []
@@ -136,13 +134,20 @@ def decontaminate(
     is the only memory bound (eval sets are ~MBs).
     """
     def grams(df: DataFrame, idc: str) -> DataFrame:
+        # docs shorter than n produce NO grams (round-5 review: the old
+        # greatest(..., 1) floor gave them one whole-text gram, so every
+        # doc normalizing to the same short/empty string scored
+        # overlap_frac 1.0 against any benchmark sharing it — whole
+        # classes of short docs falsely flagged, all-or-nothing)
         return df.select(
             F.col(idc).alias("_id"),
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        "transform(sequence(1, greatest(length(_n)-"
-                        f"{n - 1},1)), i -> substring(_n, i, {n}))"
+                        f"case when length(_n) >= {n} then "
+                        f"transform(sequence(1, length(_n)-{n - 1}), "
+                        f"i -> substring(_n, i, {n})) "
+                        "else cast(array() as array<string>) end"
                     )
                 )
             ).alias("_g"),
@@ -159,12 +164,18 @@ def decontaminate(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
     )
-    return agg.select(
+    # gram-less docs (shorter than n) re-join with n_grams = 0 and are
+    # NEVER contaminated — there is no evidence either way
+    out = d.select(F.col(id_col).alias("_id")).join(agg, "_id", "left")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+    frac = F.when(n_grams == 0, F.lit(0.0)).otherwise(n_overlap / n_grams)
+    return out.select(
         F.col("_id").alias(id_col),
-        F.col("n_grams").cast("long").alias("n_grams"),
-        F.col("n_overlap").cast("long").alias("n_overlap"),
-        (F.col("n_overlap") / F.col("n_grams")).alias("overlap_frac"),
-        (F.col("n_overlap") / F.col("n_grams") >= F.lit(overlap_threshold)).alias(
+        n_grams.alias("n_grams"),
+        n_overlap.alias("n_overlap"),
+        frac.alias("overlap_frac"),
+        ((n_grams > 0) & (frac >= F.lit(overlap_threshold))).alias(
             "contaminated"
         ),
     )

@@ -75,13 +75,11 @@ def top_token_frac_col(text_col: str = "text") -> Column:
     higher-order functions — fine for natural documents (hundreds of
     tokens); a corpus of pathological million-token docs should compute
     this via explode + groupBy instead."""
-    toks = F.array_remove(
-        F.split(
-            F.regexp_replace(F.lower(F.col(text_col)), rf"[{ASCII_WS}]+", " "),
-            " ",
-        ),
-        "",
-    )
+    # THE tokenization idiom lives in textstats.tokens_col (round-5
+    # review: three hand-maintained copies of the same expression)
+    from pipeline.extras.textstats import tokens_col
+
+    toks = tokens_col(text_col)
     counts = F.transform(
         F.array_distinct(toks),
         lambda d: F.size(F.filter(toks, lambda t: t == d)),

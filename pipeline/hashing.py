@@ -84,6 +84,14 @@ def h60_sql(*exprs: str) -> str:
 
 
 def h60_py(*parts: object) -> int:
-    """Python twin of ``h60_col`` (pandas oracle / blocking twin)."""
-    payload = SEP.join(str(p) for p in parts)
+    """Python twin of ``h60_col`` (pandas oracle / blocking twin).
+
+    None parts are SKIPPED, because that is what ``concat_ws`` does in
+    both Spark and DuckDB — rendering "None" here made the twin diverge
+    from both engines on exactly the null rows a parity check should
+    cover (round-5 review). Consequence, shared by all three engines:
+    h60(a, NULL, b) == h60(a, b) — callers hashing nullable columns must
+    coalesce to a sentinel FIRST (as ``linkage.exact_sigs`` does) if
+    null-vs-absent must stay distinct."""
+    payload = SEP.join(str(p) for p in parts if p is not None)
     return int(hashlib.md5(payload.encode("utf-8")).hexdigest()[:15], 16)

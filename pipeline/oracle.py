@@ -70,7 +70,8 @@ def canonicalize_pd(turns: pd.DataFrame) -> pd.DataFrame:
 
     Joins turn texts in ``turn_idx`` order with the \\x1e record separator
     (preserves the per-turn text equality invariant: splitting on \\x1e
-    recovers the exact turn texts in order).
+    recovers the sanitized turn texts in order — a literal \\x1e inside
+    a turn folds to a space first, in every engine).
     """
     t = turns.sort_values(["conv_id", "turn_idx"])
     g = t.groupby("conv_id", sort=True)
@@ -83,7 +84,8 @@ def canonicalize_pd(turns: pd.DataFrame) -> pd.DataFrame:
             # handles (round-5 review)
             "canonical_text": g["text"].apply(
                 lambda s: "\x1e".join(
-                    "" if pd.isna(x) else x for x in s
+                    "" if pd.isna(x) else x.replace("\x1e", " ")
+                    for x in s
                 )
             ),
             "n_turns": g["turn_idx"].count().astype("int64"),

@@ -49,9 +49,14 @@ def get_spark(
         .config("spark.sql.ui.explainMode", "simple")
         # UI off by default (bench hygiene); diagnostics (BENCH/exec8_diag)
         # flip it on via env to read executor GC/task metrics over REST
+        # normalized: Spark's boolean conf parser throws on anything but
+        # true/false, so SPARK_GRAFT_UI=1 crashed session creation
         .config(
             "spark.ui.enabled",
-            os.environ.get("SPARK_GRAFT_UI", "false"),
+            "true"
+            if os.environ.get("SPARK_GRAFT_UI", "false").strip().lower()
+            in ("1", "true", "yes", "on")
+            else "false",
         )
     )
     if shuffle_partitions is not None:

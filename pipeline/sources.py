@@ -43,13 +43,23 @@ def read_turns(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
         return _validate(spark.read.format("iceberg").load(path))
     if fmt == "parquet":
         return _validate(spark.read.parquet(path))
+    # FAILFAST: default PERMISSIVE parsing turns a malformed row into an
+    # all-null row that passes the column-name validation and flows into
+    # canonicalize as a junk conv_id=NULL document — silent corruption
+    # (round-5 review). Fail-loudly is this repo's contract; callers who
+    # want salvage parsing can pre-clean upstream.
     if fmt == "json":
-        return _validate(spark.read.schema(TURNS_SCHEMA).json(path))
+        return _validate(
+            spark.read.schema(TURNS_SCHEMA)
+            .option("mode", "FAILFAST")
+            .json(path)
+        )
     if fmt == "csv":
         return _validate(
             spark.read.schema(TURNS_SCHEMA)
             .option("header", "true")
             .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+            .option("mode", "FAILFAST")
             .csv(path)
         )
     raise ValueError(f"unsupported turns format: {fmt}")

@@ -201,7 +201,10 @@ def streaming_canonicalize(
                 {
                     "conv_id": [conv_id],
                     "canonical_text": [
-                        "\x1e".join((t[2] or "") for t in ordered)
+                        "\x1e".join(
+                            (t[2] or "").replace("\x1e", " ")
+                            for t in ordered
+                        )
                     ],
                     "n_turns": [len(ordered)],
                     # match batch canonicalize: array_join silently drops

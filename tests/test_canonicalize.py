@@ -55,3 +55,43 @@ def test_canonicalize_matches_pandas_oracle(spark, turns_df, corpus):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_turn_sep_in_text_is_sanitized_roundtrip(spark):
+    """A literal \x1e inside a turn text must not split that turn in two
+    on the way back (round-5 review): every engine folds it to a space
+    before joining, and the explode inverse then recovers the sanitized
+    texts exactly."""
+    import pandas as pd
+
+    from pipeline.canonicalize import canonicalize, explode_docs
+    from pipeline.oracle import canonicalize_pd
+
+    t = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": [0, 1, 0],
+            "role": ["user", "assistant", "user"],
+            "text": ["hello \x1e world", "plain", "also\x1e\x1eodd"],
+            "tool": [None, None, None],
+            "ts": pd.to_datetime(["2026-01-01"] * 3).astype("datetime64[us]"),
+        }
+    )
+    docs = canonicalize(spark.createDataFrame(t))
+    got = docs.toPandas().set_index("conv_id")
+    assert int(got.loc["c1", "n_turns"]) == 2
+    assert got.loc["c1", "canonical_text"].count("\x1e") == 1
+    assert got.loc["c1", "canonical_text"] == "hello   world\x1eplain"
+    assert got.loc["c2", "canonical_text"] == "also  odd"
+    # inverse recovers exactly n_turns sanitized texts per conv
+    back = explode_docs(docs).toPandas()
+    assert back.groupby("conv_id")["turn_idx"].count().to_dict() == {
+        "c1": 2,
+        "c2": 1,
+    }
+    # pandas twin agrees byte-for-byte
+    want = canonicalize_pd(t).set_index("conv_id")
+    for cid in ("c1", "c2"):
+        assert (
+            got.loc[cid, "canonical_text"] == want.loc[cid, "canonical_text"]
+        )

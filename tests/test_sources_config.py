@@ -79,3 +79,38 @@ def test_normalize_unit_parity(spark):
     df = spark.createDataFrame(pd.DataFrame({"u": UNITS}))
     got = df.select(norm_unit_col("u").alias("n")).toPandas()["n"].tolist()
     assert got == [normalize_unit_py(u) for u in UNITS]
+
+
+def test_minhash_band_divisibility_validated():
+    """bands > hashes (rows_per_band = 0) makes every band key constant —
+    quadratic blocking; a remainder silently discards configured hashes.
+    Both now fail at config construction (round-5 review)."""
+    from dataclasses import replace
+
+    import pytest
+
+    from pipeline.config import DEFAULT_CONFIG
+
+    with pytest.raises(ValueError, match="minhash"):
+        replace(DEFAULT_CONFIG, minhash_bands=5, minhash_hashes=4)
+    with pytest.raises(ValueError, match="minhash"):
+        replace(DEFAULT_CONFIG, minhash_hashes=16, minhash_bands=5)
+    replace(DEFAULT_CONFIG, minhash_hashes=16, minhash_bands=4)  # ok
+
+
+def test_read_turns_failfast_on_malformed_json(spark, tmp_path):
+    """PERMISSIVE parsing turned a malformed row into an all-null row
+    that canonicalize groups into a junk NULL-conv document; FAILFAST
+    raises instead (round-5 review)."""
+    import pytest
+
+    from pipeline.sources import read_turns
+
+    p = tmp_path / "turns.json"
+    p.write_text(
+        '{"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi", '
+        '"tool": null, "ts": "2026-01-01T00:00:00"}\n'
+        '{"conv_id": "c2", "turn_idx": 0, TRUNCATED'
+    )
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_turns(spark, str(p), fmt="json").collect()
