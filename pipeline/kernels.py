@@ -110,10 +110,10 @@ def indel_ratio(a: str, b: str) -> float:
 
 
 def token_sort_ratio(a: str, b: str) -> float:
-    """rapidfuzz ``fuzz.token_sort_ratio``: sort whitespace tokens, ratio."""
-    sa = " ".join(sorted(a.split()))
-    sb = " ".join(sorted(b.split()))
-    return indel_ratio(sa, sb)
+    """rapidfuzz ``fuzz.token_sort_ratio``: sort whitespace tokens, ratio.
+    Reuses the cached canonical ``sorted_form`` (one definition, one
+    lru cache) instead of a second inline copy of the sort idiom."""
+    return indel_ratio(sorted_form(a), sorted_form(b))
 
 
 def partial_windows(shorter: str, longer: str) -> list[int]:

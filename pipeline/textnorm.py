@@ -37,6 +37,13 @@ MULTI_FOLDS: list[tuple[str, str]] = [
     ("œ", "oe"),
     ("Œ", "OE"),
     ("ß", "ss"),
+    # U+0130 LATIN CAPITAL LETTER I WITH DOT ABOVE is the ONE BMP
+    # codepoint where the three engines' lower() disagrees: Python/Java
+    # emit 'i' + combining dot (U+0307, later folded to a space by the
+    # char-class step) while DuckDB emits plain 'i' — 'İstanbul' would
+    # normalize differently per engine (round-5 review, full-BMP scan).
+    # Pre-folding to ASCII 'I' BEFORE lower() pins all three.
+    ("İ", "I"),
 ]
 
 # Explicit ASCII-whitespace character list (the INNER part of a character

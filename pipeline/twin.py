@@ -35,10 +35,16 @@ def turns_from_events_pd(events: pd.DataFrame) -> pd.DataFrame:
     ev["turn_idx"] = ev.groupby("user_id").cumcount().astype("int32")
     # Spark cast(double as string) == Java Double.toString == Python str
     # for plain-notation doubles (values here are in [1e-3, 1e7))
+    # NULL value/event_type null-propagates the WHOLE text, exactly like
+    # Spark's F.concat (and || in DuckDB); .map(str) rendered NaN as the
+    # literal 'nan', diverging on the degenerate rows a parity twin
+    # should cover (round-5 review)
     ev["text"] = (
         ev["event_type"]
         + " "
-        + ev["value"].map(str)
+        + ev["value"].map(
+            lambda v: None if pd.isna(v) else str(v)
+        )
         + " "
         + ev["props"].fillna("")
     )
@@ -203,9 +209,15 @@ def linkage_pd(
             x = parent[x]
         return x
 
-    for a, b, m in zip(
-        scored["conv_id_a"], scored["conv_id_b"], scored["is_match"]
-    ):
+    # zero candidate pairs -> score_pairs_pd returns a COLUMN-LESS empty
+    # frame, and the zip below raised KeyError instead of yielding the
+    # correct all-singletons labeling (round-5 review)
+    match_rows = (
+        zip(scored["conv_id_a"], scored["conv_id_b"], scored["is_match"])
+        if len(scored)
+        else ()
+    )
+    for a, b, m in match_rows:
         if m:
             ra, rb = find(a), find(b)
             if ra != rb:
@@ -234,6 +246,20 @@ def fs_patterns_pd(
     channel scores and count agreement patterns."""
     import numpy as np
 
+    cols = ["pattern"] + [f"g_{name}" for name, _ in channels] + ["n_pairs"]
+    if not len(scored):
+        # zero scored pairs (tiny SF / blocking found nothing): an empty
+        # pattern table, schema-correct — the .str accessor below raises
+        # on an empty object column, which made fs_em_pd's carefully
+        # mirrored empty-table fallback unreachable (round-5 review)
+        return pd.DataFrame(
+            {
+                "pattern": pd.Series([], dtype=str),
+                **{f"g_{name}": pd.Series([], dtype=int)
+                   for name, _ in channels},
+                "n_pairs": pd.Series([], dtype=int),
+            }
+        )[cols]
     gam = np.column_stack(
         [
             (scored[f"s_{name}"].to_numpy() >= thr).astype(int)
@@ -245,7 +271,6 @@ def fs_patterns_pd(
     counts = df.groupby("pattern").size().reset_index(name="n_pairs")
     for i, (name, _thr) in enumerate(channels):
         counts[f"g_{name}"] = counts["pattern"].str[i].astype(int)
-    cols = ["pattern"] + [f"g_{name}" for name, _ in channels] + ["n_pairs"]
     return counts[cols].sort_values("pattern").reset_index(drop=True)
 
 

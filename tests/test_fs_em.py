@@ -162,3 +162,53 @@ def test_em_weights_empty_scored_returns_initial_params(spark):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), twin.reset_index(drop=True)
     )
+
+
+def test_fs_patterns_pd_empty_scored_reaches_em_fallback():
+    """Zero scored pairs: fs_patterns_pd must return a schema-correct
+    EMPTY pattern table (the .str accessor raised on an empty object
+    column — round-5 review), so fs_em_pd's mirrored empty-table EM
+    fallback is actually reachable."""
+    import pandas as pd
+
+    from pipeline.fellegi_sunter import DEFAULT_CHANNELS
+    from pipeline.twin import fs_em_pd, fs_patterns_pd
+
+    scored = pd.DataFrame(
+        {f"s_{name}": pd.Series([], dtype=float)
+         for name, _ in DEFAULT_CHANNELS}
+    )
+    pats = fs_patterns_pd(scored, DEFAULT_CHANNELS)
+    assert len(pats) == 0
+    assert list(pats.columns) == (
+        ["pattern"] + [f"g_{n}" for n, _ in DEFAULT_CHANNELS] + ["n_pairs"]
+    )
+    w = fs_em_pd(pats, DEFAULT_CHANNELS, iters=5, init_p=0.1,
+                 init_m=0.9, init_u=0.1)
+    assert len(w) == len(DEFAULT_CHANNELS)
+
+
+def test_linkage_pd_zero_pairs_yields_singletons():
+    """A corpus where blocking proposes no pairs must label every doc a
+    singleton, not KeyError on the column-less empty scored frame
+    (round-5 review)."""
+    import pandas as pd
+
+    from pipeline.twin import linkage_pd
+
+    turns = pd.DataFrame(
+        {
+            "conv_id": ["a", "b"],
+            "turn_idx": [0, 0],
+            "role": ["user", "user"],
+            "text": ["completely unrelated alpha", "zzz omega nine"],
+            "tool": [None, None],
+            "ts": pd.to_datetime(["2026-01-01", "2026-01-02"]).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    out = linkage_pd(turns)
+    cl = out["clusters"]
+    assert sorted(cl["conv_id"]) == ["a", "b"]
+    assert (cl["conv_id"] == cl["entity_id"]).all()

@@ -79,3 +79,27 @@ def test_three_way_on_random_unicodeish():
     got = con.sql(f"select {norm_sql_duckdb('raw')} as n from t").df()["n"].tolist()
     want = [normalize_py(r) for r in raws]
     assert got == want
+
+
+def test_turkish_dotted_capital_i_three_engine_parity(spark):
+    """U+0130 is the one BMP codepoint where the engines' lower()
+    disagrees (Python/Java: 'i'+combining dot; DuckDB: 'i') — the
+    pre-lower fold to 'I' pins all three (round-5 review)."""
+    import duckdb
+
+    from pipeline.normalize import norm_sql_duckdb, norm_text_col
+    from pipeline.textnorm import normalize_py
+
+    cases = ["aİb", "İstanbul ŞEHİR apt 3rd", "ı İ i I"]
+    sdf = spark.createDataFrame([(c,) for c in cases], "t string")
+    spark_out = [r[0] for r in sdf.select(norm_text_col("t")).collect()]
+    con = duckdb.connect()
+    duck_out = [
+        con.sql(
+            f"select {norm_sql_duckdb('?::varchar')}", params=[x]
+        ).fetchone()[0]
+        for x in cases
+    ]
+    for case, s_o, d_o in zip(cases, spark_out, duck_out):
+        p_o = normalize_py(case)
+        assert p_o == s_o == d_o, (case, p_o, s_o, d_o)
