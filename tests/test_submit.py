@@ -109,7 +109,7 @@ def test_main_py_has_no_repo_relative_imports():
             pytest.fail("relative import in main.py breaks spark-submit")
     allowed = {
         "argparse", "dataclasses", "json", "sys", "time", "os", "pathlib",
-        "shutil", "pyspark", "pipeline", "__future__",
+        "shutil", "pyspark", "pipeline", "__future__", "hashlib",
     }
     assert roots <= allowed, f"unexpected imports in main.py: {roots - allowed}"
 
