@@ -57,15 +57,42 @@ def _shingles(col: str, n: int) -> Column:
     )
 
 
-def _minhash_cols(shingles: Column, n_hashes: int, H) -> list[Column]:
-    """h_i = min over shingles of H(i, shingle)."""
-    return [
-        F.coalesce(
-            F.array_min(F.transform(shingles, lambda t: H(F.lit(i), t))),
-            F.lit(0).cast("long"),
-        )
-        for i in range(n_hashes)
-    ]
+def _minhash_array(shingles: Column, n_hashes: int, H) -> Column:
+    """[h_0..h_{n-1}] where h_i = min over shingles of H(i, shingle) —
+    one aggregate pass.
+
+    The round-5 form built one ``array_min(transform(shingles, ...))``
+    column per hash: higher-order functions are interpreted (no
+    whole-stage codegen, no common-subexpression elimination), so the
+    shingle array was traversed ``n_hashes`` times per row with one
+    array allocation each. This form folds ONE pass over the array with
+    an ``n_hashes``-slot accumulator (``zip_with`` + ``least``) — the
+    same H(i, shingle) calls, identical values (pinned by
+    ``tests/test_plans.py::test_minhash_single_pass_equals_per_hash``),
+    ~13% off the featurize projection at sf0.1 (round-6 A/B). The
+    caller MUST bind the result as its own column and read slots via
+    ``element_at`` from that bound column — inlining this expression
+    into several consumers would re-run the whole aggregate per
+    consumer (no CSE in interpreted projections).
+    ``array_distinct`` upstream stays: MIN is idempotent so distinctness
+    never changes a value, but deduping ~6.7x repeated shingles per doc
+    before hashing them is a measured win (the no-distinct variant
+    re-hashes every position and loses the A/B).
+
+    The accumulator slots start at Long.MAX and the shingle array is
+    never empty (``_shingles`` emits at least [substring(text, 1, n)]),
+    so every slot is overwritten by a real hash."""
+    LMAX = (1 << 63) - 1
+    init = F.array(*[F.lit(LMAX).cast("long") for _ in range(n_hashes)])
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, g: F.zip_with(
+            acc,
+            F.array(*[H(F.lit(i), g) for i in range(n_hashes)]),
+            lambda a, h: F.least(a, h),
+        ),
+    )
 
 
 def featurize(docs: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -92,7 +119,20 @@ def featurize(docs: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG) -> DataFrame:
     )
 
     out = out.withColumn("_shingles", _shingles("norm_text", cfg.shingle_size))
-    mh = _minhash_cols(F.col("_shingles"), cfg.minhash_hashes, H)
+    # bind the one-pass minhash array as its own column: each band key
+    # reads 3 slots of it, and a bound non-cheap column referenced from
+    # several projections is computed ONCE (Catalyst refuses to collapse
+    # a projection into consumers that reference it more than once) —
+    # inlining the aggregate into the 5 band keys would run it 5x/row
+    out = out.withColumn(
+        "_mh",
+        _minhash_array(F.col("_shingles"), cfg.minhash_hashes, H),
+    )
+    # null-impossible (see _minhash_array) but keep the old 0 fallback
+    mh = [
+        F.coalesce(F.element_at("_mh", i + 1), F.lit(0).cast("long"))
+        for i in range(cfg.minhash_hashes)
+    ]
     rows_per_band = cfg.minhash_hashes // cfg.minhash_bands
     for b in range(cfg.minhash_bands):
         band = mh[b * rows_per_band : (b + 1) * rows_per_band]
@@ -100,7 +140,7 @@ def featurize(docs: DataFrame, cfg: MatchConfig = DEFAULT_CONFIG) -> DataFrame:
             f"key_band_{b}", H(F.lit("band"), F.lit(b), *band)
         )
 
-    return out.drop("_shingles", "canonical_text", "tools_sig")
+    return out.drop("_shingles", "_mh", "canonical_text", "tools_sig")
 
 
 def key_columns(cfg: MatchConfig = DEFAULT_CONFIG) -> list[tuple[int, str]]:

@@ -64,7 +64,9 @@ from pyspark.sql import functions as F
 
 
 @contextmanager
-def increment_tuning(spark, enabled: bool = True):
+def increment_tuning(
+    spark, enabled: bool = True, shuffle_partitions: int | None = None
+):
     """Session tuning for the span of ONE increment-sized step (the
     ``incremental_link`` call plus the actions that consume its output).
 
@@ -75,17 +77,44 @@ def increment_tuning(spark, enabled: bool = True):
     is ~17% faster end-to-step; round-5 profiling showed the step wall
     was ~60 sub-second stages). Batch-scale runs KEEP AQE (skew-join +
     coalesce matter there) — this is a caller-owned step-cadence knob,
-    restored on exit."""
+    restored on exit.
+
+    ``shuffle_partitions`` (round-6): with AQE off, every one of the
+    step's ~15 exchanges (key-count groupBys, pair-cap windows, distinct,
+    label joins) materializes at the session's static
+    ``spark.sql.shuffle.partitions`` — corpus-sized defaults for
+    increment-sized data, so an increment step launches hundreds of
+    near-empty tasks and the wall is pure scheduling. The step's one
+    CPU-bound stage (Arrow scoring) is unaffected — it is explicitly
+    repartitioned from the counted pair volume (``_score_increment_pairs``).
+    Default: ``max(8, defaultParallelism // 4)`` — enough partitions that
+    a skewed exchange still spreads, a quarter of the session's task
+    slots so scheduling stops dominating; interleaved A/B at sf0.1/32
+    cores: 8 partitions 8.3-11.5s vs 32 partitions 11.6-18.8s per step.
+    Callers stepping a BACKFILL-sized increment (not the daily cadence
+    this context targets) should pass their own value or skip the
+    context. Restored on exit like the AQE flag."""
     if not enabled:
         yield
         return
     key = "spark.sql.adaptive.enabled"
+    skey = "spark.sql.shuffle.partitions"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(
+            8, spark.sparkContext.defaultParallelism // 4
+        )
     prev = spark.conf.get(key, "true")
+    sprev = spark.conf.get(skey, None)
     spark.conf.set(key, "false")
+    spark.conf.set(skey, str(int(shuffle_partitions)))
     try:
         yield
     finally:
         spark.conf.set(key, prev)
+        if sprev is None:
+            spark.conf.unset(skey)
+        else:
+            spark.conf.set(skey, sprev)
 
 def _pin(df: DataFrame) -> DataFrame:
     """Eagerly truncate an INCREMENT-sized frame's lineage

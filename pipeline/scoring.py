@@ -368,20 +368,26 @@ def score_pairs(
     # a small-but-expensive pair table gets coalesced into 1-2 tasks (and a
     # broadcast join keeps it in the upstream stage) — measured 0.17 scaling
     # efficiency without this. Hash-repartition on the pair key to
-    # 3x cores so every core scores. Repartition BEFORE the text joins:
+    # 1.5x cores so every core scores with slack for stragglers, while a
+    # partition still holds at least one FULL Arrow batch: the numpy
+    # kernels amortize per ~10k-pair batch (arrow maxRecordsPerBatch),
+    # and the round-5 default of 3x cores fragmented a saturated stage
+    # into ~6k-pair partials (interleaved A/B on the 600k-pair ring,
+    # round 6: 1-1.5x cores ~8-12% faster than 3x; median 7.23-7.26s vs
+    # 7.89s). Repartition BEFORE the text joins:
     # the pre-join rows are ids-only (~60x narrower than with both
     # canonical texts attached), so the forced shuffle moves megabytes,
     # not the full pair-text volume; a broadcast text join preserves the
     # partitioning into the UDF stage.
     # ``n_partitions`` override: a caller that KNOWS the pair count
     # (the incremental step — its pair table is cached and counted)
-    # right-sizes the Arrow stage instead; 96 near-empty Python-worker
-    # partitions for an 11k-pair increment is pure per-partition
-    # overhead (round-5 profiling).
+    # right-sizes the Arrow stage instead; dozens of near-empty
+    # Python-worker partitions for an 11k-pair increment is pure
+    # per-partition overhead (round-5 profiling).
     n_parts = (
         n_partitions
         if n_partitions is not None
-        else pairs.sparkSession.sparkContext.defaultParallelism * 3
+        else max(1, (pairs.sparkSession.sparkContext.defaultParallelism * 3) // 2)
     )
     joined = (
         pairs.repartition(n_parts, "conv_id_a", "conv_id_b")

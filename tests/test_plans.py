@@ -208,3 +208,63 @@ def test_winnow_selection_never_shuffles_grams(spark):
     assert ex_idx > gen_idx, "doc-row exchange must sit under the explode"
     # exactly one Sort serves BOTH windows (same spec)
     assert sum("Sort [doc_id" in l for l in lines) == 1
+
+
+def test_minhash_single_pass_equals_per_hash(spark):
+    """featurize's single-pass minhash aggregate (round-6 optimization:
+    one array traversal with an n_hashes-slot accumulator instead of
+    n_hashes interpreted transform+array_min passes) must produce
+    bit-identical minhashes to the per-hash form, for BOTH hash impls
+    (md5 drives the DuckDB-checked contract queries)."""
+    from pipeline.features import _minhash_array, _shingles, hash_fn
+    from pipeline.config import MatchConfig
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the quick brown fox jumps over the lazy dog"),
+            ("d2", "aaaa"),  # fewer chars than several shingle spans
+            ("d3", ""),  # empty text -> single empty shingle
+            ("d4", "abcabcabcabc"),  # heavy intra-doc shingle repeats
+        ],
+        "conv_id string, norm_text string",
+    )
+    for impl in ("md5", "xxhash64"):
+        cfg = MatchConfig(hash_impl=impl)
+        H = hash_fn(cfg)
+        sh = docs.withColumn(
+            "_shingles", _shingles("norm_text", cfg.shingle_size)
+        )
+        n = cfg.minhash_hashes
+        single = sh.withColumn(
+            "_mh", _minhash_array(F.col("_shingles"), n, H)
+        ).select(
+            "conv_id",
+            *[
+                F.coalesce(
+                    F.element_at("_mh", i + 1), F.lit(0).cast("long")
+                ).alias(f"h{i}")
+                for i in range(n)
+            ],
+        )
+        # NB: single-arg lambda — a two-arg lambda would receive the
+        # ARRAY INDEX as its second argument (pyspark transform arity
+        # dispatch), not the loop variable. pyspark evaluates the lambda
+        # eagerly while building the expression, so capturing the loop
+        # variable here is safe.
+        per_hash = sh.select(
+            "conv_id",
+            *[
+                F.coalesce(
+                    F.array_min(
+                        F.transform(
+                            F.col("_shingles"), lambda t: H(F.lit(i), t)
+                        )
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias(f"h{i}")
+                for i in range(n)
+            ],
+        )
+        a = {r["conv_id"]: tuple(r[1:]) for r in single.collect()}
+        b = {r["conv_id"]: tuple(r[1:]) for r in per_hash.collect()}
+        assert a == b, (impl, a, b)
