@@ -368,13 +368,14 @@ def score_pairs(
     # a small-but-expensive pair table gets coalesced into 1-2 tasks (and a
     # broadcast join keeps it in the upstream stage) — measured 0.17 scaling
     # efficiency without this. Hash-repartition on the pair key to
-    # 1.5x cores so every core scores with slack for stragglers, while a
-    # partition still holds at least one FULL Arrow batch: the numpy
-    # kernels amortize per ~10k-pair batch (arrow maxRecordsPerBatch),
-    # and the round-5 default of 3x cores fragmented a saturated stage
-    # into ~6k-pair partials (interleaved A/B on the 600k-pair ring,
-    # round 6: 1-1.5x cores ~8-12% faster than 3x; median 7.23-7.26s vs
-    # 7.89s). Repartition BEFORE the text joins:
+    # 3x cores so every core scores. Round 6 A/B'd 1x/1.5x/2x cores
+    # (bigger partitions hold a full 10k-row Arrow batch, better numpy
+    # amortization) and REJECTED them: with partitions near the core
+    # count the last task wave is fractional (48 parts on 32 cores = a
+    # 16-task second wave leaving half the cores idle), and the 8-rep
+    # interleaved ring A/B puts 3x cores FIRST (min/med 6.21/6.57s vs
+    # 64 parts 6.49/6.77 and 48 parts 6.45/7.28) — wave packing beats
+    # batch amortization. Repartition BEFORE the text joins:
     # the pre-join rows are ids-only (~60x narrower than with both
     # canonical texts attached), so the forced shuffle moves megabytes,
     # not the full pair-text volume; a broadcast text join preserves the
@@ -387,7 +388,7 @@ def score_pairs(
     n_parts = (
         n_partitions
         if n_partitions is not None
-        else max(1, (pairs.sparkSession.sparkContext.defaultParallelism * 3) // 2)
+        else pairs.sparkSession.sparkContext.defaultParallelism * 3
     )
     joined = (
         pairs.repartition(n_parts, "conv_id_a", "conv_id_b")
