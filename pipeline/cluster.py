@@ -97,10 +97,12 @@ def _checksum(edges: DataFrame) -> tuple[int, int, int]:
 
 
 def _driver_union_find(rows: list) -> list[tuple[str, str]]:
-    """Union-find with path compression over collected (u, v) edge rows;
-    returns (conv_id, entity_id = min member of its component) for every
-    node that appears in an edge. min() on Python strings == Spark's
-    string ordering for the ASCII ids this pipeline produces."""
+    """Union-find with path compression over collected (u, v) edge
+    pairs; returns (conv_id, entity_id = min member of its component)
+    for every node that appears in an edge. min() on Python strings ==
+    Spark's string ordering for the ASCII ids this pipeline produces.
+    ``rows`` is any iterable of (u, v) 2-sequences (plain tuples from
+    the Arrow transfer in ``connected_components``)."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -111,8 +113,7 @@ def _driver_union_find(rows: list) -> list[tuple[str, str]]:
             parent[x], x = r, parent[x]
         return r
 
-    for r in rows:
-        u, v = r["u"], r["v"]
+    for u, v in rows:
         parent.setdefault(u, u)
         parent.setdefault(v, v)
         ru, rv = find(u), find(v)
@@ -153,7 +154,15 @@ def connected_components(
     metrics: list[dict] = []
     prev_sig = _checksum(cur)
     if driver_threshold > 0 and prev_sig[0] <= driver_threshold:
-        mapping = _driver_union_find(cur.collect())
+        # Arrow transfer for the edge pull (guide: toPandas is orders of
+        # magnitude faster than the row path): a plain collect() pickles
+        # up to driver_threshold Row objects one by one — seconds at the
+        # 200k-edge limit; the Arrow path moves two string columns in
+        # one batch.
+        _pdf = cur.toPandas()
+        mapping = _driver_union_find(
+            list(zip(_pdf["u"].tolist(), _pdf["v"].tolist()))
+        )
         metrics.append(
             {
                 "iteration": 0,
